@@ -1,0 +1,58 @@
+"""Value formats: plain / sc:Html / sc:WikiText.
+
+Replicates /root/reference/lib/scrappy/extractor/formats.rb exactly:
+- plain (no sc:format): node.text.clean (formats.rb:33-39)
+- html: node.to_html.clean (formats.rb:27-32)
+- wikitext: serialize subtree, re-parse, rewrite a/h1-h5/b/td/tr/table/
+  li-nesting/ul/pre/code/p in that order, then doc.text.strip
+  (formats.rb:5-26). Rewrites mutate the tree in sequence, so later
+  passes see earlier replacements — order is semantic.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from ..htmldom.dom import TEXT, Node, parse_fragment
+from ..support import clean
+
+
+def format_value(node, fmt: str | None, uri: str) -> str:
+    if fmt == "wikitext":
+        # the reference always re-serializes + re-parses (formats.rb:7)
+        src = node.to_html() if isinstance(node, Node) else str(node or "")
+        return _wikitext(parse_fragment(clean(src)), uri)
+    if fmt == "html":
+        if isinstance(node, Node):
+            return clean(node.to_html())
+        return clean("" if node is None else str(node))
+    # plain
+    if isinstance(node, Node):
+        return clean(node.text)
+    return clean("" if node is None else str(node))
+
+
+def _replace_all(doc: Node, css: str, make_text) -> None:
+    for n in doc.search(css):
+        if n.parent is None:  # already detached by an earlier rewrite
+            continue
+        n.replace(Node(TEXT, data=make_text(n)))
+
+
+def _wikitext(doc: Node, uri: str) -> str:
+    _replace_all(doc, "a", lambda n: urljoin(uri, n.attrs.get("href") or ""))
+    for level in range(1, 6):
+        eq = "=" * level
+        _replace_all(doc, f"h{level}", lambda n, eq=eq: f"{eq} {n.text.strip()} {eq}")
+    _replace_all(doc, "b", lambda n: f"'''{n.text.strip()}'''")
+    _replace_all(doc, "td", lambda n: f"<td>{n.text.strip()}</td>")
+    _replace_all(doc, "tr", lambda n: f"<tr>{n.text.strip()}</tr>")
+    _replace_all(doc, "table", lambda n: f"<table>{n.text.strip()}</table>")
+    for depth in range(5, 1, -1):
+        stars = "*" * depth
+        _replace_all(doc, " ".join(["li"] * depth), lambda n, s=stars: f"{s} {n.text.strip()}")
+    _replace_all(doc, "li", lambda n: f"* {n.text.strip()}")
+    _replace_all(doc, "ul", lambda n: n.text.strip())
+    _replace_all(doc, "pre, code", lambda n: f"<pre>{n.text}</pre>")
+    _replace_all(doc, "p", lambda n: f"{n.text.strip()}\n")
+    return doc.text.strip()

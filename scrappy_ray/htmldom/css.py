@@ -1,0 +1,127 @@
+"""CSS selector subset for the extraction KB.
+
+Supports what the reference's KBs use (e.g.
+/root/reference/extractors/elmundo.yarf: ".noticia h2, .noticia h3",
+"a", ".firma em") plus the WikiText format's needs ("li li li",
+"pre, code", formats.rb:5-26):
+
+- comma-separated groups
+- compound simple selectors: tag, *, .class, #id, [attr], [attr=val]
+  (combinable, e.g. div.noticia[data-x=1])
+- combinators: descendant (whitespace) and child (>)
+
+Results are in document order (preorder DFS), deduplicated.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SIMPLE_RE = re.compile(
+    r"""
+    (?P<tag>\*|[a-zA-Z][\w-]*)?
+    (?P<rest>(?:[.#][\w-]+|\[[^\]]+\])*)
+    """,
+    re.VERBOSE,
+)
+_PART_RE = re.compile(r"([.#])([\w-]+)|\[([^\]=\s]+)(?:=(?:\"([^\"]*)\"|'([^']*)'|([^\]]*)))?\]")
+
+
+class Simple:
+    __slots__ = ("tag", "classes", "ids", "attrs")
+
+    def __init__(self, token: str):
+        m = _SIMPLE_RE.match(token)
+        if not m or (m.end() != len(token)):
+            raise ValueError(f"unsupported CSS simple selector: {token!r}")
+        self.tag = m.group("tag") if m.group("tag") not in (None, "*") else None
+        self.classes: list[str] = []
+        self.ids: list[str] = []
+        self.attrs: list[tuple[str, str | None]] = []
+        for pm in _PART_RE.finditer(m.group("rest") or ""):
+            if pm.group(1) == ".":
+                self.classes.append(pm.group(2))
+            elif pm.group(1) == "#":
+                self.ids.append(pm.group(2))
+            else:
+                val = pm.group(4) or pm.group(5) or pm.group(6)
+                self.attrs.append((pm.group(3), val))
+
+    def matches(self, node) -> bool:
+        if node.is_text():
+            return False
+        if self.tag is not None and node.name != self.tag:
+            return False
+        if self.classes:
+            cls = (node.attrs.get("class") or "").split()
+            if any(c not in cls for c in self.classes):
+                return False
+        if any(node.attrs.get("id") != i for i in self.ids):
+            return False
+        for name, val in self.attrs:
+            got = node.attrs.get(name)
+            if got is None or (val is not None and got != val):
+                return False
+        return True
+
+
+class Chain:
+    """A compound chain like ``.noticia > h2`` / ``li li``."""
+
+    __slots__ = ("steps",)
+
+    def __init__(self, text: str):
+        # normalize '>' spacing then tokenize
+        text = re.sub(r"\s*>\s*", " > ", text.strip())
+        tokens = text.split()
+        self.steps: list[tuple[str, Simple]] = []  # (combinator, simple)
+        comb = " "
+        for tok in tokens:
+            if tok == ">":
+                comb = ">"
+                continue
+            self.steps.append((comb, Simple(tok)))
+            comb = " "
+        if not self.steps:
+            raise ValueError(f"empty CSS selector in {text!r}")
+
+    def matches(self, node, scope) -> bool:
+        """Does ``node`` match, with all ancestor requirements satisfied
+        strictly inside ``scope`` (exclusive)?"""
+        if not self.steps[-1][1].matches(node):
+            return False
+        return self._match_up(node, len(self.steps) - 2, scope)
+
+    def _match_up(self, node, step_idx: int, scope) -> bool:
+        if step_idx < 0:
+            return True
+        comb_here = self.steps[step_idx + 1][0]
+        simple = self.steps[step_idx][1]
+        if comb_here == ">":
+            p = node.parent
+            if p is None or p is scope or not simple.matches(p):
+                return False
+            return self._match_up(p, step_idx - 1, scope)
+        p = node.parent
+        while p is not None and p is not scope:
+            if simple.matches(p) and self._match_up(p, step_idx - 1, scope):
+                return True
+            p = p.parent
+        return False
+
+
+def compile_css(selector: str) -> list[Chain]:
+    return [Chain(part) for part in selector.split(",") if part.strip()]
+
+
+def css_search(scope, selector: str) -> list:
+    """Descendants of ``scope`` (exclusive) matching any group of the
+    selector, in document order."""
+    chains = compile_css(selector)
+    out = []
+    for node in scope.descendants():
+        if node.is_text():
+            continue
+        if any(c.matches(node, scope) for c in chains):
+            out.append(node)
+    return out
