@@ -1,0 +1,370 @@
+"""The BFS-superstep crawl driver (Ray-Data-native §3.1 re-architecture).
+
+Each round is a Dataset pipeline::
+
+    frontier_r (parquet)
+      → politeness split   groupby(host).map_groups + token-bucket actors
+      → fetch              groupby(bucket).map_groups over the page store
+      → extract            map_batches(ExtractPages actor pool, Arrow)
+      → checkpoint         write round=r/extraction parquet
+    links(round=r)
+      → explode            map_batches (Arrow list flatten)
+      → in-round dedup     groupby(url,depth).map_groups(min seq)   [shuffle]
+      → robots filter      map_batches + robots cache actors
+      → seen anti-join     map_batches + sharded seen-set actors
+      → order + seq        sort(parent_seq, link_idx) + block prefix-sum
+      → frontier_{r+1}     union(deferred) → parquet checkpoint
+
+Determinism: the executed order (round, seq) is identical to the
+single-threaded simulator (crawl/simulator.py) at ANY parallelism —
+verified by tests/test_crawl.py — and with politeness off equals the
+reference's workers=1 FIFO order (agent.rb / map_reduce.rb)."""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.extract_stage import ExtractPages
+from ..stages.fetch import build_page_store, fetch_frontier, url_bucket
+from ..stages.seq import add_global_seq
+from ..state.politeness import HostBudgetPool
+from ..state.robots import RobotsCachePool
+from ..state.seen import SeenSetPool, shard_of
+from ..support import complete_uri, host_of
+from . import checkpoint as ckpt
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("curl", pa.string()),
+        ("depth", pa.int32()),
+        ("seq", pa.int64()),
+        ("host", pa.string()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    pages_path: str
+    kb_yaml: str
+    seeds: list[str]
+    ckpt_dir: str
+    depth: int = -1
+    num_buckets: int = 16
+    seen_shards: int = 4
+    seen_mode: str = "exact"  # "cuckoo" for the 10^10 design point
+    seen_capacity_per_shard: int = 1_000_000
+    url_only_seen: bool = False
+    host_budget: float | None = None  # items per host per round (None = off)
+    budget_shards: int = 2
+    robots: bool = False
+    robots_shards: int = 2
+    max_rounds: int = 200
+    extract_concurrency: int = 4
+    extract_batch_size: int = 64
+    link_partitions: int = 8  # shuffle width for in-round dedup
+    referenceable: bool = False
+
+
+@dataclass
+class CrawlResult:
+    ckpt_dir: str
+    rounds: int
+    manifest: dict
+    schedule_path: str
+    triples_path: str
+    text_path: str
+
+    def schedule_table(self) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(self.schedule_path).to_table().sort_by([("seq", "ascending")])
+
+
+def _frontier_table(items: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([i["url"] for i in items], pa.string()),
+            "curl": pa.array([complete_uri(i["url"]) for i in items], pa.string()),
+            "depth": pa.array([i["depth"] for i in items], pa.int32()),
+            "seq": pa.array([i["seq"] for i in items], pa.int64()),
+            "host": pa.array([host_of(complete_uri(i["url"])) for i in items], pa.string()),
+        }
+    )
+
+
+def _make_mark_exec(pool: HostBudgetPool, rnd: int):
+    """Per-host politeness: sort the host's items by seq, ask the
+    token-bucket shard for a grant, execute the first g."""
+
+    def mark_exec(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("seq", "ascending")])
+        host = group.column("host")[0].as_py()
+        g = pool.grant({host: group.num_rows}, rnd)[host]
+        mask = pa.array([i < g for i in range(group.num_rows)], pa.bool_())
+        return group.append_column("exec", mask)
+
+    return mark_exec
+
+
+class _SeenMark:
+    def __init__(self, pool: SeenSetPool, url_only: bool):
+        self.pool = pool
+        self.url_only = url_only
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        mask = self.pool.mark_new(urls, depths, self.url_only)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+
+class _RobotsFilter:
+    def __init__(self, pool: RobotsCachePool):
+        self.pool = pool
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        curls = [complete_uri(u) for u in batch.column("url").to_pylist()]
+        mask = self.pool.allowed(curls)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+
+def _explode_links(batch: pa.Table) -> pa.Table:
+    """extraction rows (seq, links) → candidate rows
+    (url, depth, parent_seq, link_idx)."""
+    out = {"url": [], "depth": [], "parent_seq": [], "link_idx": []}
+    seqs = batch.column("seq").to_pylist()
+    links = batch.column("links").to_pylist()
+    for seq, ls in zip(seqs, links):
+        for idx, l in enumerate(ls or []):
+            out["url"].append(l["url"])
+            out["depth"].append(l["depth"])
+            out["parent_seq"].append(seq)
+            out["link_idx"].append(idx)
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "depth": pa.array(out["depth"], pa.int32()),
+            "parent_seq": pa.array(out["parent_seq"], pa.int64()),
+            "link_idx": pa.array(out["link_idx"], pa.int32()),
+        }
+    )
+
+
+def _first_discovery(group: pa.Table) -> pa.Table:
+    """In-round first-wins dedup for one (url, depth) group."""
+    group = group.sort_by([("parent_seq", "ascending"), ("link_idx", "ascending")])
+    return group.slice(0, 1)
+
+
+def _empty_frontier() -> pa.Table:
+    return FRONTIER_SCHEMA.empty_table()
+
+
+def run_crawl(cfg: CrawlConfig) -> CrawlResult:
+    os.makedirs(cfg.ckpt_dir, exist_ok=True)
+    store_dir = os.path.join(cfg.ckpt_dir, "page_store")
+    build_page_store(cfg.pages_path, store_dir, cfg.num_buckets)
+
+    seen = SeenSetPool(cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity_per_shard)
+    budget = HostBudgetPool(cfg.host_budget, cfg.budget_shards) if cfg.host_budget else None
+    robots = RobotsCachePool(store_dir, cfg.num_buckets, cfg.robots_shards) if cfg.robots else None
+
+    manifest = ckpt.load_manifest(cfg.ckpt_dir)
+    if manifest and manifest.get("rounds"):
+        # ---- resume: restore state as of the last complete round ----
+        last = manifest["rounds"][-1]["round"]
+        seen.restore(ckpt.load_seen_snapshot(cfg.ckpt_dir, last))
+        if budget:
+            bs = ckpt.load_budget_snapshot(cfg.ckpt_dir, last)
+            if bs:
+                budget.restore(bs)
+        next_seq = manifest["next_seq"]
+        start_round = last + 1
+    else:
+        manifest = {"config": {"seeds": cfg.seeds, "depth": cfg.depth}, "rounds": [], "next_seq": 0}
+        items = [{"url": u, "depth": cfg.depth, "seq": i} for i, u in enumerate(cfg.seeds)]
+        seen.mark_new([i["url"] for i in items], [i["depth"] for i in items], cfg.url_only_seen)
+        fdir = ckpt.frontier_dir(cfg.ckpt_dir, 0)
+        os.makedirs(fdir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(_frontier_table(items), os.path.join(fdir, "part-0.parquet"))
+        next_seq = len(items)
+        start_round = 0
+        ckpt.save_seen_snapshot(cfg.ckpt_dir, -1, seen.snapshot())
+
+    rnd = start_round
+    while rnd < cfg.max_rounds:
+        fdir = ckpt.frontier_dir(cfg.ckpt_dir, rnd)
+        if not os.path.isdir(fdir):
+            break
+        frontier = ray.data.read_parquet(fdir)
+        n_ready = frontier.count()
+        if n_ready == 0:
+            break
+        t0 = time.perf_counter()
+
+        # -- politeness split ------------------------------------------
+        if budget:
+            marked_dir = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "marked")
+            frontier.groupby("host").map_groups(
+                _make_mark_exec(budget, rnd), batch_format="pyarrow"
+            ).write_parquet(marked_dir)
+            marked = ray.data.read_parquet(marked_dir)
+            exec_ds = marked.filter(expr="exec == True").drop_columns(["exec"])
+            defer_ds = marked.filter(expr="exec == False").drop_columns(["exec"])
+            n_deferred = defer_ds.count()
+        else:
+            exec_ds, defer_ds, n_deferred = frontier, None, 0
+
+        # -- fetch + extract + checkpoint ------------------------------
+        this_round = rnd
+
+        def tag_round(batch: pa.Table, _r=this_round) -> pa.Table:
+            return batch.append_column("round", pa.array([_r] * batch.num_rows, pa.int32()))
+
+        edir = ckpt.extraction_dir(cfg.ckpt_dir, rnd)
+        (
+            fetch_frontier(exec_ds, store_dir, cfg.num_buckets)
+            .map_batches(tag_round, batch_format="pyarrow")
+            .map_batches(
+                ExtractPages,
+                fn_constructor_kwargs={"kb_yaml": cfg.kb_yaml, "referenceable": cfg.referenceable},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=cfg.extract_batch_size,
+                concurrency=cfg.extract_concurrency,
+            )
+            .write_parquet(edir)
+        )
+
+        # -- link discovery → next frontier ----------------------------
+        links = (
+            ray.data.read_parquet(edir, columns=["seq", "links"])
+            .map_batches(_explode_links, batch_format="pyarrow")
+            .groupby(["url", "depth"])
+            .map_groups(_first_discovery, batch_format="pyarrow")
+        )
+        if robots:
+            links = links.map_batches(_RobotsFilter(robots), batch_format="pyarrow", batch_size=4096)
+        links = links.map_batches(
+            _SeenMark(seen, cfg.url_only_seen), batch_format="pyarrow", batch_size=4096
+        ).sort(["parent_seq", "link_idx"])
+        new_ds, next_seq_after = add_global_seq(links, next_seq)
+
+        def finish_frontier(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            curls = [complete_uri(u) for u in urls]
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "curl": pa.array(curls, pa.string()),
+                    "depth": batch.column("depth"),
+                    "seq": batch.column("seq"),
+                    "host": pa.array([host_of(c) for c in curls], pa.string()),
+                }
+            )
+
+        next_frontier = new_ds.map_batches(finish_frontier, batch_format="pyarrow")
+        if defer_ds is not None and n_deferred:
+            next_frontier = defer_ds.union(next_frontier)
+
+        nfdir = ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1)
+        next_frontier.write_parquet(nfdir)
+        n_new = next_seq_after - next_seq
+        next_seq = next_seq_after
+
+        # -- round complete: snapshots, metrics, manifest --------------
+        ckpt.save_seen_snapshot(cfg.ckpt_dir, rnd, seen.snapshot())
+        if budget:
+            ckpt.save_budget_snapshot(cfg.ckpt_dir, rnd, budget.snapshot())
+        wall = time.perf_counter() - t0
+        n_exec = n_ready - n_deferred
+        manifest["rounds"].append(
+            {
+                "round": rnd,
+                "scheduled": n_ready,
+                "executed": n_exec,
+                "deferred": n_deferred,
+                "new_items": n_new,
+                "wall_s": round(wall, 4),
+                "urls_per_sec": round(n_exec / wall, 2) if wall > 0 else None,
+            }
+        )
+        manifest["next_seq"] = next_seq
+        ckpt.save_manifest(cfg.ckpt_dir, manifest)
+        rnd += 1
+
+    return _finalize(cfg, manifest, rnd)
+
+
+def _finalize(cfg: CrawlConfig, manifest: dict, rounds: int) -> CrawlResult:
+    """Union all rounds → schedule / distinct triples / text tables."""
+    import glob
+
+    edirs = [
+        f
+        for r in manifest["rounds"]
+        for f in sorted(glob.glob(os.path.join(ckpt.extraction_dir(cfg.ckpt_dir, r["round"]), "*.parquet")))
+    ]
+    out_sched = os.path.join(cfg.ckpt_dir, "schedule")
+    out_triples = os.path.join(cfg.ckpt_dir, "triples")
+    out_text = os.path.join(cfg.ckpt_dir, "text")
+    if edirs:
+        ex = ray.data.read_parquet(edirs, columns=["url", "curl", "depth", "seq", "round", "fetched", "text"])
+        ex.select_columns(["seq", "url", "depth", "round"]).write_parquet(out_sched)
+        # text: one row per url (first-crawled wins, deterministic by seq)
+        (
+            ex.filter(expr="fetched == True")
+            .groupby("curl")
+            .map_groups(
+                lambda g: g.sort_by([("seq", "ascending")]).slice(0, 1),
+                batch_format="pyarrow",
+            )
+            .select_columns(["curl", "text"])
+            .write_parquet(out_text)
+        )
+        # final distinct cleaned triples (agent.rb:160-162 clean + uniq)
+        trip = (
+            ray.data.read_parquet(edirs, columns=["triples"])
+            .map_batches(_explode_clean_triples, batch_format="pyarrow")
+            .groupby(["s", "p", "o", "lit"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        )
+        trip.write_parquet(out_triples)
+    return CrawlResult(
+        ckpt_dir=cfg.ckpt_dir,
+        rounds=rounds,
+        manifest=manifest,
+        schedule_path=out_sched,
+        triples_path=out_triples,
+        text_path=out_text,
+    )
+
+
+def _explode_clean_triples(batch: pa.Table) -> pa.Table:
+    out = {"s": [], "p": [], "o": [], "lit": []}
+    for triples in batch.column("triples").to_pylist():
+        for t in triples or []:
+            if t["p"] == "rdf:type" and t["o"] in ("sc:Index", "sc:Page", "sc:NewUri"):
+                continue
+            out["s"].append(t["s"])
+            out["p"].append(t["p"])
+            out["o"].append(t["o"])
+            out["lit"].append(t["lit"])
+    return pa.table(
+        {
+            "s": pa.array(out["s"], pa.string()),
+            "p": pa.array(out["p"], pa.string()),
+            "o": pa.array(out["o"], pa.string()),
+            "lit": pa.array(out["lit"], pa.bool_()),
+        }
+    )

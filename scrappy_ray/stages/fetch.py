@@ -1,0 +1,137 @@
+"""The "fetch" stage: frontier ⋈ pages lookup via a bucket-partitioned
+page store.
+
+In this engine fetching a URL means looking it up in the Common-Crawl-
+style pages table (BASELINE.json input_hint). A naive
+``frontier.join(pages)`` would shuffle the full 100 TB pages table
+every crawl round; instead the store is hash-partitioned by url ONCE
+(an index build — the analogue of the reference keeping its Mechanize
+session/cache per agent, blind_agent.rb:5-6), and every round only the
+buckets containing frontier URLs are read, with a parquet ``url in
+(...)`` predicate pushed down to row groups.
+
+Scaling: per-round I/O is O(|frontier| / |store|) of the corpus, the
+per-bucket lookup is a ``groupby(bucket).map_groups`` (one task per
+touched bucket), and bucket count is chosen so one bucket's parquet
+fits a task's heap comfortably.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..support import complete_uri
+
+FETCH_COLUMNS = ["url", "html"]
+
+
+def url_bucket(url: str, num_buckets: int) -> int:
+    return int.from_bytes(hashlib.md5(url.encode("utf-8", "ignore")).digest()[4:8], "big") % num_buckets
+
+
+def _bucket_array(urls, num_buckets: int) -> pa.Array:
+    return pa.array([url_bucket(u, num_buckets) for u in urls], pa.int32())
+
+
+def build_page_store(pages_path: str, store_dir: str, num_buckets: int = 64) -> str:
+    """One-time hash-partition of the pages table by url bucket.
+    Runs as a streaming Ray Data job: read → add bucket → partitioned
+    write; never materializes the corpus."""
+    import ray.data
+
+    done_marker = os.path.join(store_dir, "_DONE")
+    if os.path.exists(done_marker):
+        return store_dir
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", _bucket_array(batch.column("url").to_pylist(), num_buckets)
+        )
+
+    ds = ray.data.read_parquet(pages_path)
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["bucket"]
+    )
+    with open(done_marker, "w") as f:
+        f.write(str(num_buckets))
+    return store_dir
+
+
+def _bucket_dir(store_dir: str, bucket: int) -> str:
+    return os.path.join(store_dir, f"bucket={bucket}")
+
+
+def lookup_urls(store_dir: str, num_buckets: int, urls: list[str], columns=FETCH_COLUMNS) -> list[dict]:
+    """Point lookup used by robots actors / small reads."""
+    out = []
+    by_bucket: dict[int, list[str]] = {}
+    for u in urls:
+        by_bucket.setdefault(url_bucket(u, num_buckets), []).append(u)
+    for b, us in by_bucket.items():
+        d = _bucket_dir(store_dir, b)
+        if not os.path.isdir(d):
+            continue
+        t = pads.dataset(d).to_table(columns=columns, filter=pc.field("url").isin(us))
+        out.extend(t.to_pylist())
+    return out
+
+
+def make_fetch_group(store_dir: str):
+    """``map_groups`` function over frontier grouped by bucket: reads
+    the single touched bucket with a pushed-down url filter and
+    left-joins html onto the frontier rows (miss ⇒ null html — the
+    reference's non-HTML ⇒ empty-extraction path, agent.rb:231-237)."""
+
+    def fetch_group(group: pa.Table) -> pa.Table:
+        bucket = group.column("bucket")[0].as_py()
+        curls = group.column("curl").to_pylist()
+        d = _bucket_dir(store_dir, bucket)
+        if os.path.isdir(d):
+            pages = pads.dataset(d).to_table(
+                columns=FETCH_COLUMNS, filter=pc.field("url").isin(list(set(curls)))
+            )
+        else:
+            pages = pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
+        page_map = {u.as_py(): i for i, u in enumerate(pages.column("url"))}
+        html_col = pages.column("html")
+        htmls = [
+            (html_col[page_map[u]].as_py() if u in page_map else None) for u in curls
+        ]
+        return group.drop_columns(["bucket"]).append_column("html", pa.array(htmls, pa.binary()))
+
+    return fetch_group
+
+
+def fetch_frontier(frontier_ds, store_dir: str, num_buckets: int):
+    """frontier Dataset (url, curl, depth, seq, ...) → + html column.
+    Partitioned by bucket so each task touches exactly one bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", _bucket_array(batch.column("curl").to_pylist(), num_buckets)
+        )
+
+    return (
+        frontier_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(make_fetch_group(store_dir), batch_format="pyarrow")
+    )
+
+
+def write_pages_with_canonical(frontier_rows: list[dict]) -> pa.Table:
+    """Driver helper: frontier rows → Arrow table with canonical url."""
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in frontier_rows], pa.string()),
+            "curl": pa.array([complete_uri(r["url"]) for r in frontier_rows], pa.string()),
+            "depth": pa.array([r["depth"] for r in frontier_rows], pa.int32()),
+            "seq": pa.array([r["seq"] for r in frontier_rows], pa.int64()),
+            "round": pa.array([r.get("round", 0) for r in frontier_rows], pa.int32()),
+        }
+    )
