@@ -315,9 +315,13 @@ def _finalize(cfg: CrawlConfig, manifest: dict, rounds: int) -> CrawlResult:
         for r in manifest["rounds"]
         for f in sorted(glob.glob(os.path.join(ckpt.extraction_dir(cfg.ckpt_dir, r["round"]), "*.parquet")))
     ]
+    import shutil
+
     out_sched = os.path.join(cfg.ckpt_dir, "schedule")
     out_triples = os.path.join(cfg.ckpt_dir, "triples")
     out_text = os.path.join(cfg.ckpt_dir, "text")
+    for d in (out_sched, out_triples, out_text):
+        shutil.rmtree(d, ignore_errors=True)  # re-finalize after resume
     if edirs:
         ex = ray.data.read_parquet(edirs, columns=["url", "curl", "depth", "seq", "round", "fetched", "text"])
         ex.select_columns(["seq", "url", "depth", "round"]).write_parquet(out_sched)

@@ -1,0 +1,198 @@
+"""Crawl-equivalence tests (SURVEY.md §5): the Ray superstep crawler
+must reproduce the single-threaded reference-semantics simulator
+exactly — ordering, seen set, triples, byte-identical text — plus
+politeness, robots, and checkpoint-resume behavior."""
+
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from scrappy_ray.crawl.driver import CrawlConfig, run_crawl
+from scrappy_ray.crawl.simulator import (
+    fifo_reference_crawl,
+    lookup_from_config,
+    superstep_crawl_sim,
+)
+from scrappy_ray.sources.testgen import seed_urls
+
+
+def sched_tuples(result):
+    t = result.schedule_table()
+    return list(zip(t["seq"].to_pylist(), t["url"].to_pylist(), t["depth"].to_pylist()))
+
+
+def sim_tuples(sim):
+    return [(r["seq"], r["url"], r["depth"]) for r in sim.schedule]
+
+
+def exec_order(result):
+    t = result.schedule_table().sort_by([("round", "ascending"), ("seq", "ascending")])
+    return list(zip(t["round"].to_pylist(), t["seq"].to_pylist(), t["url"].to_pylist()))
+
+
+def sim_exec_order(sim):
+    return [(r["round"], r["seq"], r["url"]) for r in sim.schedule]
+
+
+def test_fifo_equals_superstep(synth_web):
+    cfg, kb = synth_web
+    lookup = lookup_from_config(cfg)
+    seeds = seed_urls(cfg)
+    fifo = fifo_reference_crawl(lookup, kb, seeds, depth=-1)
+    sup = superstep_crawl_sim(lookup, kb, seeds, depth=-1)
+    assert sim_tuples(fifo) == sim_tuples(sup)
+    assert fifo.seen == sup.seen
+    assert set(fifo.triples) == set(sup.triples)
+
+
+def test_fifo_equals_superstep_finite_depth(synth_web):
+    cfg, kb = synth_web
+    lookup = lookup_from_config(cfg)
+    seeds = [f"http://site0.test/"]
+    for depth in (0, 1, 2):
+        fifo = fifo_reference_crawl(lookup, kb, seeds, depth=depth)
+        sup = superstep_crawl_sim(lookup, kb, seeds, depth=depth)
+        assert sim_tuples(fifo) == sim_tuples(sup), f"depth={depth}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_matches_simulator(synth_web, synth_pages_dir, tmp_path):
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1)
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+        )
+    )
+    assert sched_tuples(res) == sim_tuples(sup)
+    ray_triples = {
+        (r["s"], r["p"], r["o"], r["lit"])
+        for r in pads.dataset(res.triples_path).to_table().to_pylist()
+    }
+    assert ray_triples == set(sup.triples)
+    texts = {r["curl"]: r["text"] for r in pads.dataset(res.text_path).to_table().to_pylist()}
+    for url, t in sup.texts.items():
+        if t:
+            assert texts[url] == t  # byte-identical extracted text
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_politeness_matches_simulator(synth_web, synth_pages_dir, tmp_path):
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(
+        lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1, host_budget=4
+    )
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            host_budget=4,
+        )
+    )
+    assert exec_order(res) == sim_exec_order(sup)
+    # politeness invariant: ≤ budget fetches per host per round
+    t = res.schedule_table().to_pylist()
+    from collections import Counter
+
+    from scrappy_ray.support import complete_uri, host_of
+
+    per = Counter((r["round"], host_of(complete_uri(r["url"]))) for r in t)
+    hosty = {k: v for k, v in per.items() if k[1]}
+    assert max(hosty.values()) <= 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_robots(synth_web, synth_pages_dir, tmp_path):
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(
+        lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1, robots=True
+    )
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            robots=True,
+        )
+    )
+    assert sched_tuples(res) == sim_tuples(sup)
+    # /private/ never scheduled
+    assert not any("/private/" in r["url"] for r in res.schedule_table().to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_resume_identical(synth_web, synth_pages_dir, tmp_path):
+    """Kill after k rounds; resume must produce the identical schedule
+    (checkpoint lineage, SURVEY.md §4)."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "part")
+    mk = lambda d, rounds: CrawlConfig(
+        pages_path=synth_pages_dir,
+        kb_yaml=synth_kb_yaml(),
+        seeds=seed_urls(cfg),
+        ckpt_dir=d,
+        depth=-1,
+        num_buckets=4,
+        extract_concurrency=2,
+        max_rounds=rounds,
+    )
+    full = run_crawl(mk(full_dir, 50))
+    run_crawl(mk(part_dir, 2))  # "killed" after 2 rounds
+    resumed = run_crawl(mk(part_dir, 50))  # resume from manifest
+    assert sched_tuples(resumed) == sched_tuples(full)
+    full_triples = {
+        tuple(r.values()) for r in pads.dataset(full.triples_path).to_table().to_pylist()
+    }
+    res_triples = {
+        tuple(r.values()) for r in pads.dataset(resumed.triples_path).to_table().to_pylist()
+    }
+    assert full_triples == res_triples
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_cuckoo_seen_matches_exact(synth_web, synth_pages_dir, tmp_path):
+    """The cuckoo-filter seen set (10^10 design point) reproduces the
+    exact-set crawl on this corpus (no false positives at this load)."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1)
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            seen_mode="cuckoo",
+            seen_capacity_per_shard=100_000,
+        )
+    )
+    assert sched_tuples(res) == sim_tuples(sup)
