@@ -1,44 +1,444 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 + the training-data ops; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for everything SQL-expressible (same column
+names, floats rounded identically on both sides). Crawl/extraction
+pipelines run over the deterministic synthetic pages table
+(BASELINE.json input_hint shape, generated under /tmp) and are
+rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or below.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+ROUND = 4  # float rounding applied identically in Ray + SQL outputs
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------- relational
+
+
+def _q_tpch_q1(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def disc_price(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dp = pc.multiply(batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("disc_price", dp)
+
+    out = (
+        ds.map_batches(disc_price, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"], ROUND)
+
+
+def _q_top_orders(sf_dir: str):
+    from scrappy_ray.pipelines.relational import top_k
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return top_k(ds, "o_totalprice", 10, descending=True, tiebreak="o_orderkey")
+
+
+def _q_region_customers(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    from scrappy_ray.pipelines.relational import broadcast_join, round_cols
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def widen(b: pa.Table) -> pa.Table:  # align join key dtypes
+        import pyarrow.compute as pc
+
+        return b.set_column(b.column_names.index("c_nationkey"), "n_nationkey", pc.cast(b.column("c_nationkey"), pa.int32()))
+
+    cust = cust.map_batches(widen, batch_format="pyarrow")
+    nation = _read_table(sf_dir, "nation")
+    region = _read_table(sf_dir, "region")
+    nr = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")  # driver-side small⋈small
+    joined = broadcast_join(cust, nr.select(["n_nationkey", "r_name"]), on="n_nationkey")
+    out = (
+        joined.groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal"))
+        .sort("r_name")
+    )
+    return round_cols(out, ["avg_acctbal"], ROUND)
+
+
+def _q_events_daily(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        return pa.table({"day": day, "event_type": batch.column("event_type"), "value": batch.column("value")})
+
+    out = (
+        ds.map_batches(day_of, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .sort(["day", "event_type"])
+    )
+    return round_cols(out, ["sum_value"], ROUND)
+
+
+def _q_revenue_by_priority(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from scrappy_ray.pipelines.relational import round_cols
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        r = pc.multiply(batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"o_orderkey": batch.column("l_orderkey"), "revenue": r})
+
+    li_rev = li.map_batches(rev, batch_format="pyarrow")
+    joined = li_rev.join(orders, join_type="inner", num_partitions=8, on=("o_orderkey",))
+    out = joined.groupby("o_orderpriority").aggregate(Sum("revenue", alias_name="revenue")).sort("o_orderpriority")
+    return round_cols(out, ["revenue"], ROUND)
+
+
+def _q_distinct_event_types(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow").sort("event_type")
+
+
+def _q_sessionize(sf_dir: str):
+    from scrappy_ray.pipelines.relational import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ds, gap_minutes=30).sort("user_id")
+
+
+# ------------------------------------------------------------ training-data
+
+
+def _q_dedup_exact(sf_dir: str):
+    from scrappy_ray.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"]).sort("doc_id")
+
+
+def _q_token_stats(sf_dir: str):
+    from scrappy_ray.functions.textstats import token_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_stats(ds).select_columns(["doc_id", "n_chars", "n_tokens"]).sort("doc_id")
+
+
+def _q_punct_ratio(sf_dir: str):
+    from scrappy_ray.functions.textstats import quality_scores
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = quality_scores(ds).select_columns(["doc_id", "punct_ratio", "digit_ratio"]).sort("doc_id")
+    return round_cols(out, ["punct_ratio", "digit_ratio"], 6)
+
+
+def _q_sim_topk(sf_dir: str):
+    from scrappy_ray.functions.similarity import topk_cosine
+
+    emb = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qmask = [i for i, v in enumerate(emb.column("vec_id").to_pylist()) if v < 8]
+    queries = np.array([emb.column("embedding")[i].as_py() for i in qmask], dtype=np.float64)
+    qids = [emb.column("vec_id")[i].as_py() for i in qmask]
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = topk_cosine(ds, queries, k=5, query_ids=qids)
+    return out.select_columns(["query_id", "neighbor_id", "rank"]).sort(["query_id", "rank"])
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from scrappy_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_verify
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, num_perm=32, bands=8, concurrency=2)
+    return ngram_jaccard_verify(pairs, ds, threshold=0.5).select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from scrappy_ray.functions.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3).sort(["id_a", "id_b"])
+
+
+def _q_dedup_embedding(sf_dir: str):
+    """The sf embeddings are near-orthogonal random vectors (max pair
+    cosine ≈0.48), so near-dups are PLANTED: the first 20 vectors are
+    duplicated with slight noise at vec_id+1_000_000; the operator must
+    recover exactly those pairs."""
+    import ray.data
+
+    from scrappy_ray.functions.dedup import embedding_pairs
+
+    emb = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = emb.slice(0, 20)
+    rng = np.random.RandomState(5)
+    dup_vecs = [
+        (np.array(v, dtype=np.float32) + rng.normal(0, 0.01, len(v)).astype(np.float32)).tolist()
+        for v in base.column("embedding").to_pylist()
+    ]
+    dups = pa.table(
+        {
+            "vec_id": pa.array([v + 1_000_000 for v in base.column("vec_id").to_pylist()], pa.int64()),
+            "embedding": pa.array(dup_vecs, emb.schema.field("embedding").type),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([emb, dups]))
+    return embedding_pairs(ds, threshold=0.95).select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+
+def _q_lang_id(sf_dir: str):
+    from scrappy_ray.functions.textstats import lang_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lang_id(ds).select_columns(["doc_id", "lang_pred"]).sort("doc_id")
+
+
+def _q_fingerprint(sf_dir: str):
+    from scrappy_ray.functions.textstats import fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fingerprint(ds).sort("doc_id")
+
+
+def _q_quality(sf_dir: str):
+    from scrappy_ray.functions.textstats import quality_scores
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return round_cols(
+        quality_scores(ds).sort("doc_id"),
+        ["punct_ratio", "digit_ratio", "upper_ratio", "mean_word_len", "stopword_ratio", "quality"],
+        6,
+    )
+
+
+def _q_ann_lsh(sf_dir: str):
+    from scrappy_ray.functions.similarity import lsh_topk
+
+    emb = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qmask = [i for i, v in enumerate(emb.column("vec_id").to_pylist()) if v < 8]
+    queries = np.array([emb.column("embedding")[i].as_py() for i in qmask], dtype=np.float64)
+    qids = [emb.column("vec_id")[i].as_py() for i in qmask]
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, queries, k=5, query_ids=qids).select_columns(
+        ["query_id", "neighbor_id", "rank"]
+    ).sort(["query_id", "rank"])
+
+
+def _q_mm_decode(sf_dir: str):
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import decode_images, make_fake_image
+
+    ids = _read_table(sf_dir, "embeddings", columns=["vec_id"]).column("vec_id").to_pylist()[:200]
+    tbl = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [make_fake_image(8 + i % 8, 8 + i % 5, seed=i) for i in ids], pa.binary()
+            ),
+        }
+    )
+    return decode_images(ray.data.from_arrow(tbl)).sort("id")
+
+
+# ----------------------------------------------------------------- crawl
+
+
+def _q_extract_triples(sf_dir: str):
+    from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for, triples_table
+
+    return triples_table(pages_dir_for(sf_dir)).sort(["url", "s", "p", "o"])
+
+
+def _q_extract_text(sf_dir: str):
+    from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for, text_table
+
+    return text_table(pages_dir_for(sf_dir)).sort("url")
+
+
+def _q_crawl_bfs(sf_dir: str):
+    from scrappy_ray.pipelines.crawl_pipeline import crawl_job
+
+    ckpt = tempfile.mkdtemp(prefix="crawl_bfs_", dir="/tmp")
+    res = crawl_job(sf_dir, ckpt, depth=-1)
+    return res.schedule_table()
+
+
+def _q_crawl_politeness(sf_dir: str):
+    from scrappy_ray.pipelines.crawl_pipeline import crawl_job
+
+    ckpt = tempfile.mkdtemp(prefix="crawl_pol_", dir="/tmp")
+    res = crawl_job(sf_dir, ckpt, depth=-1, host_budget=5, robots=True)
+    return res.schedule_table().sort_by([("round", "ascending"), ("seq", "ascending")])
+
+
+# ---------------------------------------------------------------- contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship smoke pipeline on sf0.001: exact-dedup the documents
+    table then token-stat the survivors (join of two engine ops)."""
+    from scrappy_ray.functions.dedup import exact_dedup
+    from scrappy_ray.functions.textstats import token_stats
+
+    sf = "/root/testdata/sf0.001"
+    kept = exact_dedup(_read(sf, "documents", columns=["doc_id", "text"]))
+    return token_stats(kept).sort("doc_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": _q_tpch_q1,
+        "top_orders": _q_top_orders,
+        "region_customers": _q_region_customers,
+        "events_daily": _q_events_daily,
+        "revenue_by_priority": _q_revenue_by_priority,
+        "distinct_event_types": _q_distinct_event_types,
+        "sessionize": _q_sessionize,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "punct_ratio": _q_punct_ratio,
+        "sim_topk": _q_sim_topk,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "quality_scores": _q_quality,
+        "ann_lsh": _q_ann_lsh,
+        "mm_decode": _q_mm_decode,
+        "extract_triples": _q_extract_triples,
+        "extract_text": _q_extract_text,
+        "crawl_bfs": _q_crawl_bfs,
+        "crawl_politeness": _q_crawl_politeness,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), {ROUND}) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), {ROUND}) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND}) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), {ROUND}) AS avg_qty,
+                   ROUND(AVG(l_discount), {ROUND}) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "region_customers": f"""
+            SELECT r.r_name, COUNT(*) AS n_customers,
+                   ROUND(AVG(c.c_acctbal), {ROUND}) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "events_daily": f"""
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS sum_value
+            FROM events GROUP BY day, event_type ORDER BY day, event_type
+        """,
+        "revenue_by_priority": f"""
+            SELECT o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {ROUND}) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "sessionize": """
+            SELECT user_id,
+                   CAST(1 + COALESCE(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+              FROM events
+            ) t GROUP BY user_id ORDER BY user_id
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "token_stats": """
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "punct_ratio": """
+            SELECT doc_id,
+                   ROUND(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / GREATEST(LENGTH(text), 1.0), 6) AS punct_ratio,
+                   ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / GREATEST(LENGTH(text), 1.0), 6) AS digit_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "sim_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) DESC, e.vec_id
+                     ) AS INTEGER) AS rank
+              FROM q, embeddings e WHERE e.vec_id <> q.qid
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+    }

@@ -1,0 +1,176 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``topk_cosine``: brute-force baseline — per-batch numpy matmul of the
+  dataset against a BROADCAST query matrix (``ray.put`` once, read per
+  task; never re-shipped per batch), partial top-k per batch, final
+  top-k via a small per-query groupby reduction. O(N·Q·d) compute
+  streamed over blocks — the honest baseline at any corpus size.
+- ``lsh_topk``: the scale path — random-hyperplane LSH bucket index;
+  queries probe only their bucket (+ optional multiprobe hamming-1
+  neighbors), so per-query work is O(bucket) not O(N).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def topk_cosine(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="vec_id",
+                query_ids: list | None = None, exclude_self: bool = True):
+    """Top-k cosine neighbors for each query row. Returns a Dataset
+    (query_id, neighbor_id, rank, cosine) with rank 1..k ordered by
+    (-cosine, neighbor_id)."""
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put(qn)
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vecs = _as_matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_pylist()
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        cos = vn @ qm.T  # (n × Q)
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        kk = min(k + (1 if exclude_self else 0), cos.shape[0])
+        for qi in range(cos.shape[1]):
+            part = np.argpartition(-cos[:, qi], kk - 1)[:kk] if cos.shape[0] > kk else np.arange(cos.shape[0])
+            for i in part:
+                out["query_id"].append(qids[qi])
+                out["neighbor_id"].append(ids[i])
+                out["cosine"].append(float(cos[i, qi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        rows = sorted(
+            zip(group.column("cosine").to_pylist(), group.column("neighbor_id").to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        )
+        if exclude_self:
+            rows = [r for r in rows if r[1] != qid]
+        rows = rows[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int32()),
+                "cosine": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="vec_id",
+             n_planes: int = 6, seed: int = 23, query_ids: list | None = None,
+             multiprobe: bool = True):
+    """LSH-bucketed ANN: index vectors into 2^n_planes buckets, probe
+    each query's bucket (and hamming-1 neighbors when ``multiprobe``)."""
+    q = np.asarray(queries, dtype=np.float64)
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+
+    def codes_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+        sig = (m @ planes > 0).astype(np.int64)
+        return (sig * (1 << np.arange(n_planes))).sum(axis=1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = _as_matrix(batch.column(vec_col))
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(vecs.shape[1], n_planes)
+        return pa.table(
+            {
+                "bucket": pa.array(codes_of(vecs, planes), pa.int32()),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(q.shape[1], n_planes)
+    qcodes = codes_of(q, planes)
+    probe: dict[int, list[int]] = {}
+    for qi, c in enumerate(qcodes):
+        buckets = [int(c)]
+        if multiprobe:
+            buckets += [int(c) ^ (1 << b) for b in range(n_planes)]
+        for b in buckets:
+            probe.setdefault(b, []).append(qi)
+    probe_ref = ray.put((probe, q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        pr, qn = ray.get(probe_ref)
+        bucket = group.column("bucket")[0].as_py()
+        qis = pr.get(bucket, [])
+        if not qis:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        vecs = _as_matrix(group.column(vec_col))
+        ids = group.column(id_col).to_pylist()
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        cos = vn @ qn[qis].T
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for col, qi in enumerate(qis):
+            order = np.argsort(-cos[:, col])[: k + 1]
+            for i in order:
+                out["query_id"].append(qids[qi])
+                out["neighbor_id"].append(ids[i])
+                out["cosine"].append(float(cos[i, col]))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        seen = set()
+        rows = []
+        for c, n in sorted(
+            zip(group.column("cosine").to_pylist(), group.column("neighbor_id").to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        ):
+            if n == qid or n in seen:
+                continue
+            seen.add(n)
+            rows.append((c, n))
+        rows = rows[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int32()),
+                "cosine": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )

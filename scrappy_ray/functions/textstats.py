@@ -1,0 +1,160 @@
+"""Text analysis over a documents table — language ID, quality
+scoring, token counting, document fingerprinting. All vectorized with
+pyarrow.compute / numpy inside map_batches (no per-row Python in the
+counting paths)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# stopword lists for the n-gram/stopword langid heuristic (public,
+# high-frequency function words)
+_EN = frozenset(
+    "the of and to in a is that it for on with as are was be at by this have from or an "
+    "not but they his her she he you we their has had were which one all".split()
+)
+_ES = frozenset(
+    "el la de que y a en un ser se no haber por con su para como estar tener le lo "
+    "todo pero más hacer o poder decir este ir otro ese si me ya ver porque cuando "
+    "muy sin sobre también hasta donde quien desde nos durante uno les ni contra".split()
+)
+
+_TOKEN_SPLIT = r"\s+"
+_PUNCT_RE = r"[.,;:!?]"
+# BPE-ish word/number/punct tokenizer (GPT-2-style coarse classes)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(ds, text_col="text", id_col="doc_id"):
+    """(id, n_chars, n_tokens, n_bpe_tokens) — n_tokens is whitespace
+    split of trimmed text (matches DuckDB
+    len(regexp_split_to_array(trim(text),'\\s+')))."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(text_col), pa.string())
+        trimmed = pc.utf8_trim_whitespace(text)
+        n_chars = pc.utf8_length(text)
+        n_tokens = pc.list_value_length(pc.split_pattern_regex(trimmed, _TOKEN_SPLIT))
+        n_bpe = pc.count_substring_regex(text, _BPE_RE)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def quality_scores(ds, text_col="text", id_col="doc_id"):
+    """Quality heuristics: punct ratio, digit ratio, upper ratio, mean
+    word length, stopword ratio, plus a composite [0,1] score."""
+
+    def q(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(text_col), pa.string())
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+        punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.float64())
+        digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+        uppers = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
+        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
+        n_tokens = pc.cast(pc.list_value_length(tokens), pa.float64())
+        safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+        mean_word_len = pc.divide(n_chars, safe_tokens)
+
+        # stopword ratio needs token membership — numpy over flattened lists
+        flat = pc.list_flatten(pc.split_pattern_regex(pc.utf8_lower(pc.utf8_trim_whitespace(text)), _TOKEN_SPLIT))
+        offsets = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
+        toks = np.asarray(flat, dtype=object)
+        is_stop = np.fromiter(((t in _EN or t in _ES) for t in toks), dtype=np.int64, count=len(toks))
+        idx = np.repeat(np.arange(len(offsets)), offsets)
+        stop_counts = np.bincount(idx, weights=is_stop, minlength=len(offsets))
+        stop_ratio = stop_counts / np.maximum(np.asarray(safe_tokens, dtype=np.float64), 1.0)
+
+        punct_ratio = pc.divide(punct, safe_chars)
+        digit_ratio = pc.divide(digits, safe_chars)
+        upper_ratio = pc.divide(uppers, safe_chars)
+        # composite: long-enough, punctuated, not digit-heavy, stopwordy
+        comp = (
+            np.clip(np.asarray(n_tokens) / 20.0, 0, 1) * 0.3
+            + np.clip(np.asarray(punct_ratio) * 20.0, 0, 1) * 0.2
+            + (1.0 - np.clip(np.asarray(digit_ratio) * 5.0, 0, 1)) * 0.2
+            + np.clip(stop_ratio * 3.0, 0, 1) * 0.3
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "punct_ratio": punct_ratio,
+                "digit_ratio": digit_ratio,
+                "upper_ratio": upper_ratio,
+                "mean_word_len": mean_word_len,
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+                "quality": pa.array(comp, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def lang_id(ds, text_col="text", id_col="doc_id"):
+    """Stopword-vote language ID (en/es/unknown) — the n-gram-free
+    heuristic; vectorized token membership via numpy."""
+
+    def lid(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
+        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
+        offsets = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
+        toks = np.asarray(pc.list_flatten(tokens), dtype=object)
+        en = np.fromiter((t in _EN for t in toks), dtype=np.int64, count=len(toks))
+        es = np.fromiter((t in _ES for t in toks), dtype=np.int64, count=len(toks))
+        idx = np.repeat(np.arange(len(offsets)), offsets)
+        en_c = np.bincount(idx, weights=en, minlength=len(offsets))
+        es_c = np.bincount(idx, weights=es, minlength=len(offsets))
+        pred = np.where(en_c > es_c, "en", np.where(es_c > en_c, "es", "und"))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "lang_pred": pa.array(pred.tolist(), pa.string()),
+                "en_hits": pa.array(en_c.astype(np.int64), pa.int64()),
+                "es_hits": pa.array(es_c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def fingerprint(ds, text_col="text", id_col="doc_id", window: int = 8, keep: int = 8):
+    """Winnowing-style document fingerprint (Schleimer et al. '03,
+    public): rolling 8-gram hashes, keep the ``keep`` smallest, digest
+    them. Rolling hash vectorized via numpy stride tricks."""
+
+    def fp_one(t: str) -> str:
+        b = np.frombuffer((t or "").encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < window:
+            return hashlib.blake2b(bytes(b), digest_size=8).hexdigest()
+        base = np.uint64(257)
+        pows = base ** np.arange(window, dtype=np.uint64)
+        w = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
+        hashes = (w * pows[None, :]).sum(axis=1)  # mod 2^64 wraparound
+        sel = np.sort(np.unique(hashes))[:keep]
+        return hashlib.blake2b(sel.tobytes(), digest_size=8).hexdigest()
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fingerprint": pa.array(
+                    [fp_one(t) for t in batch.column(text_col).to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,136 @@
+"""End-to-end extraction pipelines over a pages table (the §7.3
+"minimum slice": read → map_batches(ExtractorActor) → outputs), plus
+the full crawl job wrapper used by the query surface.
+
+The synthetic web used by these pipelines is generated deterministically
+under /tmp (BASELINE.json input_hint shape); scale is keyed by name."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..sources.testgen import SynthWebConfig, generate_parquet, seed_urls, synth_kb_yaml
+from ..stages.extract_stage import ExtractPages
+
+_SCALES = {
+    # sf dir name → synthetic web size (hosts, pages/host)
+    "sf0.001": SynthWebConfig(n_hosts=3, pages_per_host=12),
+    "sf0.01": SynthWebConfig(n_hosts=4, pages_per_host=25),
+    "sf0.1": SynthWebConfig(n_hosts=8, pages_per_host=400),
+}
+_DEFAULT = SynthWebConfig(n_hosts=3, pages_per_host=12)
+
+
+def synth_cfg_for(sf_dir: str) -> SynthWebConfig:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _SCALES.get(name, _DEFAULT)
+
+
+def pages_dir_for(sf_dir: str, use_ray: bool = False) -> str:
+    cfg = synth_cfg_for(sf_dir)
+    d = f"/tmp/scrappy_ray_pages/{os.path.basename(os.path.normpath(sf_dir))}-{cfg.n_hosts}x{cfg.pages_per_host}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        generate_parquet(cfg, d, use_ray=use_ray)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    return d
+
+
+def extract_all(pages_path: str, kb_yaml: str | None = None, concurrency: int = 4,
+                batch_size: int = 64, depth: int = -1):
+    """Whole-table extraction (no frontier): every page through the
+    extraction actor pool. Columns pruned at the read (url, html)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": urls,
+                "curl": urls,
+                "depth": pa.array([depth] * n, pa.int32()),
+                "seq": pa.array(range(n), pa.int64()),
+                "round": pa.array([0] * n, pa.int32()),
+                "html": batch.column("html"),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        ExtractPages,
+        fn_constructor_kwargs={"kb_yaml": kb_yaml or synth_kb_yaml()},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def triples_table(pages_path: str, **kw):
+    """(url, s, p, o, lit) cleaned triples for every page."""
+    from ..crawl.driver import _explode_clean_triples
+
+    ex = extract_all(pages_path, **kw)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        trips = batch.column("triples").to_pylist()
+        out = {"url": [], "s": [], "p": [], "o": [], "lit": []}
+        for u, ts in zip(urls, trips):
+            seen = set()
+            for t in ts or []:
+                if t["p"] == "rdf:type" and t["o"] in ("sc:Index", "sc:Page", "sc:NewUri"):
+                    continue
+                key = (t["s"], t["p"], t["o"], t["lit"])
+                if key in seen:
+                    continue
+                seen.add(key)
+                out["url"].append(u)
+                out["s"].append(t["s"])
+                out["p"].append(t["p"])
+                out["o"].append(t["o"])
+                out["lit"].append(t["lit"])
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "s": pa.array(out["s"], pa.string()),
+                "p": pa.array(out["p"], pa.string()),
+                "o": pa.array(out["o"], pa.string()),
+                "lit": pa.array(out["lit"], pa.bool_()),
+            }
+        )
+
+    return ex.map_batches(explode, batch_format="pyarrow")
+
+
+def text_table(pages_path: str, **kw):
+    ex = extract_all(pages_path, **kw)
+    return ex.filter(expr="fetched == True").select_columns(["url", "text"])
+
+
+def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, robots=False,
+              concurrency: int = 4, seen_mode: str = "exact", num_buckets: int = 8,
+              max_rounds: int = 100):
+    """Full crawl over the synthetic web for an sf scale."""
+    from ..crawl.driver import CrawlConfig, run_crawl
+
+    cfg = synth_cfg_for(sf_dir)
+    return run_crawl(
+        CrawlConfig(
+            pages_path=pages_dir_for(sf_dir),
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=ckpt_dir,
+            depth=depth,
+            num_buckets=num_buckets,
+            extract_concurrency=concurrency,
+            host_budget=host_budget,
+            robots=robots,
+            seen_mode=seen_mode,
+            max_rounds=max_rounds,
+        )
+    )

@@ -1,0 +1,91 @@
+"""Relational building blocks used by the query surface: broadcast
+joins (ray.put once), pre-aggregated groupbys, top-k, sessionize.
+
+These are the generic engine ops the crawl pipeline composes
+(SURVEY.md §2.7-2.8); each has a DuckDB-SQL oracle in
+__ray_entry__.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def broadcast_join(big_ds, small_table: pa.Table, on: str, select: list[str] | None = None,
+                   suffix: str = ""):
+    """Hash-join a big Dataset against a SMALL Arrow table: the small
+    side is ray.put ONCE and each task builds its lookup dict once from
+    the shared object (never re-shipped per batch)."""
+    ref = ray.put(small_table)
+    small_cols = select or [c for c in small_table.column_names if c != on]
+
+    def join(batch: pa.Table) -> pa.Table:
+        small = ray.get(ref)
+        keys = small.column(on).to_pylist()
+        idx = {k: i for i, k in enumerate(keys)}
+        pos = [idx.get(k) for k in batch.column(on).to_pylist()]
+        mask = pa.array([p is not None for p in pos], pa.bool_())
+        batch = batch.filter(mask)
+        kept = [p for p in pos if p is not None]
+        take = pa.array(kept, pa.int64())
+        for c in small_cols:
+            batch = batch.append_column(c + suffix, small.column(c).take(take))
+        return batch
+
+    return big_ds.map_batches(join, batch_format="pyarrow")
+
+
+def top_k(ds, key: str, k: int, descending: bool = True, tiebreak: str | None = None):
+    """Distributed top-k: per-block partial top-k then global sort+limit
+    (avoids a full global sort of the dataset body)."""
+    keys = [(key, "descending" if descending else "ascending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(keys).slice(0, k)
+
+    sort_cols = [key] + ([tiebreak] if tiebreak else [])
+    desc = [descending] + ([False] if tiebreak else [])
+    return ds.map_batches(partial, batch_format="pyarrow").sort(sort_cols, descending=desc).limit(k)
+
+
+def sessionize(events_ds, user_col="user_id", ts_col="ts", gap_minutes: int = 30):
+    """Windowed/streaming-style op: per-user session counts with an
+    inactivity gap — groupby(user).map_groups with a vectorized diff
+    (the Dataset-API expression of a stateful stream window)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sess(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending")])
+        ts = np.asarray(pc.cast(g.column(ts_col), pa.int64()))
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pa.table(
+            {
+                user_col: pa.array([g.column(user_col)[0].as_py()], g.schema.field(user_col).type),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby(user_col).map_groups(sess, batch_format="pyarrow")
+
+
+def round_cols(ds_or_table, cols: list[str], digits: int = 4):
+    """Round float columns (both the Ray result and its SQL oracle
+    round identically so value-hashes are float-noise-proof)."""
+
+    def r(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in batch.column_names:
+                i = batch.column_names.index(c)
+                batch = batch.set_column(
+                    i, c, pc.round(pc.cast(batch.column(c), pa.float64()), ndigits=digits)
+                )
+        return batch
+
+    if isinstance(ds_or_table, pa.Table):
+        return r(ds_or_table)
+    return ds_or_table.map_batches(r, batch_format="pyarrow")
