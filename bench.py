@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_sec": ..., "extract_pages_per_sec": ...}
+
+--scaling: runs the headline crawl pipeline twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs +
+scaling efficiency (the sandbox stand-in for N vs 4N Ray nodes — see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return res.count()
+
+
+def crawl_bench(sf_dir: str, concurrency: int) -> dict:
+    """The headline pipeline: full crawl of the synthetic web."""
+    from scrappy_ray.pipelines.crawl_pipeline import crawl_job, pages_dir_for
+
+    pages_dir_for(sf_dir)  # generate outside the timed region
+    ckpt = tempfile.mkdtemp(prefix="bench_crawl_", dir="/tmp")
+    t0 = time.perf_counter()
+    res = crawl_job(sf_dir, ckpt, depth=-1, concurrency=concurrency, num_buckets=16)
+    wall = time.perf_counter() - t0
+    n = sum(r["executed"] for r in res.manifest["rounds"])
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {"wall_s": wall, "urls": n, "urls_per_sec": n / wall if wall else None}
+
+
+def extract_bench(sf_dir: str, concurrency: int) -> dict:
+    from scrappy_ray.pipelines.crawl_pipeline import extract_all, pages_dir_for
+
+    pages = pages_dir_for(sf_dir)
+    t0 = time.perf_counter()
+    ex = extract_all(pages, concurrency=concurrency, batch_size=64)
+    n = ex.count()
+    wall = time.perf_counter() - t0
+    return {"wall_s": wall, "pages": n, "pages_per_sec": n / wall if wall else None}
+
+
+def main():
+    if "--scaling" in sys.argv:
+        return scaling_main()
+    if "--one-scale" in sys.argv:
+        return one_scale_main(int(sys.argv[sys.argv.index("--one-scale") + 1]))
+
+    _init_ray(NUM_CPUS)
+    import __ray_entry__ as E
+
+    conc = max(2, NUM_CPUS // 2)
+    queries = {}
+
+    t0 = time.perf_counter()
+    crawl = crawl_bench(SF_DIR, concurrency=conc)
+    queries["crawl_bfs"] = round(crawl["wall_s"], 3)
+
+    t = time.perf_counter()
+    ext = extract_bench(SF_DIR, concurrency=conc)
+    queries["extract_all"] = round(ext["wall_s"], 3)
+
+    for name in ("tpch_q1", "revenue_by_priority", "dedup_exact", "dedup_minhash",
+                 "dedup_simhash", "token_stats", "quality_scores", "sim_topk", "sessionize"):
+        t = time.perf_counter()
+        _consume(E.queries()[name](SF_DIR))
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    total = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "crawl+extract+ops wall time (headline: frontier throughput)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                "num_cpus": NUM_CPUS,
+                "crawl_urls_per_sec": round(crawl["urls_per_sec"], 2),
+                "crawl_urls": crawl["urls"],
+                "extract_pages_per_sec": round(ext["pages_per_sec"], 2),
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+def one_scale_main(num_cpus: int):
+    """Child process for --scaling: crawl + extract at one parallelism."""
+    _init_ray(num_cpus)
+    conc = max(2, num_cpus // 2)
+    crawl = crawl_bench(SF_DIR, concurrency=conc)
+    ext = extract_bench(SF_DIR, concurrency=conc)
+    print(json.dumps({"num_cpus": num_cpus, "crawl": crawl, "extract": ext}))
+    import ray
+
+    ray.shutdown()
+
+
+def scaling_main():
+    """Fresh-process N vs 4N CPU runs on the same input."""
+    results = []
+    for n in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-scale", str(n)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    r8, r32 = results
+    eff_crawl = (r32["crawl"]["urls_per_sec"] / r8["crawl"]["urls_per_sec"]) / 4.0
+    eff_ext = (r32["extract"]["pages_per_sec"] / r8["extract"]["pages_per_sec"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency N→4N (8→32 cpus, fresh processes)",
+                "value": round(eff_ext, 3),
+                "unit": "efficiency",
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                "runs": results,
+                "crawl_scaling_efficiency": round(eff_crawl, 3),
+                "extract_scaling_efficiency": round(eff_ext, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

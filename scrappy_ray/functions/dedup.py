@@ -51,21 +51,21 @@ _PRIME31 = (1 << 31) - 1  # Mersenne prime; 31-bit operands keep a*x+b in uint64
 
 
 def _shingles(text: str, k: int) -> np.ndarray:
-    """Distinct 31-bit shingle hashes (blake2b — stable across runs,
-    unlike Python's seeded hash())."""
-    t = (text or "").lower()
-    if len(t) < k:
-        subs = {t}
-    else:
-        subs = {t[i : i + k] for i in range(len(t) - k + 1)}
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big") & _PRIME31
-            for s in subs
-        ),
-        dtype=np.uint64,
-        count=len(subs),
-    )
+    """Distinct 31-bit k-byte-shingle hashes, fully vectorized:
+    polynomial rolling hash over the UTF-8 bytes via numpy sliding
+    windows (stable across runs, no Python loop — unlike per-shingle
+    cryptographic hashing, which would dominate at corpus scale)."""
+    b = np.frombuffer((text or "").lower().encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        h = np.uint64(2166136261)
+        for x in b.astype(np.uint64):
+            h = (h * np.uint64(16777619)) ^ x  # FNV-1, wraps mod 2^64
+        return np.array([int(h) & _PRIME31], dtype=np.uint64)
+    pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    hashes = (w * pows[None, :]).sum(axis=1, dtype=np.uint64)  # mod 2^64
+    # fold 64→31 bits, keep distinct
+    return np.unique((hashes ^ (hashes >> np.uint64(33))) & np.uint64(_PRIME31))
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
