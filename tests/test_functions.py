@@ -1,0 +1,265 @@
+"""Tests for the training-data ops: dedup, similarity, text analysis,
+multimodal plumbing, P/R/F metrics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup():
+    from scrappy_ray.functions.dedup import exact_dedup
+
+    ds = _docs_ds([(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")])
+    kept = sorted(r["doc_id"] for r in exact_dedup(ds).to_pandas().to_dict("records"))
+    assert kept == [1, 2, 5]
+
+
+def test_minhash_lsh_finds_near_dups():
+    from scrappy_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_verify
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    near = base.replace("tonight", "today")
+    other = "completely different text about ray data pipelines and arrow batches here"
+    ds = _docs_ds([(1, base), (2, near), (3, other), (4, base)])
+    pairs = minhash_lsh_pairs(ds, num_perm=32, bands=16, shingle_k=5)
+    verified = ngram_jaccard_verify(pairs, ds, threshold=0.6)
+    got = {(r["id_a"], r["id_b"]) for r in verified.to_pandas().to_dict("records")}
+    assert (1, 4) in got  # exact dup always found
+    assert (1, 2) in got or (2, 4) in got  # near dup
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_pairs():
+    from scrappy_ray.functions.dedup import simhash_pairs, simhash64
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " lambda"  # 1 token differs ⇒ small hamming
+    c = "totally unrelated words describing web crawling frontier politeness"
+    assert simhash64(a) == simhash64(a)
+    ds = _docs_ds([(1, a), (2, b), (3, c), (4, a)])
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(ds, max_hamming=6).to_pandas().to_dict("records")}
+    assert (1, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_embedding_pairs_and_drop():
+    import ray.data
+
+    from scrappy_ray.functions.dedup import drop_near_duplicates, embedding_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(10, 16)
+    dup = base[0] + rng.randn(16) * 0.001
+    vecs = np.vstack([base, dup[None, :]])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(11), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    pairs = embedding_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.to_pandas().to_dict("records")}
+    assert got == {(0, 10)}
+    kept = drop_near_duplicates(ds, pairs, id_col="vec_id").to_pandas()
+    assert sorted(kept["vec_id"]) == list(range(10))  # larger id dropped
+
+
+def test_topk_cosine_vs_numpy():
+    import ray.data
+
+    from scrappy_ray.functions.similarity import topk_cosine
+
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(50, 8)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = topk_cosine(ds, vecs[:3], k=4, query_ids=[0, 1, 2]).to_pandas()
+    # brute-force oracle
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = n @ n[:3].T
+    for q in range(3):
+        order = sorted(range(50), key=lambda i: (-cos[i, q], i))
+        expected = [i for i in order if i != q][:4]
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expected
+
+
+def test_lsh_topk_recall():
+    import ray.data
+
+    from scrappy_ray.functions.similarity import lsh_topk, topk_cosine
+
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(200, 16)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    brute = topk_cosine(ds, vecs[:5], k=3, query_ids=list(range(5))).to_pandas()
+    approx = lsh_topk(ds, vecs[:5], k=3, query_ids=list(range(5)), n_planes=4).to_pandas()
+    # rank-1 recall: the nearest neighbor should usually survive LSH
+    hits = 0
+    for q in range(5):
+        b1 = brute[(brute.query_id == q) & (brute["rank"] == 1)]["neighbor_id"].tolist()
+        a = approx[approx.query_id == q]["neighbor_id"].tolist()
+        hits += bool(b1 and b1[0] in a)
+    assert hits >= 3
+
+
+def test_token_stats_and_quality():
+    from scrappy_ray.functions.textstats import quality_scores, token_stats
+
+    ds = _docs_ds([(1, "Hello world."), (2, ""), (3, "  a  b  c  ")])
+    st = token_stats(ds).to_pandas().set_index("doc_id")
+    assert st.loc[1, "n_tokens"] == 2
+    assert st.loc[2, "n_tokens"] == 1  # matches duckdb regexp_split of ''
+    assert st.loc[3, "n_tokens"] == 3
+    q = quality_scores(ds).to_pandas().set_index("doc_id")
+    assert q.loc[1, "punct_ratio"] == pytest.approx(1 / 12)
+    assert 0 <= q.loc[1, "quality"] <= 1
+
+
+def test_lang_id():
+    from scrappy_ray.functions.textstats import lang_id
+
+    ds = _docs_ds(
+        [
+            (1, "the cat is on the mat and it is happy"),
+            (2, "el gato está en la casa y no quiere salir"),
+            (3, "zzz qqq"),
+        ]
+    )
+    out = lang_id(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "es"
+    assert out.loc[3, "lang_pred"] == "und"
+
+
+def test_fingerprint_stability():
+    from scrappy_ray.functions.textstats import fingerprint
+
+    ds = _docs_ds([(1, "some document body text"), (2, "some document body text"), (3, "other")])
+    out = fingerprint(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert out.loc[1, "fingerprint"] != out.loc[3, "fingerprint"]
+
+
+def test_multimodal_decode_and_frames():
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import (
+        FakeImageDecoder,
+        decode_images,
+        make_fake_image,
+        sample_frames,
+    )
+
+    imgs = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [make_fake_image(4, 3, 1), make_fake_image(8, 8, 2), b"garbage"], pa.binary()
+            ),
+        }
+    )
+    out = decode_images(ray.data.from_arrow(imgs)).to_pandas().set_index("id")
+    assert out.loc[1, "width"] == 4 and out.loc[1, "height"] == 3 and out.loc[1, "ok"]
+    assert not out.loc[3, "ok"]
+
+    vid = pa.table(
+        {
+            "id": pa.array([7], pa.int64()),
+            "payload": pa.array([b"".join(make_fake_image(4, 4, s) for s in range(5))], pa.binary()),
+        }
+    )
+    frames = sample_frames(ray.data.from_arrow(vid), stride=2).to_pandas()
+    assert frames["frame_idx"].tolist() == [0, 2, 4]
+
+    with pytest.raises(NotImplementedError):
+        FakeImageDecoder(real=True)
+
+
+def test_prf_metrics():
+    from scrappy_ray.functions.metrics import per_predicate_metrics, prf
+
+    correct = {("a", "p", "1"), ("b", "p", "2"), ("c", "q", "3")}
+    extracted = {("a", "p", "1"), ("b", "p", "x"), ("d", "q", "3")}
+    m = prf(correct, extracted)
+    assert m["right"] == 1
+    assert m["precision"] == pytest.approx(1 / 3)
+    assert m["recall"] == pytest.approx(1 / 3)
+    # edge cases (optimizer.rb:326-343)
+    assert prf(set(), {("x", "y", "z")})["recall"] == 1.0
+    assert prf({("x", "y", "z")}, set())["precision"] == 1.0
+    assert prf(set(), set())["fscore"] == 1.0
+
+    t = per_predicate_metrics(
+        pa.table({"s": ["a", "c"], "p": ["p", "q"], "o": ["1", "3"]}),
+        pa.table({"s": ["a", "d"], "p": ["p", "q"], "o": ["1", "3"]}),
+    ).to_pandas().set_index("predicate")
+    assert t.loc["p", "fscore"] == 1.0
+    assert t.loc["q", "missing"] == 1 and t.loc["q", "wrong"] == 1
+
+
+def test_sessionize():
+    import datetime as dt
+
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),  # same session
+        (1, base + dt.timedelta(minutes=50)),  # gap > 30 ⇒ new session
+        (2, base),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = sessionize(ray.data.from_arrow(tbl)).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_events"] == 3
+    assert out.loc[2, "n_sessions"] == 1
+
+
+def test_broadcast_join_and_topk():
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import broadcast_join, top_k
+
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2], pa.int64()), "v": pa.array([10, 20, 30, 40], pa.int64())})
+    )
+    small = pa.table({"k": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"], pa.string())})
+    j = broadcast_join(big, small, on="k").to_pandas().sort_values("v")
+    assert j["name"].tolist() == ["a", "b", "b"]  # inner join drops k=3
+    t = top_k(big, "v", 2).to_pandas()
+    assert t["v"].tolist() == [40, 30]
