@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.extract_stage import ExtractPages
+from ..stages.extract_stage import make_extract_fn
 from ..stages.fetch import build_page_store, fetch_frontier, url_bucket
 from ..stages.seq import add_global_seq
 from ..state.politeness import HostBudgetPool
@@ -64,6 +64,11 @@ class CrawlConfig:
     url_only_seen: bool = False
     host_budget: float | None = None  # items per host per round (None = off)
     budget_shards: int = 2
+    # rounds with ≤ this many frontier/link rows take the driver-side
+    # fast path (no shuffle fixed costs); larger rounds use the full
+    # Dataset shuffle pipeline. Both paths are semantically identical
+    # (tests force threshold=0 to prove it).
+    small_round_threshold: int = 100_000
     robots: bool = False
     robots_shards: int = 2
     max_rounds: int = 200
@@ -168,6 +173,50 @@ def _empty_frontier() -> pa.Table:
     return FRONTIER_SCHEMA.empty_table()
 
 
+def _links_small_path(edir: str, nfdir: str, seen, robots, cfg, next_seq: int, defer_tbl) -> int:
+    """Driver-side link → frontier processing for small rounds:
+    identical semantics to the Dataset shuffle path (in-round
+    first-wins dedup → robots → seen anti-join → sort → global seq)
+    without its per-round shuffle fixed costs."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    t = pads.dataset(edir).to_table(columns=["seq", "links"])
+    best: dict = {}
+    for seq, links in zip(t.column("seq").to_pylist(), t.column("links").to_pylist()):
+        for idx, l in enumerate(links or []):
+            key = (l["url"], l["depth"])
+            cur = (seq, idx)
+            if key not in best or cur < best[key]:
+                best[key] = cur
+    items = sorted((ps, li, u, d) for (u, d), (ps, li) in best.items())
+    if robots is not None and items:
+        mask = robots.allowed([complete_uri(u) for _, _, u, _ in items])
+        items = [it for it, ok in zip(items, mask) if ok]
+    if items:
+        mask = seen.mark_new([u for _, _, u, _ in items], [d for _, _, _, d in items], cfg.url_only_seen)
+        items = [it for it, ok in zip(items, mask) if ok]
+    rows = [
+        {"url": u, "depth": d, "seq": next_seq + i}
+        for i, (_, _, u, d) in enumerate(items)
+    ]
+    new_tbl = _frontier_table(rows)
+    if defer_tbl is not None and defer_tbl.num_rows:
+        new_tbl = pa.concat_tables([defer_tbl.select(new_tbl.column_names), new_tbl])
+    os.makedirs(nfdir, exist_ok=True)
+    pq.write_table(new_tbl, os.path.join(nfdir, "part-0.parquet"))
+    return next_seq + len(rows)
+
+
+def _parquet_rows(d: str) -> int:
+    """Row count from parquet footers — no Dataset execution."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(d, "*.parquet")))
+
+
 def run_crawl(cfg: CrawlConfig) -> CrawlResult:
     os.makedirs(cfg.ckpt_dir, exist_ok=True)
     store_dir = os.path.join(cfg.ckpt_dir, "page_store")
@@ -206,14 +255,37 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         fdir = ckpt.frontier_dir(cfg.ckpt_dir, rnd)
         if not os.path.isdir(fdir):
             break
-        frontier = ray.data.read_parquet(fdir)
-        n_ready = frontier.count()
+        n_ready = _parquet_rows(fdir)
         if n_ready == 0:
             break
+        small = n_ready <= cfg.small_round_threshold
+        frontier = None if small else ray.data.read_parquet(fdir)
         t0 = time.perf_counter()
 
         # -- politeness split ------------------------------------------
-        if budget:
+        defer_tbl = None  # small path carries deferred rows driver-side
+        if budget and small:
+            import pyarrow.dataset as pads
+
+            ft = pads.dataset(fdir).to_table().sort_by([("seq", "ascending")])
+            hosts = ft.column("host").to_pylist()
+            counts: dict[str, int] = {}
+            for h in hosts:
+                counts[h] = counts.get(h, 0) + 1
+            grants = budget.grant(counts, rnd)
+            used: dict[str, int] = {}
+            mask = []
+            for h in hosts:
+                used[h] = used.get(h, 0) + 1
+                mask.append(used[h] <= grants[h])
+            exec_tbl = ft.filter(pa.array(mask, pa.bool_()))
+            defer_tbl = ft.filter(pa.array([not m for m in mask], pa.bool_()))
+            exec_ds = ray.data.from_arrow(exec_tbl)
+            defer_ds, n_deferred = None, defer_tbl.num_rows
+        elif budget:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
             marked_dir = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "marked")
             frontier.groupby("host").map_groups(
                 _make_mark_exec(budget, rnd), batch_format="pyarrow"
@@ -221,9 +293,11 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             marked = ray.data.read_parquet(marked_dir)
             exec_ds = marked.filter(expr="exec == True").drop_columns(["exec"])
             defer_ds = marked.filter(expr="exec == False").drop_columns(["exec"])
-            n_deferred = defer_ds.count()
+            exec_col = pads.dataset(marked_dir).to_table(columns=["exec"]).column("exec")
+            n_deferred = n_ready - (pc.sum(exec_col).as_py() or 0)
         else:
-            exec_ds, defer_ds, n_deferred = frontier, None, 0
+            exec_ds = ray.data.read_parquet(fdir) if small else frontier
+            defer_ds, n_deferred = None, 0
 
         # -- fetch + extract + checkpoint ------------------------------
         this_round = rnd
@@ -232,53 +306,60 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             return batch.append_column("round", pa.array([_r] * batch.num_rows, pa.int32()))
 
         edir = ckpt.extraction_dir(cfg.ckpt_dir, rnd)
+        extract_fn = make_extract_fn(cfg.kb_yaml, cfg.referenceable)
+
+        def extract_with_round(batch: pa.Table, _fn=extract_fn, _tag=tag_round) -> pa.Table:
+            return _fn(_tag(batch))
+
         (
-            fetch_frontier(exec_ds, store_dir, cfg.num_buckets)
-            .map_batches(tag_round, batch_format="pyarrow")
+            fetch_frontier(exec_ds, store_dir, cfg.num_buckets, shuffle=not small)
             .map_batches(
-                ExtractPages,
-                fn_constructor_kwargs={"kb_yaml": cfg.kb_yaml, "referenceable": cfg.referenceable},
+                extract_with_round,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
                 batch_size=cfg.extract_batch_size,
-                concurrency=cfg.extract_concurrency,
             )
             .write_parquet(edir)
         )
 
         # -- link discovery → next frontier ----------------------------
-        links = (
-            ray.data.read_parquet(edir, columns=["seq", "links"])
-            .map_batches(_explode_links, batch_format="pyarrow")
-            .groupby(["url", "depth"])
-            .map_groups(_first_discovery, batch_format="pyarrow")
-        )
-        if robots:
-            links = links.map_batches(_RobotsFilter(robots), batch_format="pyarrow", batch_size=4096)
-        links = links.map_batches(
-            _SeenMark(seen, cfg.url_only_seen), batch_format="pyarrow", batch_size=4096
-        ).sort(["parent_seq", "link_idx"])
-        new_ds, next_seq_after = add_global_seq(links, next_seq)
-
-        def finish_frontier(batch: pa.Table) -> pa.Table:
-            urls = batch.column("url").to_pylist()
-            curls = [complete_uri(u) for u in urls]
-            return pa.table(
-                {
-                    "url": batch.column("url"),
-                    "curl": pa.array(curls, pa.string()),
-                    "depth": batch.column("depth"),
-                    "seq": batch.column("seq"),
-                    "host": pa.array([host_of(c) for c in curls], pa.string()),
-                }
+        if small:
+            next_seq_after = _links_small_path(
+                edir, ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1), seen, robots, cfg, next_seq, defer_tbl
             )
+        else:
+            links = (
+                ray.data.read_parquet(edir, columns=["seq", "links"])
+                .map_batches(_explode_links, batch_format="pyarrow")
+                .groupby(["url", "depth"])
+                .map_groups(_first_discovery, batch_format="pyarrow")
+            )
+            if robots:
+                links = links.map_batches(_RobotsFilter(robots), batch_format="pyarrow", batch_size=4096)
+            links = links.map_batches(
+                _SeenMark(seen, cfg.url_only_seen), batch_format="pyarrow", batch_size=4096
+            ).sort(["parent_seq", "link_idx"])
+            new_ds, next_seq_after = add_global_seq(links, next_seq)
 
-        next_frontier = new_ds.map_batches(finish_frontier, batch_format="pyarrow")
-        if defer_ds is not None and n_deferred:
-            next_frontier = defer_ds.union(next_frontier)
+            def finish_frontier(batch: pa.Table) -> pa.Table:
+                urls = batch.column("url").to_pylist()
+                curls = [complete_uri(u) for u in urls]
+                return pa.table(
+                    {
+                        "url": batch.column("url"),
+                        "curl": pa.array(curls, pa.string()),
+                        "depth": batch.column("depth"),
+                        "seq": batch.column("seq"),
+                        "host": pa.array([host_of(c) for c in curls], pa.string()),
+                    }
+                )
 
-        nfdir = ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1)
-        next_frontier.write_parquet(nfdir)
+            next_frontier = new_ds.map_batches(finish_frontier, batch_format="pyarrow")
+            if defer_ds is not None and n_deferred:
+                next_frontier = defer_ds.union(next_frontier)
+
+            nfdir = ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1)
+            next_frontier.write_parquet(nfdir)
         n_new = next_seq_after - next_seq
         next_seq = next_seq_after
 

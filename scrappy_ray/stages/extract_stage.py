@@ -41,6 +41,21 @@ EXTRACTION_SCHEMA = pa.schema(
 )
 
 
+_KB_CACHE: dict = {}
+
+
+def compiled_kb(kb_yaml: str):
+    """Process-level compiled-KB cache: Ray worker processes persist
+    across Dataset jobs, so task-based extraction stages compile the KB
+    once per worker for the whole crawl — cheaper than an actor pool
+    that respawns every round (actor startup ≫ KB compile)."""
+    kb = _KB_CACHE.get(kb_yaml)
+    if kb is None:
+        kb = load_kb(kb_yaml)
+        _KB_CACHE[kb_yaml] = kb
+    return kb
+
+
 class ExtractPages:
     """Callable class for ``map_batches(ExtractPages, concurrency=N,
     fn_constructor_kwargs=dict(kb_yaml=...), batch_format='pyarrow',
@@ -51,6 +66,21 @@ class ExtractPages:
         self.referenceable = referenceable
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, self.kb, self.referenceable)
+
+
+def make_extract_fn(kb_yaml: str, referenceable: bool = False):
+    """Task-based extraction stage fn (process-cached KB). Preferred in
+    the superstep crawl, where a fresh actor pool per round would pay
+    actor-launch latency every superstep."""
+
+    def extract_pages(batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, compiled_kb(kb_yaml), referenceable)
+
+    return extract_pages
+
+
+def extract_batch(batch: pa.Table, kb, referenceable: bool = False) -> pa.Table:
         urls = batch.column("url").to_pylist()
         curls = batch.column("curl").to_pylist() if "curl" in batch.column_names else urls
         depths = batch.column("depth").to_pylist() if "depth" in batch.column_names else [-1] * len(urls)
@@ -60,7 +90,7 @@ class ExtractPages:
 
         out = {k: [] for k in ("url", "curl", "depth", "seq", "round", "fetched", "triples", "links", "text")}
         for url, curl, depth, seq, rnd, html in zip(urls, curls, depths, seqs, rounds, htmls):
-            rec = extract_record(self.kb, curl, html, depth, self.referenceable)
+            rec = extract_record(kb, curl, html, depth, referenceable)
             out["url"].append(url)
             out["curl"].append(curl)
             out["depth"].append(depth)

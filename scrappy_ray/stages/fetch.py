@@ -108,20 +108,38 @@ def make_fetch_group(store_dir: str):
     return fetch_group
 
 
-def fetch_frontier(frontier_ds, store_dir: str, num_buckets: int):
+def fetch_frontier(frontier_ds, store_dir: str, num_buckets: int, shuffle: bool = True):
     """frontier Dataset (url, curl, depth, seq, ...) → + html column.
-    Partitioned by bucket so each task touches exactly one bucket."""
+
+    ``shuffle=True`` (the at-scale path): repartition by url bucket so
+    each task touches exactly one bucket file. ``shuffle=False`` (small
+    rounds): plain map_batches where a task reads every bucket its
+    batch's urls hash into — no shuffle fixed cost; right when the
+    frontier round is far smaller than the bucket count × row-group
+    size."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "bucket", _bucket_array(batch.column("curl").to_pylist(), num_buckets)
         )
 
-    return (
-        frontier_ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(make_fetch_group(store_dir), batch_format="pyarrow")
-    )
+    if shuffle:
+        return (
+            frontier_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(make_fetch_group(store_dir), batch_format="pyarrow")
+        )
+
+    def fetch_direct(batch: pa.Table) -> pa.Table:
+        curls = batch.column("curl").to_pylist()
+        found = {
+            r["url"]: r["html"]
+            for r in lookup_urls(store_dir, num_buckets, list(set(curls)))
+        }
+        htmls = [found.get(u) for u in curls]
+        return batch.append_column("html", pa.array(htmls, pa.binary()))
+
+    return frontier_ds.map_batches(fetch_direct, batch_format="pyarrow")
 
 
 def write_pages_with_canonical(frontier_rows: list[dict]) -> pa.Table:
