@@ -144,8 +144,10 @@ def _q_revenue_by_priority(sf_dir: str):
 
 
 def _q_distinct_event_types(sf_dir: str):
+    from scrappy_ray.functions.dedup import _distinct
+
     ds = _read(sf_dir, "events", columns=["event_type"])
-    return ds.groupby("event_type").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow").sort("event_type")
+    return _distinct(ds, ["event_type"]).sort("event_type")
 
 
 def _q_sessionize(sf_dir: str):
@@ -162,7 +164,7 @@ def _q_dedup_exact(sf_dir: str):
     from scrappy_ray.functions.dedup import exact_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return exact_dedup(ds).select_columns(["doc_id"]).sort("doc_id")
+    return exact_dedup(ds, ids_only=True).sort("doc_id")
 
 
 def _q_token_stats(sf_dir: str):

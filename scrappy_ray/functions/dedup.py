@@ -27,22 +27,38 @@ def _md5_col(texts: list[str]) -> pa.Array:
     return pa.array([hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts], pa.string())
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", ids_only: bool = False):
     """Keep the min-id document of each exact-text group.
-    DuckDB-oracle equivalent: GROUP BY md5(text) → min(id)."""
+    DuckDB-oracle equivalent: GROUP BY md5(text) → min(id).
+    ``ids_only`` uses the fully-vectorized hash-aggregate (no per-group
+    Python) and returns just the kept id column."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         return batch.append_column("_h", _md5_col(batch.column(text_col).to_pylist()))
 
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    if ids_only:
+        from ray.data.aggregate import Min
+
+        return (
+            hashed.groupby("_h")
+            .aggregate(Min(id_col, alias_name=id_col))
+            .drop_columns(["_h"])
+        )
+
     def keep_first(group: pa.Table) -> pa.Table:
         return group.sort_by([(id_col, "ascending")]).slice(0, 1)
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_h")
-        .map_groups(keep_first, batch_format="pyarrow")
-        .drop_columns(["_h"])
-    )
+    return hashed.groupby("_h").map_groups(keep_first, batch_format="pyarrow").drop_columns(["_h"])
+
+
+def _distinct(ds, cols: list[str]):
+    """Vectorized distinct on key columns: hash-aggregate count then
+    drop — no per-group Python (map_groups would pay per-group call
+    overhead across millions of tiny groups)."""
+    from ray.data.aggregate import Count
+
+    return ds.groupby(cols).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
 
 
 # -- minhash + LSH ------------------------------------------------------
@@ -146,7 +162,7 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=64, bands=1
         .map_groups(pairs, batch_format="pyarrow")
     )
     # distinct pairs (same pair can collide in several bands)
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _distinct(cand, ["id_a", "id_b"])
 
 
 def ngram_jaccard_verify(pairs_ds, docs_ds, text_col="text", id_col="doc_id", k=5, threshold=0.7):
@@ -154,6 +170,7 @@ def ngram_jaccard_verify(pairs_ds, docs_ds, text_col="text", id_col="doc_id", k=
     documents' shingle sets (small side — candidates only)."""
     import ray
 
+    pairs_ds = pairs_ds.materialize()  # iterated below AND mapped after — avoid lazy re-execution
     need_ids = set()
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         need_ids.update(b.column("id_a").to_pylist())
@@ -232,7 +249,7 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
     cand = ds.map_batches(sigs, batch_format="pyarrow").groupby(["band", "bhash"]).map_groups(
         pairs, batch_format="pyarrow"
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _distinct(cand, ["id_a", "id_b"])
 
 
 # -- embedding cosine ---------------------------------------------------
@@ -280,7 +297,7 @@ def embedding_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.95, n_
     cand = ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
         pairs, batch_format="pyarrow"
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _distinct(cand, ["id_a", "id_b"])
 
 
 # -- keep-set from pairs ------------------------------------------------
