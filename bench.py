@@ -51,14 +51,19 @@ def _consume(res) -> int:
     return res.count()
 
 
+BENCH_SCALE = "bench"  # ~40k-page synthetic web for crawl/extract/scaling
+
+
 def crawl_bench(sf_dir: str, concurrency: int) -> dict:
-    """The headline pipeline: full crawl of the synthetic web."""
+    """The headline pipeline: full crawl of the bench synthetic web
+    (the corpus is sized so extraction compute dominates per-round
+    fixed costs — see BASELINE.md)."""
     from scrappy_ray.pipelines.crawl_pipeline import crawl_job, pages_dir_for
 
-    pages_dir_for(sf_dir)  # generate outside the timed region
+    pages_dir_for(BENCH_SCALE, use_ray=True)  # generate outside the timed region
     ckpt = tempfile.mkdtemp(prefix="bench_crawl_", dir="/tmp")
     t0 = time.perf_counter()
-    res = crawl_job(sf_dir, ckpt, depth=-1, concurrency=concurrency, num_buckets=16)
+    res = crawl_job(BENCH_SCALE, ckpt, depth=-1, concurrency=concurrency, num_buckets=16)
     wall = time.perf_counter() - t0
     n = sum(r["executed"] for r in res.manifest["rounds"])
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -68,7 +73,7 @@ def crawl_bench(sf_dir: str, concurrency: int) -> dict:
 def extract_bench(sf_dir: str, concurrency: int) -> dict:
     from scrappy_ray.pipelines.crawl_pipeline import extract_all, pages_dir_for
 
-    pages = pages_dir_for(sf_dir)
+    pages = pages_dir_for(BENCH_SCALE, use_ray=True)
     t0 = time.perf_counter()
     ex = extract_all(pages, concurrency=concurrency, batch_size=64)
     n = ex.count()

@@ -1,0 +1,84 @@
+"""CLI mirroring the reference's `scrappy -g URI` surface
+(/root/reference/bin/scrappy:24-64) against a pages Parquet table.
+
+    python -m scrappy_ray get URL [URL...] \
+        --pages PAGES_PARQUET --kb KB_YAML \
+        [-l DEPTH] [-f ntriples|json|yarf] [--budget N] [--robots] \
+        [--ckpt DIR] [--dump DIR]
+
+Options map to the reference: -l/--levels (bin/scrappy:27),
+-f/--format (bin/scrappy:31), politeness delay → per-host budget
+(bin/scrappy:41 — upgraded semantics per north_rule), --dump
+(bin/scrappy:35 → Dumper)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="scrappy_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("get", help="crawl + extract starting at seed URL(s)")
+    g.add_argument("urls", nargs="+")
+    g.add_argument("--pages", required=True, help="pages parquet path/dir")
+    g.add_argument("--kb", required=True, help="KB YAML file")
+    g.add_argument("-l", "--levels", type=int, default=-1, help="depth (-1 = unbounded)")
+    g.add_argument("-f", "--format", default="ntriples", choices=["ntriples", "json", "yarf"])
+    g.add_argument("--budget", type=float, default=None, help="per-host items/round")
+    g.add_argument("--robots", action="store_true")
+    g.add_argument("--ckpt", default=None, help="checkpoint dir (resume if it exists)")
+    g.add_argument("--dump", default=None, help="dump per-url files to this dir (Dumper sink)")
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from .crawl.driver import CrawlConfig, run_crawl
+    from .sources.serializers import dump_per_url, serialize
+
+    ckpt = args.ckpt or tempfile.mkdtemp(prefix="scrappy_ray_", dir="/tmp")
+    with open(args.kb) as f:
+        kb_yaml = f.read()
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=args.pages,
+            kb_yaml=kb_yaml,
+            seeds=args.urls,
+            ckpt_dir=ckpt,
+            depth=args.levels,
+            host_budget=args.budget,
+            robots=args.robots,
+        )
+    )
+    import pyarrow.dataset as pads
+
+    triples = [
+        (r["s"], r["p"], r["o"], r["lit"])
+        for r in pads.dataset(res.triples_path).to_table().sort_by(
+            [("s", "ascending"), ("p", "ascending"), ("o", "ascending")]
+        ).to_pylist()
+    ]
+    sys.stdout.write(serialize(triples, args.format))
+    if args.dump:
+        rows = pads.dataset(
+            [f for r in res.manifest["rounds"] for f in __import__("glob").glob(
+                f"{ckpt}/round-{r['round']:04d}/extraction/*.parquet")]
+        ).to_table(columns=["url", "triples", "fetched"]).to_pylist()
+        # the reference dumps only fetched HTML pages (agent.rb:231-233)
+        dump_per_url([r for r in rows if r["fetched"]], args.dump, args.format)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,6 +76,9 @@ class CrawlConfig:
     extract_batch_size: int = 64
     link_partitions: int = 8  # shuffle width for in-round dedup
     referenceable: bool = False
+    # page store location override; default derives from pages_path so
+    # repeated crawls of the same corpus reuse the one-time index build
+    store_dir: str | None = None
 
 
 @dataclass
@@ -218,8 +221,13 @@ def _parquet_rows(d: str) -> int:
 
 
 def run_crawl(cfg: CrawlConfig) -> CrawlResult:
+    import hashlib as _hl
+
     os.makedirs(cfg.ckpt_dir, exist_ok=True)
-    store_dir = os.path.join(cfg.ckpt_dir, "page_store")
+    store_dir = cfg.store_dir or os.path.join(
+        "/tmp/scrappy_ray_store",
+        f"{_hl.md5(os.path.abspath(cfg.pages_path).encode()).hexdigest()[:12]}-b{cfg.num_buckets}",
+    )
     build_page_store(cfg.pages_path, store_dir, cfg.num_buckets)
 
     seen = SeenSetPool(cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity_per_shard)
