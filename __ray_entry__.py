@@ -157,6 +157,80 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ds, gap_minutes=30).sort("user_id")
 
 
+def _q_filter_pushdown(sf_dir: str):
+    """Predicate + projection pruned at the read (read_parquet filter)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ray.data.aggregate import Count, Sum
+
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_discount") >= 0.05),
+    )
+    out = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+    )
+    t = pa.table({k: [v] for k, v in out.items()})
+    return round_cols(t, ["sum_qty", "sum_price"], ROUND)
+
+
+def _q_mktsegment(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+    out = (
+        ds.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"), Mean("c_acctbal", alias_name="avg_acctbal"))
+        .sort("c_mktsegment")
+    )
+    return round_cols(out, ["avg_acctbal"], ROUND)
+
+
+def _q_part_types(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice"])
+    out = (
+        ds.groupby("p_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+        )
+        .sort("p_type")
+    )
+    return round_cols(out, ["min_price", "max_price"], ROUND)
+
+
+def _q_supplier_nation(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from scrappy_ray.pipelines.relational import broadcast_join
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.set_column(
+            b.column_names.index("s_nationkey"), "n_nationkey", pc.cast(b.column("s_nationkey"), pa.int32())
+        )
+
+    nation = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = broadcast_join(sup.map_batches(widen, batch_format="pyarrow"), nation, on="n_nationkey")
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_suppliers")).sort("n_name")
+
+
 # ------------------------------------------------------------ training-data
 
 
@@ -346,6 +420,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "distinct_event_types": _q_distinct_event_types,
         "sessionize": _q_sessionize,
+        "filter_pushdown": _q_filter_pushdown,
+        "mktsegment": _q_mktsegment,
+        "part_types": _q_part_types,
+        "supplier_nation": _q_supplier_nation,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "punct_ratio": _q_punct_ratio,
@@ -414,6 +492,27 @@ def oracle_sql() -> dict[str, str]:
                      epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
               FROM events
             ) t GROUP BY user_id ORDER BY user_id
+        """,
+        "filter_pushdown": f"""
+            SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), {ROUND}) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), {ROUND}) AS sum_price
+            FROM lineitem WHERE l_discount >= 0.05
+        """,
+        "mktsegment": f"""
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   ROUND(AVG(c_acctbal), {ROUND}) AS avg_acctbal
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "part_types": f"""
+            SELECT p_type, COUNT(*) AS n,
+                   ROUND(MIN(p_retailprice), {ROUND}) AS min_price,
+                   ROUND(MAX(p_retailprice), {ROUND}) AS max_price
+            FROM part GROUP BY p_type ORDER BY p_type
+        """,
+        "supplier_nation": """
+            SELECT n.n_name, COUNT(*) AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents
