@@ -181,18 +181,50 @@ def _links_small_path(edir: str, nfdir: str, seen, robots, cfg, next_seq: int, d
     identical semantics to the Dataset shuffle path (in-round
     first-wins dedup → robots → seen anti-join → sort → global seq)
     without its per-round shuffle fixed costs."""
+    import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     t = pads.dataset(edir).to_table(columns=["seq", "links"])
-    best: dict = {}
-    for seq, links in zip(t.column("seq").to_pylist(), t.column("links").to_pylist()):
-        for idx, l in enumerate(links or []):
-            key = (l["url"], l["depth"])
-            cur = (seq, idx)
-            if key not in best or cur < best[key]:
-                best[key] = cur
-    items = sorted((ps, li, u, d) for (u, d), (ps, li) in best.items())
+    links_col = t.column("links").combine_chunks()
+    if t.num_rows and len(links_col):
+        # vectorized explode: repeat parent seq by list length, flatten structs
+        if isinstance(links_col, pa.ChunkedArray):
+            links_col = links_col.combine_chunks()
+        lengths = pc.list_value_length(links_col).fill_null(0)
+        parent_seq = np.repeat(
+            t.column("seq").combine_chunks().to_numpy(zero_copy_only=False),
+            lengths.to_numpy(zero_copy_only=False),
+        )
+        flat = pc.list_flatten(links_col)
+        urls_a = flat.field("url")
+        depths_a = flat.field("depth")
+        # per-parent link index: 0..len-1 within each list
+        lens = lengths.to_numpy(zero_copy_only=False)
+        link_idx = np.concatenate([np.arange(n, dtype=np.int64) for n in lens if n]) if lens.sum() else np.array([], dtype=np.int64)
+        # first-wins dedup: min (parent_seq, link_idx) per (url, depth),
+        # encoded as one int64 (link_idx < 2^20 per document)
+        enc = parent_seq.astype(np.int64) * (1 << 20) + link_idx
+        cand = pa.table(
+            {
+                "url": urls_a,
+                "depth": depths_a,
+                "enc": pa.array(enc, pa.int64()),
+            }
+        )
+        dedup = cand.group_by(["url", "depth"]).aggregate([("enc", "min")])
+        dedup = dedup.sort_by([("enc_min", "ascending")])
+        items = list(
+            zip(
+                (np.asarray(dedup.column("enc_min")) >> 20).tolist(),
+                (np.asarray(dedup.column("enc_min")) & ((1 << 20) - 1)).tolist(),
+                dedup.column("url").to_pylist(),
+                dedup.column("depth").to_pylist(),
+            )
+        )
+    else:
+        items = []
     if robots is not None and items:
         mask = robots.allowed([complete_uri(u) for _, _, u, _ in items])
         items = [it for it, ok in zip(items, mask) if ok]

@@ -20,8 +20,8 @@ _SCALES = {
     "sf0.01": SynthWebConfig(n_hosts=4, pages_per_host=25),
     "sf0.1": SynthWebConfig(n_hosts=8, pages_per_host=400),
     # the bench/scaling corpus: big enough that extraction compute
-    # dominates fixed per-job overhead at 32 CPUs (~40k pages)
-    "bench": SynthWebConfig(n_hosts=16, pages_per_host=2500),
+    # dominates fixed per-job overhead at 32 CPUs (~160k pages)
+    "bench": SynthWebConfig(n_hosts=16, pages_per_host=10_000),
 }
 _DEFAULT = SynthWebConfig(n_hosts=3, pages_per_host=12)
 
@@ -41,10 +41,15 @@ def pages_dir_for(sf_dir: str, use_ray: bool = False) -> str:
     return d
 
 
-def extract_all(pages_path: str, kb_yaml: str | None = None, concurrency: int = 4,
-                batch_size: int = 64, depth: int = -1):
+def extract_all(pages_path: str, kb_yaml: str | None = None, concurrency: int | None = None,
+                batch_size: int = 64, depth: int = -1, use_actors: bool = False):
     """Whole-table extraction (no frontier): every page through the
-    extraction actor pool. Columns pruned at the read (url, html)."""
+    extraction stage. Columns pruned at the read (url, html).
+
+    Default is task-based (process-cached KB — uses every CPU, no
+    actor-pool startup); pass ``use_actors=True`` for the actor-pool
+    variant (the right shape when per-worker state is heavy, e.g. a
+    model)."""
     import ray.data
 
     ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
@@ -63,13 +68,24 @@ def extract_all(pages_path: str, kb_yaml: str | None = None, concurrency: int = 
             }
         )
 
-    return ds.map_batches(prep, batch_format="pyarrow").map_batches(
-        ExtractPages,
-        fn_constructor_kwargs={"kb_yaml": kb_yaml or synth_kb_yaml()},
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    yaml_text = kb_yaml or synth_kb_yaml()
+    if use_actors:
+        return prepped.map_batches(
+            ExtractPages,
+            fn_constructor_kwargs={"kb_yaml": yaml_text},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency or 4,
+        )
+    from ..stages.extract_stage import make_extract_fn
+
+    return prepped.map_batches(
+        make_extract_fn(yaml_text),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
