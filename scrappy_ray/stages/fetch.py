@@ -67,17 +67,38 @@ def _bucket_dir(store_dir: str, bucket: int) -> str:
     return os.path.join(store_dir, f"bucket={bucket}")
 
 
+# per-process LRU of recently-read bucket datasets — the engine's
+# analogue of the reference's bounded response cache
+# (/root/reference/lib/scrappy/agent/cache.rb:20-39, 100 entries):
+# repeated point lookups (robots.txt probes, small frontier batches)
+# skip re-opening the same bucket's file metadata.
+_BUCKET_CACHE: dict = {}
+_BUCKET_CACHE_CAP = 100
+
+
+def _bucket_dataset(store_dir: str, bucket: int):
+    key = (store_dir, bucket)
+    ds = _BUCKET_CACHE.pop(key, None)
+    if ds is None:
+        d = _bucket_dir(store_dir, bucket)
+        ds = pads.dataset(d) if os.path.isdir(d) else False
+    _BUCKET_CACHE[key] = ds  # reinsert → LRU order
+    while len(_BUCKET_CACHE) > _BUCKET_CACHE_CAP:
+        _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))
+    return ds
+
+
 def lookup_urls(store_dir: str, num_buckets: int, urls: list[str], columns=FETCH_COLUMNS) -> list[dict]:
-    """Point lookup used by robots actors / small reads."""
+    """Point lookup used by robots actors / small-round fetch."""
     out = []
     by_bucket: dict[int, list[str]] = {}
     for u in urls:
         by_bucket.setdefault(url_bucket(u, num_buckets), []).append(u)
     for b, us in by_bucket.items():
-        d = _bucket_dir(store_dir, b)
-        if not os.path.isdir(d):
+        ds = _bucket_dataset(store_dir, b)
+        if ds is False:
             continue
-        t = pads.dataset(d).to_table(columns=columns, filter=pc.field("url").isin(us))
+        t = ds.to_table(columns=columns, filter=pc.field("url").isin(us))
         out.extend(t.to_pylist())
     return out
 

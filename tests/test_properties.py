@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrappy_ray.extractor.selectors import ruby_split, ruby_to_f, ruby_to_i
+from scrappy_ray.htmldom import parse_fragment
+from scrappy_ray.htmldom.serialize import to_html
+from scrappy_ray.state.cuckoo import CuckooFilter
+from scrappy_ray.support import clean, complete_uri, underscore, wikify
+
+
+@given(st.text(max_size=200))
+def test_clean_idempotent(s):
+    assert clean(clean(s)) == clean(s)
+    assert "\xa0" not in clean(s)
+
+
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Zs")), max_size=50))
+def test_wikify_no_whitespace(s):
+    assert " " not in wikify(s)
+
+
+@given(st.text(max_size=50))
+def test_underscore_lowercase(s):
+    assert underscore(s) == underscore(s)  # deterministic
+    assert underscore(s).lower() == underscore(s)
+
+
+@given(st.text(alphabet="abc|", max_size=30))
+def test_ruby_split_no_trailing_empty(s):
+    parts = ruby_split(s, "|")
+    assert not parts or parts[-1] != ""
+
+
+@given(st.text(max_size=20))
+def test_ruby_coercions_never_raise(s):
+    ruby_to_i(s)
+    ruby_to_f(s)
+
+
+@given(st.lists(st.binary(min_size=1, max_size=20), min_size=1, max_size=300, unique=True))
+@settings(max_examples=30)
+def test_cuckoo_no_false_negatives(keys):
+    f = CuckooFilter(4096, seed=1)
+    for k in keys:
+        f.check_and_add(k)
+    assert all(k in f for k in keys)  # cuckoo filters never false-negative
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="<>&\"'", blacklist_categories=("Cs", "Cc")), max_size=60))
+@settings(max_examples=50)
+def test_serialize_parse_roundtrip_text(s):
+    html = f"<div a=\"{s.replace(chr(10), ' ')}\">{s}</div>"
+    doc = parse_fragment(html)
+    reparsed = parse_fragment(to_html(doc))
+    assert reparsed.text == doc.text
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-", min_size=1, max_size=30))
+def test_complete_uri_always_schemed(s):
+    out = complete_uri(s)
+    assert ":" in out or out == s
