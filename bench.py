@@ -63,7 +63,7 @@ def crawl_bench(sf_dir: str, concurrency: int) -> dict:
     pages_dir_for(BENCH_SCALE, use_ray=True)  # generate outside the timed region
     ckpt = tempfile.mkdtemp(prefix="bench_crawl_", dir="/tmp")
     t0 = time.perf_counter()
-    res = crawl_job(BENCH_SCALE, ckpt, depth=-1, concurrency=concurrency, num_buckets=16)
+    res = crawl_job(BENCH_SCALE, ckpt, depth=-1, concurrency=concurrency)
     wall = time.perf_counter() - t0
     n = sum(r["executed"] for r in res.manifest["rounds"])
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -132,15 +132,20 @@ def text_table(pages_path: str, **kw):
 
 
 def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, robots=False,
-              concurrency: int = 4, seen_mode: str = "exact", num_buckets: int = 8,
+              concurrency: int = 4, seen_mode: str = "exact", num_buckets: int | None = None,
               max_rounds: int = 100):
     """Full crawl over the synthetic web for an sf scale."""
     from ..crawl.driver import CrawlConfig, run_crawl
 
+    from ..stages.fetch import default_num_buckets
+
     cfg = synth_cfg_for(sf_dir)
+    pages_path = pages_dir_for(sf_dir)
+    if num_buckets is None:
+        num_buckets = default_num_buckets(pages_path)
     return run_crawl(
         CrawlConfig(
-            pages_path=pages_dir_for(sf_dir),
+            pages_path=pages_path,
             kb_yaml=synth_kb_yaml(),
             seeds=seed_urls(cfg),
             ckpt_dir=ckpt_dir,

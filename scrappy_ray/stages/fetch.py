@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
+import ray
 
 from ..support import complete_uri
 
@@ -39,10 +40,49 @@ def _bucket_array(urls, num_buckets: int) -> pa.Array:
     return pa.array([url_bucket(u, num_buckets) for u in urls], pa.int32())
 
 
-def build_page_store(pages_path: str, store_dir: str, num_buckets: int = 64) -> str:
-    """One-time hash-partition of the pages table by url bucket.
-    Runs as a streaming Ray Data job: read → add bucket → partitioned
-    write; never materializes the corpus."""
+def default_num_buckets(pages_path: str, target_rows_per_bucket: int = 2500) -> int:
+    """Bucket count scaled to the corpus so a point lookup touches a
+    bounded slice (~target rows) regardless of corpus size."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        glob.glob(os.path.join(pages_path, "**", "*.parquet"), recursive=True)
+        if os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    n = max(16, rows // target_rows_per_bucket)
+    return 1 << (n - 1).bit_length()  # power of two
+
+
+@ray.remote
+def _compact_bucket(bucket_dir: str, row_group_size: int) -> int:
+    """Sort one bucket by url and rewrite as a single small-row-group
+    file — url min/max statistics then let `url isin (...)` lookups
+    prune row groups instead of scanning the bucket."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+    if not files:
+        return 0
+    t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by([("url", "ascending")])
+    tmp = os.path.join(bucket_dir, "sorted.parquet.tmp")
+    pq.write_table(t, tmp, row_group_size=row_group_size)
+    for f in files:
+        os.remove(f)
+    os.replace(tmp, os.path.join(bucket_dir, "sorted.parquet"))
+    return t.num_rows
+
+
+def build_page_store(pages_path: str, store_dir: str, num_buckets: int = 64,
+                     row_group_size: int = 512) -> str:
+    """One-time hash-partition + per-bucket sort of the pages table —
+    the crawl's fetch index. Streaming Ray Data job (read → add bucket
+    → partitioned write), then one compaction task per bucket (sort by
+    url, small row groups) so point lookups are row-group-pruned
+    index reads, not bucket scans."""
     import ray.data
 
     done_marker = os.path.join(store_dir, "_DONE")
@@ -57,6 +97,13 @@ def build_page_store(pages_path: str, store_dir: str, num_buckets: int = 64) -> 
     ds = ray.data.read_parquet(pages_path)
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         store_dir, partition_cols=["bucket"]
+    )
+    ray.get(
+        [
+            _compact_bucket.remote(os.path.join(store_dir, d), row_group_size)
+            for d in os.listdir(store_dir)
+            if d.startswith("bucket=")
+        ]
     )
     with open(done_marker, "w") as f:
         f.write(str(num_buckets))
