@@ -269,8 +269,12 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
     manifest = ckpt.load_manifest(cfg.ckpt_dir)
     if manifest and manifest.get("rounds"):
         # ---- resume: restore state as of the last complete round ----
+        # seen snapshots are per-round DELTAS (O(round) each); replay
+        # them in order from the seed snapshot (-1) through `last`
         last = manifest["rounds"][-1]["round"]
-        seen.restore(ckpt.load_seen_snapshot(cfg.ckpt_dir, last))
+        seen.restore_deltas(
+            [ckpt.load_seen_snapshot(cfg.ckpt_dir, r) for r in range(-1, last + 1)]
+        )
         if budget:
             bs = ckpt.load_budget_snapshot(cfg.ckpt_dir, last)
             if bs:
@@ -288,7 +292,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         pq.write_table(_frontier_table(items), os.path.join(fdir, "part-0.parquet"))
         next_seq = len(items)
         start_round = 0
-        ckpt.save_seen_snapshot(cfg.ckpt_dir, -1, seen.snapshot())
+        ckpt.save_seen_snapshot(cfg.ckpt_dir, -1, seen.snapshot_delta())
 
     rnd = start_round
     while rnd < cfg.max_rounds:
@@ -404,7 +408,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         next_seq = next_seq_after
 
         # -- round complete: snapshots, metrics, manifest --------------
-        ckpt.save_seen_snapshot(cfg.ckpt_dir, rnd, seen.snapshot())
+        ckpt.save_seen_snapshot(cfg.ckpt_dir, rnd, seen.snapshot_delta())
         if budget:
             ckpt.save_budget_snapshot(cfg.ckpt_dir, rnd, budget.snapshot())
         wall = time.perf_counter() - t0

@@ -29,19 +29,44 @@ class SeenShard:
             self.filt = CuckooFilter(capacity, seed)
         else:
             self.filt = set()
+        self.delta: list[bytes] = []  # keys added since last delta snapshot
 
     def check_and_add(self, keys: list[bytes]) -> list[bool]:
         """For each key: True if newly added (unseen before)."""
         if self.mode == "cuckoo":
-            return [self.filt.check_and_add(k) for k in keys]
+            out = [self.filt.check_and_add(k) for k in keys]
+            self.delta.extend(k for k, new in zip(keys, out) if new)
+            return out
         out = []
         for k in keys:
             if k in self.filt:
                 out.append(False)
             else:
                 self.filt.add(k)
+                self.delta.append(k)
                 out.append(True)
         return out
+
+    def snapshot_delta(self) -> bytes:
+        """Keys added since the previous delta snapshot (O(round), not
+        O(total seen)); restore by replaying deltas in round order."""
+        import pickle
+
+        out = b"D" + pickle.dumps(self.delta)
+        self.delta = []
+        return out
+
+    def restore_delta(self, data: bytes) -> None:
+        import pickle
+
+        assert data[:1] == b"D"
+        for k in pickle.loads(data[1:]):
+            if self.mode == "cuckoo":
+                if k not in self.filt:
+                    self.filt.add(k)
+            else:
+                self.filt.add(k)
+        self.delta = []
 
     def contains(self, keys: list[bytes]) -> list[bool]:
         return [k in self.filt for k in keys]
@@ -110,3 +135,11 @@ class SeenSetPool:
 
     def restore(self, snaps: list[bytes]) -> None:
         ray.get([s.restore.remote(b) for s, b in zip(self.shards, snaps)])
+
+    def snapshot_delta(self) -> list[bytes]:
+        return ray.get([s.snapshot_delta.remote() for s in self.shards])
+
+    def restore_deltas(self, rounds_of_snaps: list[list[bytes]]) -> None:
+        """Replay per-round delta snapshots in order."""
+        for snaps in rounds_of_snaps:
+            ray.get([s.restore_delta.remote(b) for s, b in zip(self.shards, snaps)])
