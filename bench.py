@@ -51,7 +51,7 @@ def _consume(res) -> int:
     return res.count()
 
 
-BENCH_SCALE = "bench"  # ~40k-page synthetic web for crawl/extract/scaling
+BENCH_SCALE = "bench"  # ~160k-page synthetic web for crawl/extract/scaling
 
 
 def crawl_bench(sf_dir: str, concurrency: int) -> dict:
@@ -81,9 +81,25 @@ def extract_bench(sf_dir: str, concurrency: int) -> dict:
     return {"wall_s": wall, "pages": n, "pages_per_sec": n / wall if wall else None}
 
 
+def stats_main():
+    """Print ds.stats() for the extraction stage — per-operator wall
+    time / throughput evidence ("measure, don't guess")."""
+    _init_ray(NUM_CPUS)
+    from scrappy_ray.pipelines.crawl_pipeline import extract_all, pages_dir_for
+
+    pages = pages_dir_for(BENCH_SCALE, use_ray=True)
+    ds = extract_all(pages, batch_size=64).materialize()
+    print(ds.stats())
+    import ray
+
+    ray.shutdown()
+
+
 def main():
     if "--scaling" in sys.argv:
         return scaling_main()
+    if "--stats" in sys.argv:
+        return stats_main()
     if "--one-scale" in sys.argv:
         return one_scale_main(int(sys.argv[sys.argv.index("--one-scale") + 1]))
 

@@ -448,25 +448,31 @@ def _finalize(cfg: CrawlConfig, manifest: dict, rounds: int) -> CrawlResult:
     for d in (out_sched, out_triples, out_text):
         shutil.rmtree(d, ignore_errors=True)  # re-finalize after resume
     if edirs:
+        from ray.data.aggregate import Count, Min
+
         ex = ray.data.read_parquet(edirs, columns=["url", "curl", "depth", "seq", "round", "fetched", "text"])
         ex.select_columns(["seq", "url", "depth", "round"]).write_parquet(out_sched)
-        # text: one row per url (first-crawled wins, deterministic by seq)
+        # text: one row per url (first-crawled wins = min seq) —
+        # vectorized: hash-aggregate min(seq) per url, then hash-join
+        # back to pick those rows (no per-group Python)
+        fetched = ray.data.read_parquet(edirs, columns=["curl", "seq", "text", "fetched"]).filter(
+            expr="fetched == True"
+        )
+        winners = fetched.groupby("curl").aggregate(Min("seq", alias_name="seq"))
         (
-            ex.filter(expr="fetched == True")
-            .groupby("curl")
-            .map_groups(
-                lambda g: g.sort_by([("seq", "ascending")]).slice(0, 1),
-                batch_format="pyarrow",
-            )
+            fetched.drop_columns(["fetched"])
+            .join(winners, join_type="inner", num_partitions=8, on=("curl", "seq"))
             .select_columns(["curl", "text"])
             .write_parquet(out_text)
         )
         # final distinct cleaned triples (agent.rb:160-162 clean + uniq)
+        # — vectorized hash-aggregate distinct
         trip = (
             ray.data.read_parquet(edirs, columns=["triples"])
             .map_batches(_explode_clean_triples, batch_format="pyarrow")
             .groupby(["s", "p", "o", "lit"])
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"])
         )
         trip.write_parquet(out_triples)
     return CrawlResult(

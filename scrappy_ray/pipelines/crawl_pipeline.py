@@ -133,7 +133,7 @@ def text_table(pages_path: str, **kw):
 
 def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, robots=False,
               concurrency: int = 4, seen_mode: str = "exact", num_buckets: int | None = None,
-              max_rounds: int = 100):
+              max_rounds: int = 100, small_round_threshold: int | None = None):
     """Full crawl over the synthetic web for an sf scale."""
     from ..crawl.driver import CrawlConfig, run_crawl
 
@@ -156,5 +156,10 @@ def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, rob
             robots=robots,
             seen_mode=seen_mode,
             max_rounds=max_rounds,
+            small_round_threshold=(
+                small_round_threshold
+                if small_round_threshold is not None
+                else int(os.environ.get("SCRAPPY_SMALL_ROUND_THRESHOLD", "100000"))
+            ),
         )
     )
