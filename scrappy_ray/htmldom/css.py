@@ -110,18 +110,58 @@ class Chain:
         return False
 
 
-def compile_css(selector: str) -> list[Chain]:
-    return [Chain(part) for part in selector.split(",") if part.strip()]
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def compile_css(selector: str) -> tuple:
+    return tuple(Chain(part) for part in selector.split(",") if part.strip())
 
 
 def css_search(scope, selector: str) -> list:
     """Descendants of ``scope`` (exclusive) matching any group of the
-    selector, in document order."""
+    selector, in document order. Compilation is cached (hot path: the
+    same KB selectors run on every document)."""
     chains = compile_css(selector)
+    # fast path: single bare-tag chain (the overwhelmingly common case:
+    # 'a', 'h1', 'li', ...) — plain name scan, no matcher dispatch
+    if len(chains) == 1 and len(chains[0].steps) == 1:
+        simple = chains[0].steps[0][1]
+        if simple.tag is not None and not simple.classes and not simple.ids and not simple.attrs:
+            tag = simple.tag
+            return [n for n in scope.descendants() if n.name == tag]
+        return [n for n in scope.descendants() if simple.matches(n)]
+    # fast path: every chain is a single bare tag ('h1, h2, h3, ...')
+    if all(
+        len(c.steps) == 1
+        and c.steps[0][1].tag is not None
+        and not c.steps[0][1].classes
+        and not c.steps[0][1].ids
+        and not c.steps[0][1].attrs
+        for c in chains
+    ):
+        tags = {c.steps[0][1].tag for c in chains}
+        return [n for n in scope.descendants() if n.name in tags]
     out = []
+    if len(chains) == 1:
+        c = chains[0]
+        last = c.steps[-1][1]
+        # pre-filter by the last step's tag before the full ancestor match
+        if last.tag is not None:
+            tag = last.tag
+            for node in scope.descendants():
+                if node.name == tag and c.matches(node, scope):
+                    out.append(node)
+            return out
+        for node in scope.descendants():
+            if not node.is_text() and c.matches(node, scope):
+                out.append(node)
+        return out
     for node in scope.descendants():
         if node.is_text():
             continue
-        if any(c.matches(node, scope) for c in chains):
-            out.append(node)
+        for c in chains:
+            if c.matches(node, scope):
+                out.append(node)
+                break
     return out

@@ -26,6 +26,10 @@ _STEP_RE = re.compile(r"(/{1,2})([\w*-]+|\*)((?:\[[^\]]+\])*)")
 _PRED_RE = re.compile(r"\[([^\]]+)\]")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
 def _parse(pattern: str):
     p = pattern.strip()
     if p.startswith("."):
