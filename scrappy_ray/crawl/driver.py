@@ -349,6 +349,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         def tag_round(batch: pa.Table, _r=this_round) -> pa.Table:
             return batch.append_column("round", pa.array([_r] * batch.num_rows, pa.int32()))
 
+        t_fetch0 = time.perf_counter()
         edir = ckpt.extraction_dir(cfg.ckpt_dir, rnd)
         extract_fn = make_extract_fn(cfg.kb_yaml, cfg.referenceable)
 
@@ -366,7 +367,10 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             .write_parquet(edir)
         )
 
+        t_fetch = time.perf_counter() - t_fetch0
+
         # -- link discovery → next frontier ----------------------------
+        t_links0 = time.perf_counter()
         if small:
             next_seq_after = _links_small_path(
                 edir, ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1), seen, robots, cfg, next_seq, defer_tbl
@@ -406,8 +410,10 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             next_frontier.write_parquet(nfdir)
         n_new = next_seq_after - next_seq
         next_seq = next_seq_after
+        t_links = time.perf_counter() - t_links0
 
         # -- round complete: snapshots, metrics, manifest --------------
+        t_snap0 = time.perf_counter()
         ckpt.save_seen_snapshot(cfg.ckpt_dir, rnd, seen.snapshot_delta())
         if budget:
             ckpt.save_budget_snapshot(cfg.ckpt_dir, rnd, budget.snapshot())
@@ -421,6 +427,9 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
                 "deferred": n_deferred,
                 "new_items": n_new,
                 "wall_s": round(wall, 4),
+                "fetch_extract_s": round(t_fetch, 4),
+                "links_s": round(t_links, 4),
+                "snapshot_s": round(time.perf_counter() - t_snap0, 4),
                 "urls_per_sec": round(n_exec / wall, 2) if wall > 0 else None,
             }
         )
