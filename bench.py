@@ -51,7 +51,7 @@ def _consume(res) -> int:
     return res.count()
 
 
-BENCH_SCALE = "bench"  # ~160k-page synthetic web for crawl/extract/scaling
+BENCH_SCALE = "bench"  # ~640k-page synthetic web for crawl/extract/scaling
 
 
 def crawl_bench(sf_dir: str, concurrency: int) -> dict:

@@ -20,8 +20,8 @@ _SCALES = {
     "sf0.01": SynthWebConfig(n_hosts=4, pages_per_host=25),
     "sf0.1": SynthWebConfig(n_hosts=8, pages_per_host=400),
     # the bench/scaling corpus: big enough that extraction compute
-    # dominates fixed per-job overhead at 32 CPUs (~160k pages)
-    "bench": SynthWebConfig(n_hosts=16, pages_per_host=10_000),
+    # dominates fixed per-job overhead at 32 CPUs (~640k pages)
+    "bench": SynthWebConfig(n_hosts=16, pages_per_host=40_000),
 }
 _DEFAULT = SynthWebConfig(n_hosts=3, pages_per_host=12)
 
