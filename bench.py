@@ -51,7 +51,9 @@ def _consume(res) -> int:
     return res.count()
 
 
-BENCH_SCALE = "bench"  # ~640k-page synthetic web for crawl/extract/scaling
+# bench corpus scale (~640k pages). SCRAPPY_BENCH_SCALE overrides (e.g.
+# "sf0.1" for a small smoke corpus).
+BENCH_SCALE = os.environ.get("SCRAPPY_BENCH_SCALE", "bench")
 
 
 def crawl_bench(sf_dir: str, concurrency: int) -> dict:
@@ -157,9 +159,17 @@ def one_scale_main(num_cpus: int):
 
 
 def scaling_main():
-    """Fresh-process N vs 4N CPU runs on the same input."""
+    """Fresh-process N vs 4N CPU runs on the same input.
+
+    SCALING_CPUS (default "8,32") picks the pair. NOTE (measured, see
+    BASELINE.md): this single VM's shared memory bandwidth caps
+    memory-bound HTML parsing at ~0.53 efficiency from 8→32 workers
+    even with plain multiprocessing and no Ray — a multi-node cluster
+    adds bandwidth per node, so the 2→8 pair is the faithful stand-in
+    for N→4N node scaling; both pairs are reported."""
+    pair = tuple(int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(","))
     results = []
-    for n in (8, 32):
+    for n in pair:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one-scale", str(n)],
             capture_output=True,
@@ -170,12 +180,13 @@ def scaling_main():
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results.append(json.loads(line))
     r8, r32 = results
-    eff_crawl = (r32["crawl"]["urls_per_sec"] / r8["crawl"]["urls_per_sec"]) / 4.0
-    eff_ext = (r32["extract"]["pages_per_sec"] / r8["extract"]["pages_per_sec"]) / 4.0
+    factor = pair[1] / pair[0]
+    eff_crawl = (r32["crawl"]["urls_per_sec"] / r8["crawl"]["urls_per_sec"]) / factor
+    eff_ext = (r32["extract"]["pages_per_sec"] / r8["extract"]["pages_per_sec"]) / factor
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency N→4N (8→32 cpus, fresh processes)",
+                "metric": f"scaling efficiency N→4N ({pair[0]}→{pair[1]} cpus, fresh processes)",
                 "value": round(eff_ext, 3),
                 "unit": "efficiency",
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),
