@@ -22,6 +22,7 @@ _SCALES = {
     # the bench/scaling corpus: big enough that extraction compute
     # dominates fixed per-job overhead at 32 CPUs (~640k pages)
     "bench": SynthWebConfig(n_hosts=16, pages_per_host=40_000),
+    "bench160": SynthWebConfig(n_hosts=16, pages_per_host=10_000),
 }
 _DEFAULT = SynthWebConfig(n_hosts=3, pages_per_host=12)
 
