@@ -15,12 +15,18 @@ ray.init()/ray.shutdown() here or below.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
+
+# make `scrappy_ray` importable regardless of the driver's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 ROUND = 4  # float rounding applied identically in Ray + SQL outputs
 
