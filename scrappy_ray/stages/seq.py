@@ -3,10 +3,11 @@
 The crawl's deterministic ordering (SURVEY.md §4 "Ordering") needs a
 contiguous global seq over the sorted new-frontier Dataset. Ray Data
 has no global row_number, so this does a block-level prefix sum: take
-the sorted dataset's blocks (in order), count rows per block with tiny
-remote tasks, then add the per-block offset — O(num_blocks) driver
-work, never materializing rows on the driver. Scales to arbitrarily
-large frontiers."""
+the sorted dataset's blocks, compute each block's (min sort key, row
+count) with tiny remote tasks, order blocks by their minima — robust
+even if the executor yields range partitions out of order
+(``preserve_order`` is not assumed) — then add per-block offsets.
+O(num_blocks) driver work, never materializing rows on the driver."""
 
 from __future__ import annotations
 
@@ -15,8 +16,12 @@ import ray
 
 
 @ray.remote
-def _nrows(tbl: pa.Table) -> int:
-    return tbl.num_rows
+def _block_meta(tbl: pa.Table, order_cols: tuple) -> tuple:
+    """(min sort-key tuple, num_rows) for one block."""
+    if tbl.num_rows == 0:
+        return (None, 0)
+    key = tuple(tbl.column(c)[0].as_py() for c in order_cols)
+    return (key, tbl.num_rows)
 
 
 @ray.remote
@@ -27,16 +32,21 @@ def _add_seq(tbl: pa.Table, offset: int, col: str) -> pa.Table:
     return tbl.append_column(col, seqs)
 
 
-def add_global_seq(ds, start: int, col: str = "seq"):
-    """ds must already be sorted in the desired order. Returns
-    (new_dataset, next_start)."""
+def add_global_seq(ds, start: int, col: str = "seq", order_cols: tuple = ("parent_seq", "link_idx")):
+    """``ds`` must be sorted by ``order_cols`` (range-partitioned
+    blocks, rows sorted within each). Returns (new_dataset, next_seq).
+    Blocks are re-ordered by their first sort key, so the result does
+    not depend on executor block-yield order."""
     import ray.data
 
     refs = ds.to_arrow_refs()
-    counts = ray.get([_nrows.remote(r) for r in refs])
+    metas = ray.get([_block_meta.remote(r, order_cols) for r in refs])
+    order = sorted(
+        (i for i in range(len(refs)) if metas[i][1] > 0), key=lambda i: metas[i][0]
+    )
     out_refs = []
     offset = start
-    for r, n in zip(refs, counts):
-        out_refs.append(_add_seq.remote(r, offset, col))
-        offset += n
+    for i in order:
+        out_refs.append(_add_seq.remote(refs[i], offset, col))
+        offset += metas[i][1]
     return ray.data.from_arrow_refs(out_refs), offset

@@ -78,7 +78,7 @@ def test_add_global_seq(ray_session):
     from scrappy_ray.stages.seq import add_global_seq
 
     ds = ray.data.from_arrow(pa.table({"x": pa.array(range(100))})).repartition(7).sort("x")
-    out, nxt = add_global_seq(ds, start=10)
+    out, nxt = add_global_seq(ds, start=10, order_cols=("x",))
     assert nxt == 110
     t = out.to_pandas().sort_values("x")
     assert t["seq"].tolist() == list(range(10, 110))
