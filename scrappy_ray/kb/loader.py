@@ -119,4 +119,8 @@ def load_kb_file(path: str | Path) -> KB:
     path = Path(path)
     if path.suffix == ".json":
         return kb_from_dict(json.loads(path.read_text()))
+    if path.suffix == ".yarf":
+        from .yarf import yarf_to_kb
+
+        return yarf_to_kb(path.read_text())
     return load_kb(path.read_text())
