@@ -163,6 +163,35 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ds, gap_minutes=30).sort("user_id")
 
 
+def _q_events_window(sf_dir: str):
+    """Tumbling 6-hour window aggregate — the batch expression of a
+    stream window (ray_guide.md 'Streaming-shaped workloads'): window =
+    floor(epoch/21600), vectorized in Arrow; oracle uses the same
+    bucketing in SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch = pc.cast(batch.column("ts"), pa.int64())  # µs
+        w = pc.divide(epoch, pa.scalar(21_600_000_000, pa.int64()))
+        return pa.table(
+            {"win": pc.cast(w, pa.int64()), "event_type": batch.column("event_type"), "value": batch.column("value")}
+        )
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["win", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .sort(["win", "event_type"])
+    )
+    return round_cols(out, ["sum_value"], ROUND)
+
+
 def _q_filter_pushdown(sf_dir: str):
     """Predicate + projection pruned at the read (read_parquet filter)."""
     import pyarrow.dataset as pads
@@ -426,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "distinct_event_types": _q_distinct_event_types,
         "sessionize": _q_sessionize,
+        "events_window": _q_events_window,
         "filter_pushdown": _q_filter_pushdown,
         "mktsegment": _q_mktsegment,
         "part_types": _q_part_types,
@@ -498,6 +528,11 @@ def oracle_sql() -> dict[str, str]:
                      epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
               FROM events
             ) t GROUP BY user_id ORDER BY user_id
+        """,
+        "events_window": f"""
+            SELECT epoch_us(ts) // 21600000000 AS win, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS sum_value
+            FROM events GROUP BY win, event_type ORDER BY win, event_type
         """,
         "filter_pushdown": f"""
             SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), {ROUND}) AS sum_qty,

@@ -219,3 +219,29 @@ def test_ray_crawl_shuffle_path_matches(synth_web, synth_pages_dir, tmp_path):
         )
     )
     assert sched_tuples(res) == sim_tuples(sup)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_url_only_seen_mode(synth_web, synth_pages_dir, tmp_path):
+    """url_only_seen (the 10^10 design point): a url is crawled once
+    regardless of remaining depth — a superset-dedup of the reference's
+    (url, depth) pairs."""
+    cfg, kb = synth_web
+    from collections import Counter
+
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=[f"http://site0.test/"],
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=4,
+            num_buckets=4,
+            extract_concurrency=2,
+            url_only_seen=True,
+        )
+    )
+    urls = [r["url"] for r in res.schedule_table().to_pylist()]
+    assert urls and max(Counter(urls).values()) == 1
