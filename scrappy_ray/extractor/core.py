@@ -146,8 +146,15 @@ def discover_links(triples: list, self_uri: str, depth: int) -> list[dict]:
 
 def extract_record(kb: KB, uri: str, html, depth: int, referenceable: bool = False) -> dict:
     """One frontier item → full per-document record: the unit produced
-    by the Ray extraction stage and by the simulator. ``html=None``
-    means the fetch missed (non-HTML → empty triples, agent.rb:231-237)."""
+    by the Ray extraction stage AND by the simulator (shared code ⇒
+    identical behavior, including error handling). ``html=None`` means
+    the fetch missed (non-HTML → empty triples, agent.rb:231-237).
+
+    A page whose extraction raises yields an empty record with the
+    error recorded instead of killing the job — a deliberate upgrade
+    over the reference, where any exception aborts the whole crawl
+    (SURVEY.md §4 "Retries"); at corpus scale one malformed page must
+    not kill a run."""
     if html is None:
         return {
             "url": uri,
@@ -157,7 +164,18 @@ def extract_record(kb: KB, uri: str, html, depth: int, referenceable: bool = Fal
             "text": "",
             "links": [],
         }
-    res = extract(kb, uri, html, referenceable)
+    try:
+        res = extract(kb, uri, html, referenceable)
+    except Exception as e:  # noqa: BLE001 — any per-page failure is data, not fate
+        return {
+            "url": uri,
+            "fetched": True,
+            "triples": [],
+            "clean_triples": [],
+            "text": "",
+            "links": [],
+            "error": f"{type(e).__name__}: {e}",
+        }
     ct = res.clean_triples
     return {
         "url": uri,

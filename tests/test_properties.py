@@ -61,3 +61,27 @@ def test_serialize_parse_roundtrip_text(s):
 def test_complete_uri_always_schemed(s):
     out = complete_uri(s)
     assert ":" in out or out == s
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_extract_never_raises_on_arbitrary_bytes(data):
+    """A malformed page must never kill the crawl (extract_record
+    catches per-page failures — upgrade over the reference, which
+    aborts on any exception)."""
+    from scrappy_ray.extractor import extract_record
+    from scrappy_ray.kb import load_kb
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    kb = load_kb(synth_kb_yaml())
+    rec = extract_record(kb, "http://fuzz.test/p", data, 1)
+    assert rec["fetched"] is True
+    assert isinstance(rec["triples"], list)
+
+
+@given(st.text(alphabet="<>ab c=\"'/!-&;", max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_parse_html_never_raises(s):
+    from scrappy_ray.htmldom import parse_html
+
+    parse_html(s).text
