@@ -72,6 +72,25 @@ def crawl_bench(sf_dir: str, concurrency: int) -> dict:
     return {"wall_s": wall, "urls": n, "urls_per_sec": n / wall if wall else None}
 
 
+def polite_crawl_bench(concurrency: int) -> dict:
+    """The metric's 'fixed seed list + politeness budget' variant:
+    per-host token budget + robots.txt filtering on the 160k-page
+    corpus (deferral stretches the crawl over more rounds)."""
+    from scrappy_ray.pipelines.crawl_pipeline import crawl_job, pages_dir_for
+
+    pages_dir_for("bench160", use_ray=True)
+    ckpt = tempfile.mkdtemp(prefix="bench_polite_", dir="/tmp")
+    t0 = time.perf_counter()
+    res = crawl_job("bench160", ckpt, depth=-1, concurrency=concurrency,
+                    host_budget=1250, robots=True)
+    wall = time.perf_counter() - t0
+    n = sum(r["executed"] for r in res.manifest["rounds"])
+    rounds = len(res.manifest["rounds"])
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {"wall_s": wall, "urls": n, "rounds": rounds,
+            "urls_per_sec": n / wall if wall else None}
+
+
 def extract_bench(sf_dir: str, concurrency: int) -> dict:
     from scrappy_ray.pipelines.crawl_pipeline import extract_all, pages_dir_for
 
@@ -115,6 +134,9 @@ def main():
     crawl = crawl_bench(SF_DIR, concurrency=conc)
     queries["crawl_bfs"] = round(crawl["wall_s"], 3)
 
+    polite = polite_crawl_bench(concurrency=conc)
+    queries["crawl_politeness"] = round(polite["wall_s"], 3)
+
     t = time.perf_counter()
     ext = extract_bench(SF_DIR, concurrency=conc)
     queries["extract_all"] = round(ext["wall_s"], 3)
@@ -137,6 +159,8 @@ def main():
                 "num_cpus": NUM_CPUS,
                 "crawl_urls_per_sec": round(crawl["urls_per_sec"], 2),
                 "crawl_urls": crawl["urls"],
+                "polite_crawl_urls_per_sec": round(polite["urls_per_sec"], 2),
+                "polite_crawl_rounds": polite["rounds"],
                 "extract_pages_per_sec": round(ext["pages_per_sec"], 2),
             }
         )
