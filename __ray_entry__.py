@@ -371,6 +371,29 @@ def _q_quality(sf_dir: str):
     )
 
 
+def _q_ann_ivf(sf_dir: str):
+    from scrappy_ray.functions.similarity import ivf_topk
+
+    emb = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qmask = [i for i, v in enumerate(emb.column("vec_id").to_pylist()) if v < 8]
+    queries = np.array([emb.column("embedding")[i].as_py() for i in qmask], dtype=np.float64)
+    qids = [emb.column("vec_id")[i].as_py() for i in qmask]
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=5, query_ids=qids).select_columns(
+        ["query_id", "neighbor_id", "rank"]
+    ).sort(["query_id", "rank"])
+
+
+def _q_dedup_components(sf_dir: str):
+    """Cluster-exact near-dup keep set: minhash pairs → connected
+    components → keep min id per component."""
+    from scrappy_ray.functions.dedup import dedup_by_components, minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, num_perm=32, bands=8, concurrency=2).materialize()
+    return dedup_by_components(ds, pairs).select_columns(["doc_id"]).sort("doc_id")
+
+
 def _q_ann_lsh(sf_dir: str):
     from scrappy_ray.functions.similarity import lsh_topk
 
@@ -471,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "quality_scores": _q_quality,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "dedup_components": _q_dedup_components,
         "mm_decode": _q_mm_decode,
         "extract_triples": _q_extract_triples,
         "extract_text": _q_extract_text,

@@ -303,6 +303,55 @@ def embedding_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.95, n_
 # -- keep-set from pairs ------------------------------------------------
 
 
+def connected_components(pairs_ds) -> dict:
+    """Duplicate clusters from a candidate-pairs table: streaming
+    union-find on the driver. The state is O(pair endpoints) — only
+    documents that appear in some near-dup pair, a tiny fraction of
+    the corpus — which is the case ray_guide.md marks as appropriate
+    for driver-side union-find (the fully-distributed alternative is
+    iterated min-label propagation via groupby). Pairs stream through
+    ``iter_batches``; the corpus never materializes.
+
+    Returns {id: root} where root is the component's min id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        for x, y in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by min id keeps roots deterministic
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def dedup_by_components(ds, pairs_ds, id_col="doc_id"):
+    """Exact cluster dedup: keep only each connected component's min-id
+    member (transitively correct, unlike the greedy pair-drop below)."""
+    import ray
+
+    comp = connected_components(pairs_ds)
+    drop = {i for i, root in comp.items() if i != root}
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pa.array([i not in d for i in batch.column(id_col).to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def drop_near_duplicates(ds, pairs_ds, id_col="doc_id"):
     """Greedy dedup: drop any doc that appears as the LARGER id of a
     near-dup pair (deterministic keep-smallest; one pass, no iterative

@@ -78,6 +78,117 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col
     )
 
 
+def ivf_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="vec_id",
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 31,
+             query_ids: list | None = None, sample_size: int = 2048, iters: int = 8):
+    """IVF-style ANN: a coarse k-means quantizer is trained on a driver
+    SAMPLE (one pass, ``ds.limit(sample_size)``), vectors are assigned
+    to their nearest centroid via a vectorized matmul per batch
+    (groupby list = the inverted file), and each query probes only its
+    ``nprobe`` nearest lists. Per-query work is O(nprobe/n_centroids)
+    of the corpus — the classic IVF-Flat layout (Jégou et al. '11,
+    public)."""
+    q = np.asarray(queries, dtype=np.float64)
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+
+    # --- train the coarse quantizer on a sample (driver-side, tiny) ---
+    sample = _as_matrix(
+        pa.concat_tables(
+            [pa.table({vec_col: b.column(vec_col)}) for b in ds.limit(sample_size).iter_batches(batch_format="pyarrow")]
+        ).column(vec_col)
+    )
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    cent_ref = ray.put(cent)
+
+    def assign_lists(batch: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        vecs = _as_matrix(batch.column(vec_col))
+        d2 = ((vecs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "list_id": pa.array(d2.argmin(axis=1), pa.int32()),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    # queries → probed lists
+    qd2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(q)):
+        for c in np.argsort(qd2[qi])[:nprobe]:
+            probe.setdefault(int(c), []).append(qi)
+    probe_ref = ray.put((probe, q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)))
+
+    def list_topk(group: pa.Table) -> pa.Table:
+        pr, qn = ray.get(probe_ref)
+        qis = pr.get(group.column("list_id")[0].as_py(), [])
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if not qis:
+            return empty
+        vecs = _as_matrix(group.column(vec_col))
+        ids = group.column(id_col).to_pylist()
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        cos = vn @ qn[qis].T
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for col, qi in enumerate(qis):
+            for i in np.argsort(-cos[:, col])[: k + 1]:
+                out["query_id"].append(qids[qi])
+                out["neighbor_id"].append(ids[i])
+                out["cosine"].append(float(cos[i, col]))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        seen = set()
+        rows = []
+        for c, n in sorted(
+            zip(group.column("cosine").to_pylist(), group.column("neighbor_id").to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        ):
+            if n == qid or n in seen:
+                continue
+            seen.add(n)
+            rows.append((c, n))
+        rows = rows[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+                "rank": pa.array(range(1, len(rows) + 1), pa.int32()),
+                "cosine": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_lists, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(list_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
 def lsh_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="vec_id",
              n_planes: int = 6, seed: int = 23, query_ids: list | None = None,
              multiprobe: bool = True):

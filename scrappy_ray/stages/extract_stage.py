@@ -37,6 +37,7 @@ EXTRACTION_SCHEMA = pa.schema(
         ("triples", pa.list_(TRIPLE_TYPE)),
         ("links", pa.list_(LINK_TYPE)),
         ("text", pa.string()),
+        ("error", pa.string()),
     ]
 )
 
@@ -88,7 +89,7 @@ def extract_batch(batch: pa.Table, kb, referenceable: bool = False) -> pa.Table:
         rounds = batch.column("round").to_pylist() if "round" in batch.column_names else [0] * len(urls)
         htmls = batch.column("html").to_pylist()
 
-        out = {k: [] for k in ("url", "curl", "depth", "seq", "round", "fetched", "triples", "links", "text")}
+        out = {k: [] for k in ("url", "curl", "depth", "seq", "round", "fetched", "triples", "links", "text", "error")}
         for url, curl, depth, seq, rnd, html in zip(urls, curls, depths, seqs, rounds, htmls):
             rec = extract_record(kb, curl, html, depth, referenceable)
             out["url"].append(url)
@@ -102,6 +103,7 @@ def extract_batch(batch: pa.Table, kb, referenceable: bool = False) -> pa.Table:
             )
             out["links"].append(rec["links"])
             out["text"].append(rec["text"])
+            out["error"].append(rec.get("error"))
 
         return pa.table(
             {
@@ -114,5 +116,6 @@ def extract_batch(batch: pa.Table, kb, referenceable: bool = False) -> pa.Table:
                 "triples": pa.array(out["triples"], pa.list_(TRIPLE_TYPE)),
                 "links": pa.array(out["links"], pa.list_(LINK_TYPE)),
                 "text": pa.array(out["text"], pa.string()),
+                "error": pa.array(out["error"], pa.string()),
             }
         )

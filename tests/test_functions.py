@@ -263,3 +263,42 @@ def test_broadcast_join_and_topk():
     assert j["name"].tolist() == ["a", "b", "b"]  # inner join drops k=3
     t = top_k(big, "v", 2).to_pandas()
     assert t["v"].tolist() == [40, 30]
+
+
+def test_connected_components_and_dedup():
+    import ray.data
+
+    from scrappy_ray.functions.dedup import connected_components, dedup_by_components
+
+    # chain 1-2-3, pair 5-6, singleton 9 untouched
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([1, 2, 5], pa.int64()), "id_b": pa.array([2, 3, 6], pa.int64())})
+    )
+    comp = connected_components(pairs)
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    docs = _docs_ds([(i, f"t{i}") for i in (1, 2, 3, 5, 6, 9)])
+    kept = sorted(dedup_by_components(docs, pairs).to_pandas()["doc_id"])
+    assert kept == [1, 5, 9]
+
+
+def test_ivf_topk_recall():
+    import ray.data
+
+    from scrappy_ray.functions.similarity import ivf_topk, topk_cosine
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(300, 12)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    brute = topk_cosine(ds, vecs[:5], k=3, query_ids=list(range(5))).to_pandas()
+    ivf = ivf_topk(ds, vecs[:5], k=3, query_ids=list(range(5)), n_centroids=8, nprobe=4).to_pandas()
+    hits = 0
+    for q in range(5):
+        b1 = brute[(brute.query_id == q) & (brute["rank"] == 1)]["neighbor_id"].tolist()
+        hits += bool(b1 and b1[0] in ivf[ivf.query_id == q]["neighbor_id"].tolist())
+    assert hits >= 3  # nprobe=4 of 8 lists recovers most rank-1 neighbors
