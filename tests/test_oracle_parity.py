@@ -1,0 +1,44 @@
+"""In-suite DuckDB oracle parity: run a few of __ray_entry__'s oracled
+queries against their SQL on sf0.001, the same comparison the driver
+does at sf0.01 (order-insensitive, floats rounded identically)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+FAST_QUERIES = ["tpch_q1", "dedup_exact", "token_stats", "sessionize", "events_window", "sim_topk"]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(name, oracle_con):
+    import __ray_entry__ as E
+
+    res = E.queries()[name](SF)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    odf = oracle_con.execute(E.oracle_sql()[name]).fetchdf()
+
+    assert sorted(df.columns) == sorted(odf.columns)
+    assert len(df) == len(odf)
+    a = df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+    b = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
+    for c in a.columns:
+        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            assert np.allclose(a[c].astype(float), b[c].astype(float), atol=1e-9), c
+        else:
+            assert (a[c].astype(str).to_numpy() == b[c].astype(str).to_numpy()).all(), c
