@@ -245,3 +245,29 @@ def test_url_only_seen_mode(synth_web, synth_pages_dir, tmp_path):
     )
     urls = [r["url"] for r in res.schedule_table().to_pylist()]
     assert urls and max(Counter(urls).values()) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_resume_with_politeness_and_robots(synth_web, synth_pages_dir, tmp_path):
+    """Resume restores seen-set deltas AND token-bucket state: a
+    politeness+robots crawl killed mid-run must finish identically to
+    an uninterrupted one (exercises budget snapshot restore)."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    mk = lambda d, rounds: CrawlConfig(
+        pages_path=synth_pages_dir,
+        kb_yaml=synth_kb_yaml(),
+        seeds=seed_urls(cfg),
+        ckpt_dir=d,
+        depth=-1,
+        num_buckets=4,
+        extract_concurrency=2,
+        host_budget=4,
+        robots=True,
+        max_rounds=rounds,
+    )
+    full = run_crawl(mk(str(tmp_path / "full"), 60))
+    run_crawl(mk(str(tmp_path / "part"), 3))  # killed after 3 rounds
+    resumed = run_crawl(mk(str(tmp_path / "part"), 60))
+    assert exec_order(resumed) == exec_order(full)
