@@ -74,7 +74,6 @@ class CrawlConfig:
     max_rounds: int = 200
     extract_concurrency: int = 4
     extract_batch_size: int = 64
-    link_partitions: int = 8  # shuffle width for in-round dedup
     referenceable: bool = False
     # page store location override; default derives from pages_path so
     # repeated crawls of the same corpus reuse the one-time index build
@@ -170,10 +169,6 @@ def _first_discovery(group: pa.Table) -> pa.Table:
     """In-round first-wins dedup for one (url, depth) group."""
     group = group.sort_by([("parent_seq", "ascending"), ("link_idx", "ascending")])
     return group.slice(0, 1)
-
-
-def _empty_frontier() -> pa.Table:
-    return FRONTIER_SCHEMA.empty_table()
 
 
 def _links_small_path(edir: str, nfdir: str, seen, robots, cfg, next_seq: int, defer_tbl) -> int:

@@ -208,16 +208,3 @@ def fetch_frontier(frontier_ds, store_dir: str, num_buckets: int, shuffle: bool 
         return batch.append_column("html", pa.array(htmls, pa.binary()))
 
     return frontier_ds.map_batches(fetch_direct, batch_format="pyarrow")
-
-
-def write_pages_with_canonical(frontier_rows: list[dict]) -> pa.Table:
-    """Driver helper: frontier rows → Arrow table with canonical url."""
-    return pa.table(
-        {
-            "url": pa.array([r["url"] for r in frontier_rows], pa.string()),
-            "curl": pa.array([complete_uri(r["url"]) for r in frontier_rows], pa.string()),
-            "depth": pa.array([r["depth"] for r in frontier_rows], pa.int32()),
-            "seq": pa.array([r["seq"] for r in frontier_rows], pa.int64()),
-            "round": pa.array([r.get("round", 0) for r in frontier_rows], pa.int32()),
-        }
-    )

@@ -78,3 +78,17 @@ def test_serialize_roundtrip():
 def test_body_normalization():
     doc = parse_html("<p>loose</p>")
     assert doc.search("body p")[0].text == "loose"
+
+
+def test_css_attribute_selectors():
+    doc = parse_html('<div><a rel="next" href="/n">n</a><a href="/p">p</a></div>')
+    assert [n.text for n in doc.search("a[rel]")] == ["n"]
+    assert [n.text for n in doc.search('a[rel="next"]')] == ["n"]
+    assert [n.text for n in doc.search("a[rel=next]")] == ["n"]
+    assert doc.search('a[rel="prev"]') == []
+
+
+def test_css_multi_class_and_id_compound():
+    doc = parse_html('<p class="x y" id="k">a</p><p class="x">b</p>')
+    assert [n.text for n in doc.search("p.x.y")] == ["a"]
+    assert [n.text for n in doc.search("p#k.x")] == ["a"]
