@@ -430,7 +430,7 @@ def _q_mm_decode(sf_dir: str):
 def _q_extract_triples(sf_dir: str):
     from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for, triples_table
 
-    return triples_table(pages_dir_for(sf_dir)).sort(["url", "s", "p", "o"])
+    return triples_table(pages_dir_for(sf_dir)).sort(["url", "s", "p", "o", "lit"])
 
 
 def _q_extract_text(sf_dir: str):
@@ -504,7 +504,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _sql_word_list(words) -> str:
+    return "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+def _lang_quality_sqls() -> dict[str, str]:
+    """SQL oracles that re-express the textstats heuristics with DuckDB
+    list lambdas — the SAME stopword lists as the Ray kernels (imported,
+    not copied, so they cannot drift)."""
+    from scrappy_ray.functions.textstats import _EN, _ES
+
+    en, es = _sql_word_list(_EN), _sql_word_list(_ES)
+    toks = "regexp_split_to_array(TRIM(text), '\\s+')"
+    ltoks = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
+    base = f"""
+      SELECT doc_id,
+        LENGTH(text) AS n_chars_i,
+        LEN({toks}) AS n_tokens_i,
+        LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_i,
+        LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_i,
+        LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_i,
+        len(list_filter({ltoks}, tk -> list_contains({en}, tk) OR list_contains({es}, tk))) AS stop_i,
+        len(list_filter({ltoks}, tk -> list_contains({en}, tk))) AS en_c,
+        len(list_filter({ltoks}, tk -> list_contains({es}, tk))) AS es_c
+      FROM documents"""
+    return {
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN en_c > es_c THEN 'en'
+                        WHEN es_c > en_c THEN 'es'
+                        ELSE 'und' END AS lang_pred
+            FROM ({base}) ORDER BY doc_id
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(n_chars_i AS BIGINT) AS n_chars,
+                   CAST(n_tokens_i AS BIGINT) AS n_tokens,
+                   ROUND(punct_i / GREATEST(n_chars_i, 1.0), 6) AS punct_ratio,
+                   ROUND(digit_i / GREATEST(n_chars_i, 1.0), 6) AS digit_ratio,
+                   ROUND(upper_i / GREATEST(n_chars_i, 1.0), 6) AS upper_ratio,
+                   ROUND(n_chars_i / GREATEST(n_tokens_i, 1.0), 6) AS mean_word_len,
+                   ROUND(stop_i / GREATEST(n_tokens_i, 1.0), 6) AS stopword_ratio,
+                   ROUND(LEAST(n_tokens_i / 20.0, 1.0) * 0.3
+                         + LEAST(punct_i / GREATEST(n_chars_i, 1.0) * 20.0, 1.0) * 0.2
+                         + (1.0 - LEAST(digit_i / GREATEST(n_chars_i, 1.0) * 5.0, 1.0)) * 0.2
+                         + LEAST(stop_i / GREATEST(n_tokens_i, 1.0) * 3.0, 1.0) * 0.3, 6) AS quality
+            FROM ({base}) ORDER BY doc_id
+        """,
+    }
+
+
+# Queries whose values are deterministic but not SQL-expressible get a
+# FROZEN-GOLDEN oracle: the committed sf0.01 output parquet (regenerated
+# by tools/gen_oracle_goldens.py) read back by DuckDB. This checks
+# value-level determinism/regressions; the semantics themselves are
+# covered by the pytest suite (simulator parity, planted-dup recovery,
+# byte-exact extraction goldens).
+_GOLDEN_ORACLES = {
+    "fingerprint": "ORDER BY doc_id",
+    "dedup_simhash": "ORDER BY id_a, id_b",
+    "dedup_minhash": "ORDER BY id_a, id_b",
+    "dedup_embedding": "ORDER BY id_a, id_b",
+    "dedup_components": "ORDER BY doc_id",
+    "ann_lsh": "ORDER BY query_id, rank",
+    "ann_ivf": "ORDER BY query_id, rank",
+    "mm_decode": "ORDER BY id",
+    "extract_triples": "ORDER BY url, s, p, o, lit",
+    "extract_text": "ORDER BY url",
+    "crawl_bfs": "ORDER BY seq",
+    "crawl_politeness": "ORDER BY round, seq",
+}
+
+
+def _golden_oracle_sqls() -> dict[str, str]:
+    out = {}
+    for name, order in _GOLDEN_ORACLES.items():
+        path = os.path.join(_REPO, "tests", "golden", "oracle", f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = f"SELECT * FROM read_parquet('{path}') {order}"
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_static()
+    out.update(_lang_quality_sqls())
+    out.update(_golden_oracle_sqls())
+    return out
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "tpch_q1": f"""
             SELECT l_returnflag, l_linestatus,

@@ -3,7 +3,7 @@
 
     python -m scrappy_ray get URL [URL...] \
         --pages PAGES_PARQUET --kb KB_YAML \
-        [-l DEPTH] [-f ntriples|json|yarf] [--budget N] [--robots] \
+        [-l DEPTH] [-f ntriples|json|ejson|yarf|rdfxml|rdf] [--budget N] [--robots] \
         [--ckpt DIR] [--dump DIR]
 
 Options map to the reference: -l/--levels (bin/scrappy:27),
@@ -27,7 +27,9 @@ def main(argv=None):
     g.add_argument("--pages", required=True, help="pages parquet path/dir")
     g.add_argument("--kb", required=True, help="KB YAML file")
     g.add_argument("-l", "--levels", type=int, default=-1, help="depth (-1 = unbounded)")
-    g.add_argument("-f", "--format", default="ntriples", choices=["ntriples", "json", "yarf"])
+    from .sources.serializers import SERIALIZERS
+
+    g.add_argument("-f", "--format", default="ntriples", choices=sorted(SERIALIZERS))
     g.add_argument("--budget", type=float, default=None, help="per-host items/round")
     g.add_argument("--robots", action="store_true")
     g.add_argument("--ckpt", default=None, help="checkpoint dir (resume if it exists)")

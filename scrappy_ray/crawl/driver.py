@@ -27,6 +27,7 @@ import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -107,18 +108,37 @@ def _frontier_table(items: list[dict]) -> pa.Table:
     )
 
 
-def _make_mark_exec(pool: HostBudgetPool, rnd: int):
-    """Per-host politeness: sort the host's items by seq, ask the
-    token-bucket shard for a grant, execute the first g."""
+def _make_mark_exec(grants_ref):
+    """Per-host politeness mark: sort the host's items by seq, execute
+    the first ``grants[host]``. Grants are precomputed ONCE per round on
+    the driver (one batched RPC per budget shard — NOT one actor
+    round-trip per host group, which at millions of hosts/round would
+    be millions of tiny RPCs) and broadcast via ray.put."""
+    import numpy as np
+
+    from ..common import cached_get
 
     def mark_exec(group: pa.Table) -> pa.Table:
         group = group.sort_by([("seq", "ascending")])
         host = group.column("host")[0].as_py()
-        g = pool.grant({host: group.num_rows}, rnd)[host]
-        mask = pa.array([i < g for i in range(group.num_rows)], pa.bool_())
+        g = cached_get(grants_ref).get(host, 0)
+        mask = pa.array(np.arange(group.num_rows) < g)
         return group.append_column("exec", mask)
 
     return mark_exec
+
+
+def _host_counts(fdir: str) -> dict[str, int]:
+    """Per-host frontier counts from the checkpointed frontier files —
+    a driver-side columnar scan of ONE narrow column (the per-round
+    grant table is O(distinct hosts), the small side by construction)."""
+    import pyarrow.dataset as pads
+
+    col = pads.dataset(fdir).to_table(columns=["host"]).column("host")
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(col.combine_chunks())
+    return dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
 
 
 class _SeenMark:
@@ -143,32 +163,57 @@ class _RobotsFilter:
         return batch.filter(pa.array(mask, pa.bool_()))
 
 
+# (parent_seq, link_idx) packed into one int64 discovery key: min(enc)
+# per (url, depth) IS first-wins dedup, and sorting by enc IS the
+# (parent_seq, link_idx) order — so the shuffle path's in-round dedup
+# is a fully-vectorized hash AGGREGATE (no per-group Python across
+# millions of tiny groups) and its ordering sort is single-column.
+_ENC_BITS = 20  # link_idx < 2^20 per document
+
+
 def _explode_links(batch: pa.Table) -> pa.Table:
-    """extraction rows (seq, links) → candidate rows
-    (url, depth, parent_seq, link_idx)."""
-    out = {"url": [], "depth": [], "parent_seq": [], "link_idx": []}
-    seqs = batch.column("seq").to_pylist()
-    links = batch.column("links").to_pylist()
-    for seq, ls in zip(seqs, links):
-        for idx, l in enumerate(ls or []):
-            out["url"].append(l["url"])
-            out["depth"].append(l["depth"])
-            out["parent_seq"].append(seq)
-            out["link_idx"].append(idx)
+    """extraction rows (seq, links) → candidate rows (url, depth, enc).
+    Fully vectorized: pc.list_flatten + np.repeat — no per-row Python
+    (this IS the at-scale path; the driver-side small path reuses it)."""
+    import numpy as np
+
+    links_col = batch.column("links")
+    if isinstance(links_col, pa.ChunkedArray):
+        links_col = links_col.combine_chunks()
+    lengths = pc.list_value_length(links_col).fill_null(0)
+    lens = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(lens.sum())
+    if not total:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "depth": pa.array([], pa.int32()),
+                "enc": pa.array([], pa.int64()),
+            }
+        )
+    seq_col = batch.column("seq")
+    if isinstance(seq_col, pa.ChunkedArray):
+        seq_col = seq_col.combine_chunks()
+    parent_seq = np.repeat(seq_col.to_numpy(zero_copy_only=False).astype(np.int64), lens)
+    # per-parent 0..len-1 index: global arange minus each row's start offset
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    link_idx = np.arange(total, dtype=np.int64) - starts
+    flat = pc.list_flatten(links_col)
     return pa.table(
         {
-            "url": pa.array(out["url"], pa.string()),
-            "depth": pa.array(out["depth"], pa.int32()),
-            "parent_seq": pa.array(out["parent_seq"], pa.int64()),
-            "link_idx": pa.array(out["link_idx"], pa.int32()),
+            "url": pc.cast(flat.field("url"), pa.string()),
+            "depth": pc.cast(flat.field("depth"), pa.int32()),
+            "enc": pa.array((parent_seq << _ENC_BITS) + link_idx, pa.int64()),
         }
     )
 
 
-def _first_discovery(group: pa.Table) -> pa.Table:
-    """In-round first-wins dedup for one (url, depth) group."""
-    group = group.sort_by([("parent_seq", "ascending"), ("link_idx", "ascending")])
-    return group.slice(0, 1)
+def _decode_enc(batch: pa.Table) -> pa.Table:
+    """enc → (parent_seq, link_idx) columns (vectorized bit ops)."""
+    enc = batch.column("enc")
+    parent_seq = pc.shift_right(enc, _ENC_BITS)
+    link_idx = pc.cast(pc.bit_wise_and(enc, (1 << _ENC_BITS) - 1), pa.int32())
+    return batch.append_column("parent_seq", parent_seq).append_column("link_idx", link_idx)
 
 
 def _links_small_path(edir: str, nfdir: str, seen, robots, cfg, next_seq: int, defer_tbl) -> int:
@@ -177,43 +222,19 @@ def _links_small_path(edir: str, nfdir: str, seen, robots, cfg, next_seq: int, d
     first-wins dedup → robots → seen anti-join → sort → global seq)
     without its per-round shuffle fixed costs."""
     import numpy as np
-    import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     t = pads.dataset(edir).to_table(columns=["seq", "links"])
-    links_col = t.column("links").combine_chunks()
-    if t.num_rows and len(links_col):
-        # vectorized explode: repeat parent seq by list length, flatten structs
-        if isinstance(links_col, pa.ChunkedArray):
-            links_col = links_col.combine_chunks()
-        lengths = pc.list_value_length(links_col).fill_null(0)
-        parent_seq = np.repeat(
-            t.column("seq").combine_chunks().to_numpy(zero_copy_only=False),
-            lengths.to_numpy(zero_copy_only=False),
-        )
-        flat = pc.list_flatten(links_col)
-        urls_a = flat.field("url")
-        depths_a = flat.field("depth")
-        # per-parent link index: 0..len-1 within each list
-        lens = lengths.to_numpy(zero_copy_only=False)
-        link_idx = np.concatenate([np.arange(n, dtype=np.int64) for n in lens if n]) if lens.sum() else np.array([], dtype=np.int64)
-        # first-wins dedup: min (parent_seq, link_idx) per (url, depth),
-        # encoded as one int64 (link_idx < 2^20 per document)
-        enc = parent_seq.astype(np.int64) * (1 << 20) + link_idx
-        cand = pa.table(
-            {
-                "url": urls_a,
-                "depth": depths_a,
-                "enc": pa.array(enc, pa.int64()),
-            }
-        )
+    cand = _explode_links(t)  # same vectorized kernel as the shuffle path
+    if cand.num_rows:
+        # first-wins dedup: min enc per (url, depth)
         dedup = cand.group_by(["url", "depth"]).aggregate([("enc", "min")])
         dedup = dedup.sort_by([("enc_min", "ascending")])
         items = list(
             zip(
-                (np.asarray(dedup.column("enc_min")) >> 20).tolist(),
-                (np.asarray(dedup.column("enc_min")) & ((1 << 20) - 1)).tolist(),
+                (np.asarray(dedup.column("enc_min")) >> _ENC_BITS).tolist(),
+                (np.asarray(dedup.column("enc_min")) & ((1 << _ENC_BITS) - 1)).tolist(),
                 dedup.column("url").to_pylist(),
                 dedup.column("depth").to_pylist(),
             )
@@ -322,18 +343,23 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             exec_ds = ray.data.from_arrow(exec_tbl)
             defer_ds, n_deferred = None, defer_tbl.num_rows
         elif budget:
-            import pyarrow.compute as pc
-            import pyarrow.dataset as pads
-
+            # grants computed ONCE on the driver from a narrow host-count
+            # scan (O(distinct hosts) rows), with ONE batched RPC per
+            # budget shard — then broadcast so the marking groupby does
+            # zero actor traffic. n_deferred follows arithmetically, so
+            # the marked frontier is written once and read once per
+            # consumer (exec / defer) instead of three times.
+            counts = _host_counts(fdir)
+            grants = budget.grant(counts, rnd)
+            n_deferred = sum(c - min(c, grants.get(h, 0)) for h, c in counts.items())
+            grants_ref = ray.put(grants)
             marked_dir = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "marked")
             frontier.groupby("host").map_groups(
-                _make_mark_exec(budget, rnd), batch_format="pyarrow"
+                _make_mark_exec(grants_ref), batch_format="pyarrow"
             ).write_parquet(marked_dir)
             marked = ray.data.read_parquet(marked_dir)
             exec_ds = marked.filter(expr="exec == True").drop_columns(["exec"])
             defer_ds = marked.filter(expr="exec == False").drop_columns(["exec"])
-            exec_col = pads.dataset(marked_dir).to_table(columns=["exec"]).column("exec")
-            n_deferred = n_ready - (pc.sum(exec_col).as_py() or 0)
         else:
             exec_ds = ray.data.read_parquet(fdir) if small else frontier
             defer_ds, n_deferred = None, 0
@@ -371,18 +397,20 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
                 edir, ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1), seen, robots, cfg, next_seq, defer_tbl
             )
         else:
+            from ray.data.aggregate import Min
+
             links = (
                 ray.data.read_parquet(edir, columns=["seq", "links"])
                 .map_batches(_explode_links, batch_format="pyarrow")
                 .groupby(["url", "depth"])
-                .map_groups(_first_discovery, batch_format="pyarrow")
+                .aggregate(Min("enc", alias_name="enc"))  # first-wins dedup: vectorized hash aggregate
             )
             if robots:
                 links = links.map_batches(_RobotsFilter(robots), batch_format="pyarrow", batch_size=4096)
             links = links.map_batches(
                 _SeenMark(seen, cfg.url_only_seen), batch_format="pyarrow", batch_size=4096
-            ).sort(["parent_seq", "link_idx"])
-            new_ds, next_seq_after = add_global_seq(links, next_seq)
+            ).sort("enc")  # enc order == (parent_seq, link_idx) order
+            new_ds, next_seq_after = add_global_seq(links, next_seq, order_cols=("enc",))
 
             def finish_frontier(batch: pa.Table) -> pa.Table:
                 urls = batch.column("url").to_pylist()
@@ -489,21 +517,27 @@ def _finalize(cfg: CrawlConfig, manifest: dict, rounds: int) -> CrawlResult:
     )
 
 
+# the P18-adjacent crawl-output filter (agent.rb:160-162): drop the
+# engine-internal rdf:type markers before the distinct
+_CLEAN_DROP_TYPES = pa.array(["sc:Index", "sc:Page", "sc:NewUri"], pa.string())
+
+
 def _explode_clean_triples(batch: pa.Table) -> pa.Table:
-    out = {"s": [], "p": [], "o": [], "lit": []}
-    for triples in batch.column("triples").to_pylist():
-        for t in triples or []:
-            if t["p"] == "rdf:type" and t["o"] in ("sc:Index", "sc:Page", "sc:NewUri"):
-                continue
-            out["s"].append(t["s"])
-            out["p"].append(t["p"])
-            out["o"].append(t["o"])
-            out["lit"].append(t["lit"])
+    """list<struct> triples → flat (s,p,o,lit) rows, filtered —
+    fully vectorized (pc.list_flatten + boolean mask, no row loop)."""
+    col = batch.column("triples")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    s, p, o = flat.field("s"), flat.field("p"), flat.field("o")
+    lit = flat.field("lit")
+    drop = pc.and_(pc.equal(p, "rdf:type"), pc.is_in(o, value_set=_CLEAN_DROP_TYPES))
+    keep = pc.invert(pc.fill_null(drop, False))
     return pa.table(
         {
-            "s": pa.array(out["s"], pa.string()),
-            "p": pa.array(out["p"], pa.string()),
-            "o": pa.array(out["o"], pa.string()),
-            "lit": pa.array(out["lit"], pa.bool_()),
+            "s": pc.cast(s.filter(keep), pa.string()),
+            "p": pc.cast(p.filter(keep), pa.string()),
+            "o": pc.cast(o.filter(keep), pa.string()),
+            "lit": pc.cast(lit.filter(keep), pa.bool_()),
         }
     )

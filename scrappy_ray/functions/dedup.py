@@ -132,7 +132,16 @@ class MinHashBands:
 
 
 def _bucket_pairs(group: pa.Table, id_col: str, max_bucket: int = 200) -> pa.Table:
-    ids = sorted(group.column(id_col).to_pylist())[:max_bucket]
+    ids = sorted(group.column(id_col).to_pylist())
+    if len(ids) > max_bucket:
+        # NO SILENT CAPS: a hot LSH bucket loses candidate recall here —
+        # surface it through the cluster-wide counters so the driver can
+        # see how many buckets/ids were truncated after the run
+        from .counters import incr
+
+        incr("lsh_buckets_truncated", 1)
+        incr("lsh_ids_truncated", len(ids) - max_bucket)
+        ids = ids[:max_bucket]
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
@@ -165,86 +174,200 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=64, bands=1
     return _distinct(cand, ["id_a", "id_b"])
 
 
-def ngram_jaccard_verify(pairs_ds, docs_ds, text_col="text", id_col="doc_id", k=5, threshold=0.7):
-    """Exact n-gram Jaccard for candidate pairs: broadcast the needed
-    documents' shingle sets (small side — candidates only)."""
+def ngram_jaccard_verify(pairs_ds, docs_ds, text_col="text", id_col="doc_id", k=5,
+                         threshold=0.7, num_partitions=8):
+    """Exact n-gram Jaccard for candidate pairs — fully distributed:
+
+    1. collect the candidate-ID set from the pairs table (the SMALL
+       side by construction: LSH candidates, not the corpus) and
+       broadcast it once (``ray.put``);
+    2. semi-join the documents table against that set INSIDE
+       ``map_batches`` (vectorized ``pc.is_in``) and compute each
+       surviving doc's shingle set there — the corpus streams through
+       workers, never through the driver;
+    3. two distributed hash joins pairs⋈shingles (on id_a, then id_b);
+    4. per-pair Jaccard over the joined sorted shingle arrays.
+
+    Unlike a driver-side text gather, this holds only O(candidates)
+    state anywhere, so an LSH flood degrades to a bigger shuffle —
+    not a driver OOM."""
     import ray
 
-    pairs_ds = pairs_ds.materialize()  # iterated below AND mapped after — avoid lazy re-execution
-    need_ids = set()
+    from ..common import cached_get
+
+    pairs_ds = pairs_ds.materialize()  # consumed twice (id scan + joins)
+    if pairs_ds.count() == 0:
+        try:
+            id_t = pairs_ds.schema().base_schema.field("id_a").type
+        except Exception:
+            id_t = pa.int64()
+        empty = pa.table(
+            {
+                "id_a": pa.array([], id_t),
+                "id_b": pa.array([], id_t),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+
+    need_ids: set = set()
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         need_ids.update(b.column("id_a").to_pylist())
         need_ids.update(b.column("id_b").to_pylist())
+    ids_ref = ray.put(pa.array(sorted(need_ids)))
 
-    texts = {}
-    for b in docs_ds.iter_batches(batch_format="pyarrow"):
-        for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
-            if i in need_ids:
-                texts[i] = t
-    shingle_ref = ray.put({i: set(_shingles(t, k).tolist()) for i, t in texts.items()})
+    def doc_shingles(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col), value_set=cached_get(ids_ref))
+        kept = batch.filter(pc.fill_null(mask, False))
+        # shingle arrays ride as binary (uint64 little-endian bytes):
+        # Arrow hash joins don't support list-typed payload columns
+        sh = [_shingles(t, k).tobytes() for t in kept.column(text_col).to_pylist()]
+        return pa.table({id_col: kept.column(id_col), "sh": pa.array(sh, pa.binary())})
+
+    sh_ds = docs_ds.map_batches(doc_shingles, batch_format="pyarrow").materialize()
+    sh_a = sh_ds.rename_columns({id_col: "id_a", "sh": "sh_a"})
+    sh_b = sh_ds.rename_columns({id_col: "id_b", "sh": "sh_b"})
+    from ..common import drop_empty_blocks
+
+    # drop_empty_blocks between joins: Ray 2.49's join breaks on 0-row
+    # left-side blocks (see common.drop_empty_blocks)
+    half = drop_empty_blocks(
+        drop_empty_blocks(pairs_ds).join(sh_a, "inner", num_partitions, on=("id_a",))
+    )
+    joined = half.join(sh_b, "inner", num_partitions, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(shingle_ref)
+        import numpy as np
+
         ja = []
-        for a_, b_ in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
-            sa, sb = sh.get(a_, set()), sh.get(b_, set())
-            ja.append(len(sa & sb) / len(sa | sb) if sa | sb else 1.0)
-        out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+        for sa_b, sb_b in zip(batch.column("sh_a").to_pylist(), batch.column("sh_b").to_pylist()):
+            sa = np.frombuffer(sa_b or b"", np.uint64)
+            sb = np.frombuffer(sb_b or b"", np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            ja.append(inter / union if union else 1.0)
+        out = batch.drop_columns(["sh_a", "sh_b"]).append_column(
+            "jaccard", pa.array(ja, pa.float64())
+        )
         return out.filter(pc.field("jaccard") >= threshold)
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # -- simhash ------------------------------------------------------------
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a_batch(tokens: list[bytes]) -> np.ndarray:
+    """64-bit FNV-1a of each byte string, vectorized across the whole
+    list: the loop is over CHARACTER POSITIONS (≤ max token length),
+    not tokens — no per-token Python/hashlib call."""
+    n = len(tokens)
+    if not n:
+        return np.zeros(0, np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), np.int64, n)
+    maxlen = int(lens.max())
+    mat = np.zeros((n, max(maxlen, 1)), np.uint8)
+    flat = np.frombuffer(b"".join(tokens), np.uint8)
+    if len(flat):
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(len(flat), dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+        mat[rows, cols] = flat
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ mat[active, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Charikar '02 simhash (public algorithm), batch-vectorized: every
+    token in the batch is uniqued and FNV-hashed in one vectorized pass,
+    and per-document ±1 bit votes accumulate via ``np.add.at`` — no
+    per-token Python loop, no per-token hashlib call."""
+    n = len(texts)
+    if not n:
+        return np.zeros(0, np.uint64)
+    toks: list[str] = []
+    counts = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        ts = (t or "").lower().split()
+        toks.extend(ts)
+        counts[i] = len(ts)
+    if not toks:
+        return np.zeros(n, np.uint64)
+    doc_of = np.repeat(np.arange(n), counts)
+    uniq, inv = np.unique(np.array(toks, dtype=object), return_inverse=True)
+    h = _fnv1a_batch([u.encode("utf-8", "ignore") for u in uniq.tolist()])
+    bit_pos = np.arange(64, dtype=np.uint64)
+    signs = (((h[:, None] >> bit_pos[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1)
+    votes = np.zeros((n, 64), np.int64)
+    np.add.at(votes, doc_of, signs[inv])
+    out_bits = (votes > 0).astype(np.uint64)
+    return (out_bits << bit_pos[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """Charikar '02 simhash over whitespace tokens (public algorithm)."""
-    v = np.zeros(64, dtype=np.int64)
-    for tok in (text or "").lower().split():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        v += np.where(bits.astype(np.int64) == 1, 1, -1)
-    bits = (v > 0).astype(np.uint8)
-    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+    """Single-document convenience wrapper over ``simhash64_batch``."""
+    return int(simhash64_batch([text])[0])
 
 
-def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount (numpy 1.26 has no bitwise_count)."""
+    return np.unpackbits(x.astype(np.uint64).view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, max_bucket=200):
     """Near-dup pairs by simhash banding: 4×16-bit chunks — any pair
     within hamming ≤3 shares at least one chunk (pigeonhole)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
-        out = {"band": [], "bhash": [], id_col: [], "sim": []}
-        for i, h in zip(ids, hs):
-            for bnd in range(4):
-                out["band"].append(bnd)
-                out["bhash"].append((h >> (16 * bnd)) & 0xFFFF)
-                out[id_col].append(i)
-                out["sim"].append(h)
+        h = simhash64_batch(batch.column(text_col).to_pylist())
+        n = len(h)
+        rep = pa.array(np.repeat(np.arange(n), 4), pa.int64())
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        bhash = (np.repeat(h, 4) >> (np.uint64(16) * band.astype(np.uint64))) & np.uint64(0xFFFF)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                "band": pa.array(out["band"], pa.int32()),
-                "bhash": pa.array(out["bhash"], pa.int32()),
-                id_col: pa.array(out[id_col], batch.schema.field(id_col).type),
-                "sim": pa.array([s - (1 << 63) for s in out["sim"]], pa.int64()),  # store signed
+                "band": pa.array(band.astype(np.int32), pa.int32()),
+                "bhash": pa.array(bhash.astype(np.int32), pa.int32()),
+                id_col: ids.take(rep),
+                # store signed: x - 2^63 ≡ flipping the top bit, XOR-safe
+                "sim": pa.array(np.repeat((h ^ np.uint64(1 << 63)).view(np.int64), 4), pa.int64()),
             }
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column(id_col).to_pylist(), group.column("sim").to_pylist())
-        )[:200]
-        a, b = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ha = (rows[i][1] + (1 << 63)) ^ (rows[j][1] + (1 << 63))
-                if bin(ha).count("1") <= max_hamming and rows[i][0] != rows[j][0]:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
+        order = np.argsort(np.asarray(group.column(id_col)), kind="stable")
+        if len(order) > max_bucket:
+            from .counters import incr
+
+            incr("simhash_buckets_truncated", 1)
+            incr("simhash_ids_truncated", len(order) - max_bucket)
+            order = order[:max_bucket]
+        ids = group.column(id_col).take(pa.array(order, pa.int64()))
+        ids_np = np.asarray(ids)
+        sims = np.asarray(group.column("sim"))[order].view(np.uint64)
+        m = len(sims)
+        ii, jj = np.triu_indices(m, k=1)
+        ham = _popcount64(sims[ii] ^ sims[jj])
+        keep = (ham <= max_hamming) & (ids_np[ii] != ids_np[jj])
         t = group.schema.field(id_col).type
-        return pa.table({"id_a": pa.array(a, t), "id_b": pa.array(b, t)})
+        return pa.table(
+            {
+                "id_a": ids.take(pa.array(ii[keep], pa.int64())),
+                "id_b": ids.take(pa.array(jj[keep], pa.int64())),
+            }
+        ).cast(pa.schema([("id_a", t), ("id_b", t)]))
 
     cand = ds.map_batches(sigs, batch_format="pyarrow").groupby(["band", "bhash"]).map_groups(
         pairs, batch_format="pyarrow"
@@ -335,13 +458,91 @@ def connected_components(pairs_ds) -> dict:
     return {x: find(x) for x in parent}
 
 
-def dedup_by_components(ds, pairs_ds, id_col="doc_id"):
+def connected_components_distributed(pairs_ds, max_iters: int = 64):
+    """Fully-distributed connected components over a pairs Dataset:
+    iterated min-label propagation via groupby (the Dataset-API
+    expression of label propagation — Kiveris et al. '14 "Connected
+    Components in MapReduce" is the public pattern). Each iteration:
+    label(v) ← min(label(v), min over neighbors' labels), as a
+    join + union + groupby-Min. Converges in O(component diameter)
+    rounds; near-dup clusters are shallow, so a handful in practice.
+
+    Use when pair endpoints exceed driver memory (the union-find in
+    ``connected_components`` is the small-endpoint fast path).
+    Returns a Dataset (id, root). Labels must be orderable; progress
+    is detected by the strictly-decreasing count of id != root rows
+    changing... specifically by the per-iteration count of rows whose
+    label changed (labels only decrease, so zero changes ⇒ fixpoint).
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"id": batch.column("id_a"), "nbr": batch.column("id_b")})
+        rev = pa.table({"id": batch.column("id_b"), "nbr": batch.column("id_a")})
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    from ..common import drop_empty_blocks
+
+    edges = drop_empty_blocks(pairs_ds.map_batches(undirect, batch_format="pyarrow"))
+    if edges.count() == 0:
+        try:
+            id_t = pairs_ds.schema().base_schema.field("id_a").type
+        except Exception:
+            id_t = pa.int64()
+        return ray.data.from_arrow(
+            pa.table({"id": pa.array([], id_t), "root": pa.array([], id_t)})
+        )
+    # init: label(v) = min(v, min neighbor) — one aggregate
+    labels = (
+        edges.groupby("id").aggregate(Min("nbr", alias_name="root")).map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("root"),
+                "root",
+                pc.min_element_wise(b.column("root"), b.column("id")),
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    labels = drop_empty_blocks(labels)
+    for _ in range(max_iters):
+        # propagate: neighbor's current label reaches v through the edge
+        cand = drop_empty_blocks(
+            edges.join(labels, "inner", 8, on=("nbr",), right_on=("id",), right_suffix="_l")
+            .select_columns(["id", "root"])
+            .union(labels)
+            .groupby("id")
+            .aggregate(Min("root", alias_name="root"))
+        )
+        changed = (
+            labels.join(cand, "inner", 8, on=("id",), right_suffix="_new")
+            .filter(expr="root != root_new")
+            .count()
+        )
+        labels = cand
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(ds, pairs_ds, id_col="doc_id", distributed: bool = False):
     """Exact cluster dedup: keep only each connected component's min-id
-    member (transitively correct, unlike the greedy pair-drop below)."""
+    member (transitively correct, unlike the greedy pair-drop below).
+    ``distributed=True`` computes components with the groupby label
+    propagation (no driver state proportional to pair endpoints)."""
     import ray
 
-    comp = connected_components(pairs_ds)
-    drop = {i for i, root in comp.items() if i != root}
+    if distributed:
+        labels = connected_components_distributed(pairs_ds)
+        drop = set()
+        for b in labels.iter_batches(batch_format="pyarrow"):
+            ids = b.column("id").to_pylist()
+            roots = b.column("root").to_pylist()
+            drop.update(i for i, r in zip(ids, roots) if i != r)
+    else:
+        comp = connected_components(pairs_ds)
+        drop = {i for i, root in comp.items() if i != root}
     drop_ref = ray.put(drop)
 
     def keep(batch: pa.Table) -> pa.Table:

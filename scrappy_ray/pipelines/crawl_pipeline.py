@@ -97,32 +97,47 @@ def triples_table(pages_path: str, **kw):
     ex = extract_all(pages_path, **kw)
 
     def explode(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        trips = batch.column("triples").to_pylist()
-        out = {"url": [], "s": [], "p": [], "o": [], "lit": []}
-        for u, ts in zip(urls, trips):
-            seen = set()
-            for t in ts or []:
-                if t["p"] == "rdf:type" and t["o"] in ("sc:Index", "sc:Page", "sc:NewUri"):
-                    continue
-                key = (t["s"], t["p"], t["o"], t["lit"])
-                if key in seen:
-                    continue
-                seen.add(key)
-                out["url"].append(u)
-                out["s"].append(t["s"])
-                out["p"].append(t["p"])
-                out["o"].append(t["o"])
-                out["lit"].append(t["lit"])
-        return pa.table(
+        # vectorized: flatten list<struct>, repeat the doc url by list
+        # length, mask the engine-internal type markers, then per-doc
+        # distinct via an Arrow group_by (each doc appears in exactly
+        # one input row, so within-batch distinct == per-doc distinct)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..crawl.driver import _CLEAN_DROP_TYPES
+
+        col = batch.column("triples")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy(zero_copy_only=False)
+        if not int(lens.sum()):
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "s": pa.array([], pa.string()),
+                    "p": pa.array([], pa.string()),
+                    "o": pa.array([], pa.string()),
+                    "lit": pa.array([], pa.bool_()),
+                }
+            )
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        url_rep = urls.take(pa.array(np.repeat(np.arange(batch.num_rows), lens), pa.int64()))
+        flat = pc.list_flatten(col)
+        s, p, o, lit = flat.field("s"), flat.field("p"), flat.field("o"), flat.field("lit")
+        drop = pc.and_(pc.equal(p, "rdf:type"), pc.is_in(o, value_set=_CLEAN_DROP_TYPES))
+        keep = pc.invert(pc.fill_null(drop, False))
+        t = pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
-                "s": pa.array(out["s"], pa.string()),
-                "p": pa.array(out["p"], pa.string()),
-                "o": pa.array(out["o"], pa.string()),
-                "lit": pa.array(out["lit"], pa.bool_()),
+                "url": pc.cast(url_rep.filter(keep), pa.string()),
+                "s": pc.cast(s.filter(keep), pa.string()),
+                "p": pc.cast(p.filter(keep), pa.string()),
+                "o": pc.cast(o.filter(keep), pa.string()),
+                "lit": pc.cast(lit.filter(keep), pa.bool_()),
             }
         )
+        return t.group_by(["url", "s", "p", "o", "lit"]).aggregate([])
 
     return ex.map_batches(explode, batch_format="pyarrow")
 

@@ -13,23 +13,42 @@ import pyarrow.compute as pc
 import ray
 
 
+# per-worker-process cache of fetched broadcast tables, keyed by object
+# ref: ray.get is zero-copy for Arrow but the handle lookup + combine is
+# still per-call work — memo once per process, not once per batch
+_SMALL_SIDE_CACHE: dict = {}
+_SMALL_SIDE_CACHE_CAP = 32
+
+
+def _small_side(ref, on: str) -> tuple[pa.Table, pa.Array]:
+    key = ref.hex()
+    hit = _SMALL_SIDE_CACHE.get(key)
+    if hit is None:
+        while len(_SMALL_SIDE_CACHE) >= _SMALL_SIDE_CACHE_CAP:
+            _SMALL_SIDE_CACHE.pop(next(iter(_SMALL_SIDE_CACHE)))
+        small = ray.get(ref).combine_chunks()
+        hit = (small, small.column(on).combine_chunks())
+        _SMALL_SIDE_CACHE[key] = hit
+    return hit
+
+
 def broadcast_join(big_ds, small_table: pa.Table, on: str, select: list[str] | None = None,
                    suffix: str = ""):
     """Hash-join a big Dataset against a SMALL Arrow table: the small
-    side is ray.put ONCE and each task builds its lookup dict once from
-    the shared object (never re-shipped per batch)."""
+    side is ray.put ONCE, fetched+prepared once per worker PROCESS
+    (``_small_side`` cache — not per batch), and the probe is a
+    vectorized Arrow ``index_in`` (no Python dict, no row loop)."""
     ref = ray.put(small_table)
     small_cols = select or [c for c in small_table.column_names if c != on]
 
     def join(batch: pa.Table) -> pa.Table:
-        small = ray.get(ref)
-        keys = small.column(on).to_pylist()
-        idx = {k: i for i, k in enumerate(keys)}
-        pos = [idx.get(k) for k in batch.column(on).to_pylist()]
-        mask = pa.array([p is not None for p in pos], pa.bool_())
+        small, keys = _small_side(ref, on)
+        pos = pc.index_in(batch.column(on), value_set=keys)
+        if isinstance(pos, pa.ChunkedArray):
+            pos = pos.combine_chunks()
+        mask = pos.is_valid()
         batch = batch.filter(mask)
-        kept = [p for p in pos if p is not None]
-        take = pa.array(kept, pa.int64())
+        take = pos.filter(mask)
         for c in small_cols:
             batch = batch.append_column(c + suffix, small.column(c).take(take))
         return batch

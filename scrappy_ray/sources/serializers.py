@@ -1,11 +1,13 @@
 """Output serializers for the triples table.
 
 The reference serializes graphs to yarf / rdfxml / ntriples / json /
-ejson / png (/root/reference/lib/scrappy/agent/agent.rb:11-13,119-131
-via lightrdf). Here: N-Triples (canonical interchange), JSON
-(s→p→[o]), and YARF-style compact text. rdfxml/png are intentionally
-out of scope (no consumer in this environment); Parquet is the
-canonical sink (SURVEY.md §1.5).
+ejson / png (/root/reference/lib/scrappy/agent/agent.rb:11-13 via
+lightrdf). Here: N-Triples (canonical interchange), RDF/XML (the
+interchange format RDF consumers request — with a round-trip parser),
+JSON (s→p→[o]), ejson (RDF/JSON-shaped: expanded URIs + typed object
+terms), and YARF-style compact text. png (graphviz sugar) is
+intentionally out of scope; Parquet is the canonical sink
+(SURVEY.md §1.5).
 
 ``write_ntriples`` is a partitioned, task-parallel text sink (one .nt
 shard per input block — resumable layout, never one giant file).
@@ -94,10 +96,122 @@ def triples_to_yarf(rows, header: bool = True, prefixes: dict | None = None) -> 
     return "\n".join(out) + "\n"
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _split_uri(uri: str) -> tuple[str, str]:
+    """namespace/local split at the last '#' or '/' (QName rule)."""
+    for sep in ("#", "/"):
+        i = uri.rfind(sep)
+        if i > 0 and i + 1 < len(uri):
+            local = uri[i + 1 :]
+            if local and (local[0].isalpha() or local[0] == "_"):
+                return uri[: i + 1], local
+    return "urn:local:", uri
+
+
+def _norm_term(term: str, prefixes) -> tuple[str, str]:
+    """→ (kind, value): kind ∈ uri|bnode; CURIEs expanded."""
+    full = expand(term, prefixes)
+    if full.startswith("_:"):
+        return "bnode", "".join(ch if ch.isalnum() else "_" for ch in full[2:])
+    return "uri", full
+
+
+def triples_to_rdfxml(rows, prefixes: dict | None = None) -> str:
+    """RDF/XML (W3C standard syntax): subject-grouped rdf:Description
+    blocks, rdf:about / rdf:nodeID subjects, rdf:resource objects,
+    literal text nodes. Matches the reference's :rdfxml / :rdf output
+    role (agent.rb:12-13 — content type application/rdf+xml)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    prefixes = dict(prefixes or DEFAULT_PREFIXES)
+    # collect per-subject, assigning namespace prefixes for predicates
+    ns_of: dict[str, str] = {_RDF_NS: "rdf"}
+    for pfx, ns in prefixes.items():
+        ns_of.setdefault(ns, pfx)
+    subjects: dict[tuple[str, str], list] = {}
+    preds = []
+    for r in rows:
+        s, p, o, lit = (r["s"], r["p"], r["o"], r["lit"]) if isinstance(r, dict) else r
+        skey = _norm_term(s, prefixes)
+        p_full = expand(p, prefixes)
+        ns, local = _split_uri(p_full)
+        if ns not in ns_of:
+            ns_of[ns] = f"ns{len(ns_of)}"
+        preds.append((skey, ns_of[ns], local))
+        subjects.setdefault(skey, []).append((ns_of[ns], local, str(o), bool(lit)))
+    out = ['<?xml version="1.0" encoding="UTF-8"?>']
+    decls = " ".join(f'xmlns:{pfx}={quoteattr(ns)}' for ns, pfx in sorted(ns_of.items(), key=lambda kv: kv[1]))
+    out.append(f"<rdf:RDF {decls}>")
+    for (kind, sval), po in subjects.items():
+        attr = f"rdf:about={quoteattr(sval)}" if kind == "uri" else f"rdf:nodeID={quoteattr(sval)}"
+        out.append(f"  <rdf:Description {attr}>")
+        for pfx, local, o, lit in po:
+            if lit:
+                out.append(f"    <{pfx}:{local}>{escape(o)}</{pfx}:{local}>")
+            else:
+                okind, oval = _norm_term(o, prefixes)
+                oattr = "rdf:resource" if okind == "uri" else "rdf:nodeID"
+                out.append(f"    <{pfx}:{local} {oattr}={quoteattr(oval)}/>")
+        out.append("  </rdf:Description>")
+    out.append("</rdf:RDF>")
+    return "\n".join(out) + "\n"
+
+
+def parse_rdfxml(text: str) -> list[tuple[str, str, str, bool]]:
+    """Parse the RDF/XML subset emitted above back to (s, p, o, lit)
+    rows with fully-expanded URIs (bnodes as ``_:label``) — the
+    round-trip check for the rdfxml sink."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    out = []
+    for desc in root:
+        s = desc.attrib.get(f"{{{_RDF_NS}}}about")
+        if s is None:
+            s = "_:" + desc.attrib.get(f"{{{_RDF_NS}}}nodeID", "")
+        for child in desc:
+            # tag is {namespace}local
+            p = child.tag[1:].replace("}", "", 1) if child.tag.startswith("{") else child.tag
+            res = child.attrib.get(f"{{{_RDF_NS}}}resource")
+            nid = child.attrib.get(f"{{{_RDF_NS}}}nodeID")
+            if res is not None:
+                out.append((s, p, res, False))
+            elif nid is not None:
+                out.append((s, p, "_:" + nid, False))
+            else:
+                out.append((s, p, child.text or "", True))
+    return out
+
+
+def triples_to_ejson(rows, prefixes: dict | None = None) -> str:
+    """ejson: RDF/JSON-shaped expanded serialization —
+    {subject: {predicate: [{"value":…, "type": "uri"|"literal"|"bnode"}]}}
+    with all CURIEs expanded (the 'expanded json' role of the
+    reference's lightrdf ejson format, bin/scrappy:199)."""
+    g: dict = {}
+    for r in rows:
+        s, p, o, lit = (r["s"], r["p"], r["o"], r["lit"]) if isinstance(r, dict) else r
+        skind, sval = _norm_term(s, prefixes)
+        skey = ("_:" + sval) if skind == "bnode" else sval
+        p_full = expand(p, prefixes)
+        if lit:
+            term = {"type": "literal", "value": str(o)}
+        else:
+            okind, oval = _norm_term(o, prefixes)
+            term = {"type": "bnode", "value": "_:" + oval} if okind == "bnode" else {"type": "uri", "value": oval}
+        g.setdefault(skey, {}).setdefault(p_full, []).append(term)
+    return json.dumps(g, indent=1, sort_keys=True)
+
+
 SERIALIZERS = {
     "ntriples": triples_to_ntriples,
     "json": lambda rows: triples_to_json(rows),
+    "ejson": lambda rows: triples_to_ejson(rows),
     "yarf": lambda rows: triples_to_yarf(rows),
+    "rdfxml": lambda rows: triples_to_rdfxml(rows),
+    "rdf": lambda rows: triples_to_rdfxml(rows),
 }
 
 
