@@ -30,12 +30,40 @@ def main(argv=None):
     from .sources.serializers import SERIALIZERS
 
     g.add_argument("-f", "--format", default="ntriples", choices=sorted(SERIALIZERS))
+    sv = sub.add_parser("server", help="HTTP extraction + admin service (bin/scrappy -s)")
+    sv.add_argument("--pages", required=True, help="pages parquet path/dir")
+    sv.add_argument("--kb", required=True, help="KB YAML file")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("-p", "--port", type=int, default=3434)  # reference default port, bin/scrappy:47
     g.add_argument("--budget", type=float, default=None, help="per-host items/round")
     g.add_argument("--robots", action="store_true")
     g.add_argument("--ckpt", default=None, help="checkpoint dir (resume if it exists)")
     g.add_argument("--dump", default=None, help="dump per-url files to this dir (Dumper sink)")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "server":
+        import hashlib
+
+        from .kb.loader import load_kb_file
+        from .server import EngineState, make_server
+        from .stages.fetch import build_page_store, default_num_buckets
+
+        nb = default_num_buckets(args.pages)
+        store = (
+            "/tmp/scrappy_ray_store/"
+            f"{hashlib.md5(__import__('os').path.abspath(args.pages).encode()).hexdigest()[:12]}-b{nb}"
+        )
+        build_page_store(args.pages, store, nb)  # auto-inits Ray for the build only
+        kb = load_kb_file(args.kb)
+        srv = make_server(EngineState(kb=kb, pages_store=store, num_buckets=nb),
+                          host=args.host, port=args.port)
+        print(f"scrappy_ray server on http://{args.host}:{srv.server_address[1]}", flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
 
     import ray
 

@@ -26,6 +26,8 @@ def prf(correct: set, extracted: set) -> dict:
 
 
 def _triple_set(ds_or_table) -> set:
+    if isinstance(ds_or_table, (set, frozenset, list)):
+        return {(t[0], t[1], t[2]) for t in ds_or_table}
     if isinstance(ds_or_table, pa.Table):
         rows = ds_or_table.to_pylist()
     else:

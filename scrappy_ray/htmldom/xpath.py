@@ -5,11 +5,13 @@ Supported (documented subset — KBs must stay within it):
 - ``.//tag`` (same as //tag when searching from a scope node)
 - ``/a/b/c`` absolute child paths (evaluated from the scope node)
 - predicates: ``[@attr='v']``, ``[@attr="v"]``, ``[@attr]``, ``[n]``
-  (1-based position among the nodes selected at that step per parent)
-
-Reference XPath usage: learned XPaths from the trainer
-(/root/reference/lib/scrappy/learning/trainer.rb:139-164) are of the
-shape /html/body/div[2]/span — covered here.
+  (1-based position among the nodes selected at that step per parent),
+  plus the reference trainer's learned-condition forms
+  (/root/reference/lib/scrappy/learning/trainer.rb:139-164):
+  ``[not(@attr)]``, ``[contains(@id,'x')]``,
+  ``[contains(concat(' ',normalize-space(@class),' '),concat(' ','c',' '))]``
+  (class-TOKEN membership — matches multi-class attributes), and
+  several conditions joined with `` and `` inside one bracket.
 """
 
 from __future__ import annotations
@@ -44,23 +46,65 @@ def _parse(pattern: str):
         name = m.group(2)
         preds = []
         for pm in _PRED_RE.finditer(m.group(3) or ""):
-            body = pm.group(1).strip()
-            am = re.fullmatch(r"@([\w-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")", body)
-            if am:
-                preds.append(("attr_eq", am.group(1), am.group(2) if am.group(2) is not None else am.group(3)))
-                continue
-            am = re.fullmatch(r"@([\w-]+)", body)
-            if am:
-                preds.append(("attr", am.group(1), None))
-                continue
-            if body.isdigit():
-                preds.append(("pos", int(body), None))
-                continue
-            raise ValueError(f"unsupported XPath predicate: {body!r}")
+            for body in _split_and(pm.group(1).strip()):
+                preds.append(_parse_condition(body, pattern))
         steps.append((axis, name, preds))
     if pos != len(p) or not steps:
         raise ValueError(f"unsupported XPath: {pattern!r}")
     return steps
+
+
+def _split_and(body: str) -> list[str]:
+    """Split a predicate body on top-level `` and `` (outside quotes)."""
+    parts, buf, q = [], [], None
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+        elif ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch == " " and body[i : i + 5] == " and ":
+            parts.append("".join(buf).strip())
+            buf = []
+            i += 4
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+# trainer.rb:146 class-token condition, both the concat() form the
+# reference emits and the simpler literal form
+_TOKEN_RE = re.compile(
+    r"contains\(concat\(' ',normalize-space\(@([\w-]+)\),' '\),"
+    r"(?:concat\(' ','([^']*)',' '\)|' ([^']*) ')\)"
+)
+
+
+def _parse_condition(body: str, pattern: str):
+    am = re.fullmatch(r"@([\w-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")", body)
+    if am:
+        return ("attr_eq", am.group(1), am.group(2) if am.group(2) is not None else am.group(3))
+    am = re.fullmatch(r"@([\w-]+)", body)
+    if am:
+        return ("attr", am.group(1), None)
+    if body.isdigit():
+        return ("pos", int(body), None)
+    am = re.fullmatch(r"not\(@([\w-]+)\)", body)
+    if am:
+        return ("not_attr", am.group(1), None)
+    am = _TOKEN_RE.fullmatch(body)
+    if am:
+        return ("attr_token", am.group(1), am.group(2) if am.group(2) is not None else am.group(3))
+    am = re.fullmatch(r"contains\(@([\w-]+)\s*,\s*'([^']*)'\)", body)
+    if am:
+        return ("attr_contains", am.group(1), am.group(2))
+    raise ValueError(f"unsupported XPath predicate: {body!r} in {pattern!r}")
 
 
 def _name_matches(node, name: str) -> bool:
@@ -75,6 +119,12 @@ def _apply_preds(nodes, preds):
             nodes = [n for n in nodes if n.attrs.get(a) == b]
         elif kind == "attr":
             nodes = [n for n in nodes if a in n.attrs]
+        elif kind == "not_attr":
+            nodes = [n for n in nodes if a not in n.attrs]
+        elif kind == "attr_token":
+            nodes = [n for n in nodes if b in (n.attrs.get(a) or "").split()]
+        elif kind == "attr_contains":
+            nodes = [n for n in nodes if b in (n.attrs.get(a) or "")]
         else:  # positional, 1-based within current candidate list per parent
             by_parent: dict[int, int] = {}
             kept = []

@@ -10,17 +10,21 @@ subfragments with relation + min/max cardinality 1
 (trainer.rb:76-81), wrapped under a ``sc:UriSelector`` superfragment
 scoped to the sample URI (trainer.rb:27-37).
 
-Deviation (documented): the reference emits
-``contains(concat(' ',normalize-space(@class),' '),...)`` XPath
-conditions; our XPath subset uses exact ``[@class='...']`` equality —
-same selectivity on well-formed class attributes. ``./.``
-(self-scoped) selectors become RootSelector.
+Emits the reference's exact learned-condition forms
+(trainer.rb:139-164 ``path_for``): one
+``contains(concat(' ',normalize-space(@class),' '),concat(' ','c',' '))``
+per class TOKEN (so multi-class attributes match), ``not(@class)`` /
+``not(@id)`` when absent, ``contains(@id,'x')`` when present, all
+joined with `` and `` in one bracket, with a positional suffix when
+several siblings match. ``./.`` (self-scoped) selectors become
+RootSelector.
 """
 
 from __future__ import annotations
 
 from ..extractor.core import extract
 from ..htmldom import parse_html
+from ..htmldom.xpath import xpath_search
 from ..kb.model import KB, FragmentSpec, SelectorSpec
 from ..support import decode_html
 
@@ -50,9 +54,10 @@ def _node_path(by_s, node) -> str | None:
 
 
 def _generalized_path(path: str, content, parent_path: str | None) -> str:
-    """trainer.rb:139-164 path_for, adapted to our XPath subset:
-    per-segment tag + exact class/id predicates + positional index when
-    ambiguous among matched siblings."""
+    """trainer.rb:139-164 path_for: per-segment tag + the reference's
+    exact condition forms (class-token contains / not(@class) /
+    contains(@id) / not(@id), `` and ``-joined) + positional suffix
+    when ambiguous among matched siblings."""
     if path == parent_path:
         return "./."
     if path in ("", "/", "/html", "/html/body"):
@@ -63,24 +68,25 @@ def _generalized_path(path: str, content, parent_path: str | None) -> str:
     node = nodes[0]
     conds = []
     if node.attrs.get("class"):
-        conds.append(f"[@class='{node.attrs['class']}']")
+        conds += [
+            f"contains(concat(' ',normalize-space(@class),' '),concat(' ','{c.strip()}',' '))"
+            for c in node.attrs["class"].split()
+        ]
+    else:
+        conds.append("not(@class)")
     if node.attrs.get("id"):
-        conds.append(f"[@id='{node.attrs['id']}']")
-    seg = f"/{node.name}" + "".join(conds)
-    # positional disambiguation among siblings matching the same seg
+        conds.append(f"contains(@id,'{node.attrs['id'].strip()}')")
+    else:
+        conds.append("not(@id)")
+    seg = f"/{node.name}[{' and '.join(conds)}]"
+    # positional disambiguation: run the learned segment against the
+    # parent with our own engine, exactly like path_for's
+    # node.parent.search("./"+selector)
     parent = node.parent
-    matches = [
-        c
-        for c in (parent.children if parent else [])
-        if not c.is_text()
-        and c.name == node.name
-        and (not node.attrs.get("class") or c.attrs.get("class") == node.attrs.get("class"))
-        and (not node.attrs.get("id") or c.attrs.get("id") == node.attrs.get("id"))
-    ]
-    if len(matches) > 1:
-        seg += f"[{matches.index(node) + 1}]"
+    matches = xpath_search(parent, "." + seg) if parent is not None else [node]
+    suffix = f"[{matches.index(node) + 1}]" if len(matches) > 1 else ""
     prev = "/".join(path.split("/")[:-1])
-    return _generalized_path(prev, content, parent_path) + seg
+    return _generalized_path(prev, content, parent_path) + seg + suffix
 
 
 def _selector_for(by_s, node, content, parent_path) -> SelectorSpec:

@@ -92,3 +92,33 @@ def test_css_multi_class_and_id_compound():
     doc = parse_html('<p class="x y" id="k">a</p><p class="x">b</p>')
     assert [n.text for n in doc.search("p.x.y")] == ["a"]
     assert [n.text for n in doc.search("p#k.x")] == ["a"]
+
+
+def test_xpath_trainer_condition_forms():
+    """The reference trainer's learned predicates (trainer.rb:139-164):
+    class-token contains, not(@attr), contains(@id,...), `and` chains."""
+    from scrappy_ray.htmldom import parse_html
+    from scrappy_ray.htmldom.xpath import xpath_search
+
+    doc = parse_html(
+        '<html><body>'
+        '<div class="story featured" id="main-1"><p>a</p></div>'
+        '<div class="story" id="x2"><p>b</p></div>'
+        '<div><p>c</p></div>'
+        "</body></html>"
+    )
+
+    def texts(pat):
+        return ["".join(t.data for t in n.descendants() if t.is_text()) for n in xpath_search(doc, pat)]
+
+    tok = "contains(concat(' ',normalize-space(@class),' '),concat(' ','featured',' '))"
+    assert texts(f".//div[{tok}]") == ["a"]
+    tok2 = "contains(concat(' ',normalize-space(@class),' '),' story ')"
+    assert texts(f".//div[{tok2}]") == ["a", "b"]
+    assert texts(".//div[not(@class)]") == ["c"]
+    assert texts(".//div[contains(@id,'main')]") == ["a"]
+    both = f".//div[{tok2} and contains(@id,'x2')]"
+    assert texts(both) == ["b"]
+    assert texts(".//div[not(@class) and not(@id)]") == ["c"]
+    # positional suffix after a condition bracket
+    assert texts(f".//div[{tok2}][2]") == ["b"]
