@@ -173,3 +173,39 @@ def test_explode_clean_triples_vectorized():
         {"s": "x", "p": "dc:title", "o": "T", "lit": True},
         {"s": "y", "p": "rdf:type", "o": "foaf:Person", "lit": False},
     ]
+
+
+def test_finalize_small_equals_shuffle(ray_session, synth_web, synth_pages_dir, tmp_path):
+    """The adaptive finalize: driver-side Arrow path and Dataset
+    shuffle path must produce identical schedule/triples/text outputs."""
+    import pyarrow.dataset as pads
+
+    from scrappy_ray.crawl.driver import CrawlConfig, run_crawl
+    from scrappy_ray.sources.testgen import seed_urls, synth_kb_yaml
+
+    cfg, _ = synth_web
+
+    def run(name, small_bytes):
+        return run_crawl(
+            CrawlConfig(
+                pages_path=synth_pages_dir,
+                kb_yaml=synth_kb_yaml(),
+                seeds=seed_urls(cfg),
+                ckpt_dir=str(tmp_path / name),
+                depth=-1,
+                num_buckets=4,
+                extract_concurrency=2,
+                finalize_small_bytes=small_bytes,
+            )
+        )
+
+    a = run("small", 2 << 30)  # driver path
+    b = run("shuffle", 0)  # forced Dataset shuffle path
+
+    def tbl(path, sort_keys):
+        return pads.dataset(path).to_table().sort_by(sort_keys).to_pylist()
+
+    assert tbl(a.schedule_path, [("seq", "ascending")]) == tbl(b.schedule_path, [("seq", "ascending")])
+    keys = [("s", "ascending"), ("p", "ascending"), ("o", "ascending"), ("lit", "ascending")]
+    assert tbl(a.triples_path, keys) == tbl(b.triples_path, keys)
+    assert tbl(a.text_path, [("curl", "ascending")]) == tbl(b.text_path, [("curl", "ascending")])
