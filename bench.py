@@ -32,6 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _init_ray(num_cpus: int):
     import ray
 
+    # honest CPU budget: driver-side Arrow kernels (adaptive small
+    # paths) use pyarrow's own thread pool, which defaults to ALL
+    # machine cores regardless of ray num_cpus — cap it to the same
+    # budget so an "N CPU" run really is N CPUs end to end
+    import pyarrow as _pa
+
+    _pa.set_cpu_count(num_cpus)
+    _pa.set_io_thread_count(max(2, num_cpus))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
     import ray.data
@@ -198,7 +206,15 @@ def scaling_main():
             [sys.executable, os.path.abspath(__file__), "--one-scale", str(n)],
             capture_output=True,
             text=True,
-            env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+            env={
+                **os.environ,
+                "RAY_GRAFT_CPUS": str(n),
+                # cap BLAS/OpenMP pools in the driver process too (set
+                # before numpy import, hence via the child env)
+                "OMP_NUM_THREADS": str(n),
+                "OPENBLAS_NUM_THREADS": str(n),
+                "MKL_NUM_THREADS": str(n),
+            },
             timeout=3600,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]

@@ -32,7 +32,7 @@ import ray
 import ray.data
 
 from ..stages.extract_stage import make_extract_fn
-from ..stages.fetch import build_page_store, fetch_frontier, url_bucket
+from ..stages.fetch import build_page_store, fetch_frontier, fetch_frontier_table, url_bucket
 from ..stages.seq import add_global_seq
 from ..state.politeness import HostBudgetPool
 from ..state.robots import RobotsCachePool
@@ -70,6 +70,11 @@ class CrawlConfig:
     # Dataset shuffle pipeline. Both paths are semantically identical
     # (tests force threshold=0 to prove it).
     small_round_threshold: int = 100_000
+    # rounds with ≤ this many urls run fetch+extract IN the driver
+    # process (page-store point lookup + the same extract fn): below
+    # ~400 urls a Ray Dataset job's fixed launch cost exceeds the
+    # whole round's compute. 0 disables (tests prove path equality).
+    driver_round_threshold: int = 400
     robots: bool = False
     robots_shards: int = 2
     max_rounds: int = 200
@@ -347,7 +352,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
                 mask.append(used[h] <= grants[h])
             exec_tbl = ft.filter(pa.array(mask, pa.bool_()))
             defer_tbl = ft.filter(pa.array([not m for m in mask], pa.bool_()))
-            exec_ds = ray.data.from_arrow(exec_tbl)
+            exec_ds = None  # small path fetches from the driver table
             defer_ds, n_deferred = None, defer_tbl.num_rows
         elif budget:
             # grants computed ONCE on the driver from a narrow host-count
@@ -367,8 +372,14 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             marked = ray.data.read_parquet(marked_dir)
             exec_ds = marked.filter(expr="exec == True").drop_columns(["exec"])
             defer_ds = marked.filter(expr="exec == False").drop_columns(["exec"])
+            exec_tbl = None
+        elif small:
+            import pyarrow.dataset as pads
+
+            exec_tbl = pads.dataset(fdir).to_table()
+            exec_ds, defer_ds, n_deferred = None, None, 0
         else:
-            exec_ds = ray.data.read_parquet(fdir) if small else frontier
+            exec_ds, exec_tbl = frontier, None
             defer_ds, n_deferred = None, 0
 
         # -- fetch + extract + checkpoint ------------------------------
@@ -384,16 +395,41 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         def extract_with_round(batch: pa.Table, _fn=extract_fn, _tag=tag_round) -> pa.Table:
             return _fn(_tag(batch))
 
-        (
-            fetch_frontier(exec_ds, store_dir, cfg.num_buckets, shuffle=not small)
-            .map_batches(
-                extract_with_round,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=cfg.extract_batch_size,
+        if small and exec_tbl.num_rows <= cfg.driver_round_threshold:
+            # tiny round: fetch + extract entirely in the driver process
+            # (same fetch lookup, same extract fn — a Ray job's fixed
+            # launch cost exceeds this round's whole compute)
+            import pyarrow.parquet as pq
+
+            from ..stages.fetch import lookup_urls
+
+            found = {
+                r["url"]: r["html"]
+                for r in lookup_urls(store_dir, cfg.num_buckets, list(set(exec_tbl.column("curl").to_pylist())))
+            }
+            htmls = [found.get(u) for u in exec_tbl.column("curl").to_pylist()]
+            with_html = exec_tbl.append_column("html", pa.array(htmls, pa.binary()))
+            os.makedirs(edir, exist_ok=True)
+            pq.write_table(extract_with_round(with_html), os.path.join(edir, "part-0.parquet"))
+        else:
+            # small rounds: driver-resident frontier → bucket-partitioned
+            # point-lookup fetch (one task per touched bucket; see
+            # stages/fetch.py::fetch_frontier_table). Big rounds: the
+            # Dataset shuffle fetch.
+            fetched = (
+                fetch_frontier_table(exec_tbl, store_dir, cfg.num_buckets)
+                if small
+                else fetch_frontier(exec_ds, store_dir, cfg.num_buckets, shuffle=True)
             )
-            .write_parquet(edir)
-        )
+            (
+                fetched.map_batches(
+                    extract_with_round,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=cfg.extract_batch_size,
+                )
+                .write_parquet(edir)
+            )
 
         t_fetch = time.perf_counter() - t_fetch0
 

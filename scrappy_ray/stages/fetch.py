@@ -176,6 +176,37 @@ def make_fetch_group(store_dir: str):
     return fetch_group
 
 
+def fetch_frontier_table(tbl: pa.Table, store_dir: str, num_buckets: int):
+    """Small-round fetch over a DRIVER-RESIDENT frontier table: the
+    driver bucket-partitions the rows (zero-copy slices of the
+    bucket-sorted table, one Ray block per touched bucket) so each
+    lookup task reads EXACTLY ONE bucket file with its full url list.
+
+    Total bucket reads = O(touched buckets) — unlike a plain
+    ``map_batches`` fetch where every task probes every bucket its
+    batch hashes into (O(tasks × buckets) reads of the same files,
+    measured NOT to scale: 3.3s@2cpu → 4.5s@8cpu on a 50k-url round).
+    """
+    import numpy as np
+    import ray.data
+
+    if tbl.num_rows == 0:
+        return ray.data.from_arrow(tbl.append_column("html", pa.array([], pa.binary())))
+    buckets = np.array([url_bucket(u, num_buckets) for u in tbl.column("curl").to_pylist()])
+    order = np.argsort(buckets, kind="stable")
+    srt = tbl.take(pa.array(order, pa.int64()))
+    bs = buckets[order]
+    edges = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1], True])
+    blocks = []
+    for i in range(len(edges) - 1):
+        lo, hi = int(edges[i]), int(edges[i + 1])
+        blk = srt.slice(lo, hi - lo)
+        blocks.append(blk.append_column("bucket", pa.array([int(bs[lo])] * (hi - lo), pa.int32())))
+    ds = ray.data.from_arrow(blocks)
+    # batch_size=None → one whole block (= one bucket) per task
+    return ds.map_batches(make_fetch_group(store_dir), batch_format="pyarrow", batch_size=None)
+
+
 def fetch_frontier(frontier_ds, store_dir: str, num_buckets: int, shuffle: bool = True):
     """frontier Dataset (url, curl, depth, seq, ...) → + html column.
 

@@ -185,7 +185,7 @@ def test_finalize_small_equals_shuffle(ray_session, synth_web, synth_pages_dir, 
 
     cfg, _ = synth_web
 
-    def run(name, small_bytes):
+    def run(name, small_bytes, driver_thresh):
         return run_crawl(
             CrawlConfig(
                 pages_path=synth_pages_dir,
@@ -196,11 +196,14 @@ def test_finalize_small_equals_shuffle(ray_session, synth_web, synth_pages_dir, 
                 num_buckets=4,
                 extract_concurrency=2,
                 finalize_small_bytes=small_bytes,
+                driver_round_threshold=driver_thresh,
             )
         )
 
-    a = run("small", 2 << 30)  # driver path
-    b = run("shuffle", 0)  # forced Dataset shuffle path
+    # driver-tiny rounds + driver finalize vs bucket-fetch rounds +
+    # shuffle finalize — all three execution tiers must agree
+    a = run("small", 2 << 30, 1 << 20)  # every round in the driver
+    b = run("shuffle", 0, 0)  # bucket-partitioned fetch + shuffle finalize
 
     def tbl(path, sort_keys):
         return pads.dataset(path).to_table().sort_by(sort_keys).to_pylist()
