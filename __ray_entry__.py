@@ -407,6 +407,17 @@ def _q_ann_lsh(sf_dir: str):
     ).sort(["query_id", "rank"])
 
 
+def _q_corpus_clean(sf_dir: str):
+    """Flagship training-data composition: exact dedup → MinHash near-dup
+    CC dedup → language + quality filters; returns the surviving doc ids
+    (deterministic → golden-oracled)."""
+    from scrappy_ray.pipelines.corpus import clean_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept, _stats = clean_corpus(ds)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
 def _q_mm_decode(sf_dir: str):
     import ray.data
 
@@ -496,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "dedup_components": _q_dedup_components,
+        "corpus_clean": _q_corpus_clean,
         "mm_decode": _q_mm_decode,
         "extract_triples": _q_extract_triples,
         "extract_text": _q_extract_text,
@@ -566,6 +578,7 @@ _GOLDEN_ORACLES = {
     "dedup_minhash": "ORDER BY id_a, id_b",
     "dedup_embedding": "ORDER BY id_a, id_b",
     "dedup_components": "ORDER BY doc_id",
+    "corpus_clean": "ORDER BY doc_id",
     "ann_lsh": "ORDER BY query_id, rank",
     "ann_ivf": "ORDER BY query_id, rank",
     "mm_decode": "ORDER BY id",

@@ -337,21 +337,22 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         # -- politeness split ------------------------------------------
         defer_tbl = None  # small path carries deferred rows driver-side
         if budget and small:
+            import numpy as np
             import pyarrow.dataset as pads
 
             ft = pads.dataset(fdir).to_table().sort_by([("seq", "ascending")])
-            hosts = ft.column("host").to_pylist()
-            counts: dict[str, int] = {}
-            for h in hosts:
-                counts[h] = counts.get(h, 0) + 1
-            grants = budget.grant(counts, rnd)
-            used: dict[str, int] = {}
-            mask = []
-            for h in hosts:
-                used[h] = used.get(h, 0) + 1
-                mask.append(used[h] <= grants[h])
-            exec_tbl = ft.filter(pa.array(mask, pa.bool_()))
-            defer_tbl = ft.filter(pa.array([not m for m in mask], pa.bool_()))
+            # vectorized per-host mark: within-host rank (in seq order)
+            # < granted count. One batched grant call per round.
+            hosts_np = ft.column("host").combine_chunks().to_numpy(zero_copy_only=False)
+            uniq, inv, cnt = np.unique(hosts_np, return_inverse=True, return_counts=True)
+            grants = budget.grant({h: int(c) for h, c in zip(uniq.tolist(), cnt.tolist())}, rnd)
+            order = np.argsort(inv, kind="stable")
+            ranks = np.empty(len(inv), np.int64)
+            starts = np.r_[0, np.cumsum(cnt)[:-1]]
+            ranks[order] = np.arange(len(inv), dtype=np.int64) - np.repeat(starts, cnt)
+            mask = ranks < np.array([grants[h] for h in uniq.tolist()], np.int64)[inv]
+            exec_tbl = ft.filter(pa.array(mask))
+            defer_tbl = ft.filter(pa.array(~mask))
             exec_ds = None  # small path fetches from the driver table
             defer_ds, n_deferred = None, defer_tbl.num_rows
         elif budget:

@@ -52,54 +52,81 @@ def token_stats(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def quality_kernel(text) -> dict:
+    """Batch kernel behind :func:`quality_scores` — takes a string
+    array/chunked-array, returns the metric columns as a dict. Exposed
+    so composed pipelines (corpus cleaning) can compute quality inline
+    in their own map_batches without a second pass or an id gather."""
+    text = pc.cast(text, pa.string())
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.float64())
+    digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+    uppers = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
+    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
+    n_tokens = pc.cast(pc.list_value_length(tokens), pa.float64())
+    safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    mean_word_len = pc.divide(n_chars, safe_tokens)
+
+    # stopword ratio needs token membership — numpy over flattened lists
+    flat = pc.list_flatten(pc.split_pattern_regex(pc.utf8_lower(pc.utf8_trim_whitespace(text)), _TOKEN_SPLIT))
+    offsets = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
+    toks = np.asarray(flat, dtype=object)
+    is_stop = np.fromiter(((t in _EN or t in _ES) for t in toks), dtype=np.int64, count=len(toks))
+    idx = np.repeat(np.arange(len(offsets)), offsets)
+    stop_counts = np.bincount(idx, weights=is_stop, minlength=len(offsets))
+    stop_ratio = stop_counts / np.maximum(np.asarray(safe_tokens, dtype=np.float64), 1.0)
+
+    punct_ratio = pc.divide(punct, safe_chars)
+    digit_ratio = pc.divide(digits, safe_chars)
+    upper_ratio = pc.divide(uppers, safe_chars)
+    # composite: long-enough, punctuated, not digit-heavy, stopwordy
+    comp = (
+        np.clip(np.asarray(n_tokens) / 20.0, 0, 1) * 0.3
+        + np.clip(np.asarray(punct_ratio) * 20.0, 0, 1) * 0.2
+        + (1.0 - np.clip(np.asarray(digit_ratio) * 5.0, 0, 1)) * 0.2
+        + np.clip(stop_ratio * 3.0, 0, 1) * 0.3
+    )
+    return {
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "upper_ratio": upper_ratio,
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+        "quality": pa.array(comp, pa.float64()),
+    }
+
+
+def lang_kernel(text) -> dict:
+    """Batch kernel behind :func:`lang_id` — stopword-vote en/es/und
+    prediction over a string array; see quality_kernel for why it is
+    exposed separately."""
+    text = pc.utf8_lower(pc.cast(text, pa.string()))
+    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
+    offsets = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
+    toks = np.asarray(pc.list_flatten(tokens), dtype=object)
+    en = np.fromiter((t in _EN for t in toks), dtype=np.int64, count=len(toks))
+    es = np.fromiter((t in _ES for t in toks), dtype=np.int64, count=len(toks))
+    idx = np.repeat(np.arange(len(offsets)), offsets)
+    en_c = np.bincount(idx, weights=en, minlength=len(offsets))
+    es_c = np.bincount(idx, weights=es, minlength=len(offsets))
+    pred = np.where(en_c > es_c, "en", np.where(es_c > en_c, "es", "und"))
+    return {
+        "lang_pred": pa.array(pred.tolist(), pa.string()),
+        "en_hits": pa.array(en_c.astype(np.int64), pa.int64()),
+        "es_hits": pa.array(es_c.astype(np.int64), pa.int64()),
+    }
+
+
 def quality_scores(ds, text_col="text", id_col="doc_id"):
     """Quality heuristics: punct ratio, digit ratio, upper ratio, mean
     word length, stopword ratio, plus a composite [0,1] score."""
 
     def q(batch: pa.Table) -> pa.Table:
-        text = pc.cast(batch.column(text_col), pa.string())
-        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
-        safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
-        punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.float64())
-        digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
-        uppers = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
-        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
-        n_tokens = pc.cast(pc.list_value_length(tokens), pa.float64())
-        safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
-        mean_word_len = pc.divide(n_chars, safe_tokens)
-
-        # stopword ratio needs token membership — numpy over flattened lists
-        flat = pc.list_flatten(pc.split_pattern_regex(pc.utf8_lower(pc.utf8_trim_whitespace(text)), _TOKEN_SPLIT))
-        offsets = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
-        toks = np.asarray(flat, dtype=object)
-        is_stop = np.fromiter(((t in _EN or t in _ES) for t in toks), dtype=np.int64, count=len(toks))
-        idx = np.repeat(np.arange(len(offsets)), offsets)
-        stop_counts = np.bincount(idx, weights=is_stop, minlength=len(offsets))
-        stop_ratio = stop_counts / np.maximum(np.asarray(safe_tokens, dtype=np.float64), 1.0)
-
-        punct_ratio = pc.divide(punct, safe_chars)
-        digit_ratio = pc.divide(digits, safe_chars)
-        upper_ratio = pc.divide(uppers, safe_chars)
-        # composite: long-enough, punctuated, not digit-heavy, stopwordy
-        comp = (
-            np.clip(np.asarray(n_tokens) / 20.0, 0, 1) * 0.3
-            + np.clip(np.asarray(punct_ratio) * 20.0, 0, 1) * 0.2
-            + (1.0 - np.clip(np.asarray(digit_ratio) * 5.0, 0, 1)) * 0.2
-            + np.clip(stop_ratio * 3.0, 0, 1) * 0.3
-        )
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_chars": pc.cast(n_chars, pa.int64()),
-                "n_tokens": pc.cast(n_tokens, pa.int64()),
-                "punct_ratio": punct_ratio,
-                "digit_ratio": digit_ratio,
-                "upper_ratio": upper_ratio,
-                "mean_word_len": mean_word_len,
-                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
-                "quality": pa.array(comp, pa.float64()),
-            }
-        )
+        cols = quality_kernel(batch.column(text_col))
+        return pa.table({id_col: batch.column(id_col), **cols})
 
     return ds.map_batches(q, batch_format="pyarrow")
 
@@ -109,24 +136,8 @@ def lang_id(ds, text_col="text", id_col="doc_id"):
     heuristic; vectorized token membership via numpy."""
 
     def lid(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_lower(pc.cast(batch.column(text_col), pa.string()))
-        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
-        offsets = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
-        toks = np.asarray(pc.list_flatten(tokens), dtype=object)
-        en = np.fromiter((t in _EN for t in toks), dtype=np.int64, count=len(toks))
-        es = np.fromiter((t in _ES for t in toks), dtype=np.int64, count=len(toks))
-        idx = np.repeat(np.arange(len(offsets)), offsets)
-        en_c = np.bincount(idx, weights=en, minlength=len(offsets))
-        es_c = np.bincount(idx, weights=es, minlength=len(offsets))
-        pred = np.where(en_c > es_c, "en", np.where(es_c > en_c, "es", "und"))
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "lang_pred": pa.array(pred.tolist(), pa.string()),
-                "en_hits": pa.array(en_c.astype(np.int64), pa.int64()),
-                "es_hits": pa.array(es_c.astype(np.int64), pa.int64()),
-            }
-        )
+        cols = lang_kernel(batch.column(text_col))
+        return pa.table({id_col: batch.column(id_col), **cols})
 
     return ds.map_batches(lid, batch_format="pyarrow")
 

@@ -149,8 +149,17 @@ def text_table(pages_path: str, **kw):
 
 def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, robots=False,
               concurrency: int = 4, seen_mode: str = "exact", num_buckets: int | None = None,
-              max_rounds: int = 100, small_round_threshold: int | None = None):
-    """Full crawl over the synthetic web for an sf scale."""
+              max_rounds: int = 100, small_round_threshold: int | None = None,
+              seeds: list[str] | None = None, force_distributed: bool = False):
+    """Full crawl over the synthetic web for an sf scale.
+
+    ``seeds`` overrides the default one-root-per-host list (a
+    production crawl seeds a large fixed URL list, so rounds are big
+    from round 0). ``force_distributed`` zeroes every adaptive
+    driver-side threshold so ALL work runs in Ray workers — the
+    cluster-faithful mode used by the scaling bench (on one box the
+    driver process is otherwise an unaccounted extra worker at low
+    parallelism)."""
     from ..crawl.driver import CrawlConfig, run_crawl
 
     from ..stages.fetch import default_num_buckets
@@ -159,11 +168,18 @@ def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, rob
     pages_path = pages_dir_for(sf_dir)
     if num_buckets is None:
         num_buckets = default_num_buckets(pages_path)
+    if small_round_threshold is None:
+        small_round_threshold = int(os.environ.get("SCRAPPY_SMALL_ROUND_THRESHOLD", "100000"))
+    kw = {}
+    if force_distributed:
+        kw = {"small_round_threshold": 0, "driver_round_threshold": 0, "finalize_small_bytes": 0}
+    else:
+        kw = {"small_round_threshold": small_round_threshold}
     return run_crawl(
         CrawlConfig(
             pages_path=pages_path,
             kb_yaml=synth_kb_yaml(),
-            seeds=seed_urls(cfg),
+            seeds=seeds if seeds is not None else seed_urls(cfg),
             ckpt_dir=ckpt_dir,
             depth=depth,
             num_buckets=num_buckets,
@@ -172,10 +188,6 @@ def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, rob
             robots=robots,
             seen_mode=seen_mode,
             max_rounds=max_rounds,
-            small_round_threshold=(
-                small_round_threshold
-                if small_round_threshold is not None
-                else int(os.environ.get("SCRAPPY_SMALL_ROUND_THRESHOLD", "100000"))
-            ),
+            **kw,
         )
     )

@@ -1,0 +1,47 @@
+"""End-to-end corpus-cleaning pipeline: planted exact dups, near dups,
+junk and non-English docs must all be dropped; the funnel stats must
+account for every stage."""
+
+import pyarrow as pa
+
+
+def test_clean_corpus_funnel(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.corpus import clean_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away home tonight, "
+        "he said that it was not a problem for them because they all have one."
+    )
+    near = good.replace("tonight", "today")
+    spanish = (
+        "el perro y el gato estaban en la casa porque no se puede hacer otra cosa "
+        "cuando todo el mundo tiene que estar muy lejos desde la ciudad para ver."
+    )
+    junk = "000 111 222 333 444 555 666 777 888 999 000 111 222 333"
+    rows = [
+        (0, good),
+        (1, good),      # exact dup of 0 → dropped
+        (2, near),      # near dup of 0 → dropped by CC keep-set
+        (3, spanish),   # wrong language → dropped
+        (4, junk),      # digit-heavy, no stopwords → low quality
+        (5, "they said this was another fine document about the things we all have seen and the one story that it was for them."),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    kept, stats = clean_corpus(ds, jaccard_threshold=0.5, min_quality=0.3)
+    kept_ids = sorted(r["doc_id"] for r in kept.take_all())
+    assert kept_ids == [0, 5]
+    s = stats.to_pylist()[0]
+    assert s["n_input"] == 6
+    assert s["n_after_exact"] == 5      # doc 1 dropped
+    assert s["n_after_neardup"] == 4    # doc 2 dropped
+    assert s["n_kept"] == 2             # docs 3, 4 filtered
+    assert s["total_tokens"] > 0

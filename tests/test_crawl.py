@@ -271,3 +271,39 @@ def test_crawl_resume_with_politeness_and_robots(synth_web, synth_pages_dir, tmp
     run_crawl(mk(str(tmp_path / "part"), 3))  # killed after 3 rounds
     resumed = run_crawl(mk(str(tmp_path / "part"), 60))
     assert exec_order(resumed) == exec_order(full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wide_seed_distributed_matches_simulator(synth_web, synth_pages_dir, tmp_path):
+    """The scaling-bench configuration — a wide fixed seed list (big
+    rounds from round 0, production-frontier shape) with every adaptive
+    driver-side threshold zeroed (all work in Ray workers) — must still
+    reproduce the simulator's schedule exactly."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import host_url, synth_kb_yaml
+
+    seeds = []
+    for k in range(cfg.n_hosts):
+        seeds.append(f"{host_url(k)}/")
+        seeds.extend(f"{host_url(k)}/art/{i}" for i in range(3))
+    sup = superstep_crawl_sim(lookup_from_config(cfg), kb, seeds, depth=-1)
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seeds,
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            small_round_threshold=0,
+            driver_round_threshold=0,
+            finalize_small_bytes=0,
+        )
+    )
+    assert sched_tuples(res) == sim_tuples(sup)
+    ray_triples = {
+        (r["s"], r["p"], r["o"], r["lit"])
+        for r in pads.dataset(res.triples_path).to_table().to_pylist()
+    }
+    assert ray_triples == set(sup.triples)
