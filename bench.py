@@ -188,7 +188,8 @@ def main():
     queries["extract_all"] = round(ext["wall_s"], 3)
 
     for name in ("tpch_q1", "revenue_by_priority", "dedup_exact", "dedup_minhash",
-                 "dedup_simhash", "token_stats", "quality_scores", "sim_topk", "sessionize"):
+                 "dedup_simhash", "token_stats", "quality_scores", "sim_topk", "sessionize",
+                 "corpus_clean"):
         t = time.perf_counter()
         _consume(E.queries()[name](SF_DIR))
         queries[name] = round(time.perf_counter() - t, 3)

@@ -36,7 +36,7 @@ def drop_empty_blocks(ds):
     don't (the filter runs as tiny remote row-count tasks)."""
     import ray.data
 
-    refs = ds.to_arrow_refs()
+    refs = ds.materialize().to_arrow_refs()  # lazy to_arrow_refs() double-executes (limit-1 schema probe)
     counts = ray.get([_block_nrows.remote(r) for r in refs])
     keep = [r for r, c in zip(refs, counts) if c]
     if not keep:

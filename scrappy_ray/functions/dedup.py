@@ -36,20 +36,31 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", ids_only: bo
     def add_hash(batch: pa.Table) -> pa.Table:
         return batch.append_column("_h", _md5_col(batch.column(text_col).to_pylist()))
 
+    from ray.data.aggregate import Min
+
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     if ids_only:
-        from ray.data.aggregate import Min
-
         return (
             hashed.groupby("_h")
             .aggregate(Min(id_col, alias_name=id_col))
             .drop_columns(["_h"])
         )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        return group.sort_by([(id_col, "ascending")]).slice(0, 1)
+    # full rows: vectorized hash-aggregate winners then a hash join
+    # back — NOT map_groups (per-group Python across millions of
+    # near-singleton groups is the classic at-scale anti-pattern)
+    from ..common import drop_empty_blocks
 
-    return hashed.groupby("_h").map_groups(keep_first, batch_format="pyarrow").drop_columns(["_h"])
+    hashed = hashed.materialize()  # consumed twice: winners + probe side
+    winners = hashed.groupby("_h").aggregate(Min(id_col, alias_name=id_col))
+    joined = (
+        drop_empty_blocks(hashed)
+        .join(drop_empty_blocks(winners), join_type="inner", num_partitions=8, on=("_h", id_col))
+        .drop_columns(["_h"])
+    )
+    # small outputs leave most of the 8 join partitions empty; strip
+    # them so downstream joins don't hit the Ray 0-row-block defect
+    return drop_empty_blocks(joined)
 
 
 def _distinct(ds, cols: list[str]):
@@ -543,14 +554,7 @@ def dedup_by_components(ds, pairs_ds, id_col="doc_id", distributed: bool = False
     else:
         comp = connected_components(pairs_ds)
         drop = {i for i, root in comp.items() if i != root}
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pa.array([i not in d for i in batch.column(id_col).to_pylist()], pa.bool_())
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return _drop_ids(ds, drop, id_col)
 
 
 def drop_near_duplicates(ds, pairs_ds, id_col="doc_id"):
@@ -562,11 +566,24 @@ def drop_near_duplicates(ds, pairs_ds, id_col="doc_id"):
     drop: set = set()
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         drop.update(b.column("id_b").to_pylist())
-    drop_ref = ray.put(drop)
+    return _drop_ids(ds, drop, id_col)
+
+
+def _drop_ids(ds, drop: set, id_col: str):
+    """Anti-join against a broadcast id set — ``ray.put`` once, probed
+    with vectorized ``pc.is_in`` per batch (no per-row membership
+    loop). The set is bounded by the pair count, the small side by
+    construction."""
+    import ray
+
+    from ..common import cached_get
+
+    if not drop:
+        return ds
+    drop_ref = ray.put(pa.array(sorted(drop)))
 
     def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pa.array([i not in d for i in batch.column(id_col).to_pylist()], pa.bool_())
-        return batch.filter(mask)
+        mask = pc.is_in(batch.column(id_col), value_set=cached_get(drop_ref))
+        return batch.filter(pc.invert(pc.fill_null(mask, False)))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -5,8 +5,9 @@ ejson / png (/root/reference/lib/scrappy/agent/agent.rb:11-13 via
 lightrdf). Here: N-Triples (canonical interchange), RDF/XML (the
 interchange format RDF consumers request — with a round-trip parser),
 JSON (s→p→[o]), ejson (RDF/JSON-shaped: expanded URIs + typed object
-terms), and YARF-style compact text. png (graphviz sugar) is
-intentionally out of scope; Parquet is the canonical sink
+terms), YARF-style compact text, and graphviz DOT (the graph source
+behind the reference's png; rendering itself needs graphviz, absent
+here, so ``png`` is a documented stub). Parquet is the canonical sink
 (SURVEY.md §1.5).
 
 ``write_ntriples`` is a partitioned, task-parallel text sink (one .nt
@@ -205,6 +206,42 @@ def triples_to_ejson(rows, prefixes: dict | None = None) -> str:
     return json.dumps(g, indent=1, sort_keys=True)
 
 
+def triples_to_dot(rows, prefixes: dict | None = None) -> str:
+    """Graphviz DOT source for the triples graph — the graph the
+    reference renders to png (agent.rb:12 ContentTypes[:png] via
+    lightrdf→graphviz). One node per term (literals boxed), one
+    labeled edge per triple; deterministic node ids + ordering."""
+    nodes: dict[str, tuple[str, bool]] = {}  # id -> (label, is_literal)
+    edges = []
+
+    def node_id(label: str, lit: bool) -> str:
+        key = ("L:" if lit else "R:") + label
+        if key not in nodes:
+            nodes[key] = (f"n{len(nodes)}", lit)
+        return nodes[key][0]
+
+    for r in rows:
+        s, p, o, lit = (r["s"], r["p"], r["o"], r["lit"]) if isinstance(r, dict) else r
+        edges.append((node_id(s, False), node_id(str(o), lit), p))
+    out = ["digraph G {", "  rankdir=LR;"]
+    for key, (nid, lit) in nodes.items():
+        label = _nt_escape(key[2:])
+        shape = ' shape=box' if lit else ""
+        out.append(f'  {nid} [label="{label}"{shape}];')
+    for a, b, p in edges:
+        out.append(f'  {a} -> {b} [label="{_nt_escape(p)}"];')
+    out.append("}")
+    return "\n".join(out) + "\n"
+
+
+def _png_stub(rows):
+    raise NotImplementedError(
+        "png rendering needs graphviz, which is not in this container; "
+        "use -f dot for the same graph's DOT source (pipe through "
+        "`dot -Tpng` where graphviz is available)"
+    )
+
+
 SERIALIZERS = {
     "ntriples": triples_to_ntriples,
     "json": lambda rows: triples_to_json(rows),
@@ -212,6 +249,8 @@ SERIALIZERS = {
     "yarf": lambda rows: triples_to_yarf(rows),
     "rdfxml": lambda rows: triples_to_rdfxml(rows),
     "rdf": lambda rows: triples_to_rdfxml(rows),
+    "dot": lambda rows: triples_to_dot(rows),
+    "png": _png_stub,
 }
 
 

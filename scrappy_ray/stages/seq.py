@@ -39,7 +39,11 @@ def add_global_seq(ds, start: int, col: str = "seq", order_cols: tuple = ("paren
     not depend on executor block-yield order."""
     import ray.data
 
-    refs = ds.to_arrow_refs()
+    # materialize first: bare to_arrow_refs() on a lazy plan executes
+    # it TWICE in Ray 2.49 (once for rows, once more — full AllToAlls
+    # included — as a limit-1 schema probe); a MaterializedDataset
+    # hands refs out without re-execution
+    refs = ds.materialize().to_arrow_refs()
     metas = ray.get([_block_meta.remote(r, order_cols) for r in refs])
     order = sorted(
         (i for i in range(len(refs)) if metas[i][1] > 0), key=lambda i: metas[i][0]

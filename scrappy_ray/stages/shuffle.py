@@ -1,0 +1,156 @@
+"""External hash shuffle: key-partitioned parquet spill + per-bucket
+Arrow reduce.
+
+Ray 2.49's groupby/aggregate is a sort-based all-to-all with high
+constants on many-small-group workloads (measured here: 55 s for a
+60 MB / 1.9M-row distinct at 8 CPUs that Arrow's C++ hash aggregate
+does in ~1 s). For reduce-by-key shapes that tolerate unordered
+output (distinct, min/first per key) this module sidesteps the
+all-to-all entirely:
+
+  stage 1  map_batches: hash(key) % B → append each batch's rows to
+           per-bucket parquet shards (the classic external shuffle
+           spill; vectorized pandas hash_array, deterministic key)
+  stage 2  one task per bucket: read the bucket's shards, reduce with
+           an Arrow C++ kernel (group_by / sort+first), emit rows
+
+Both stages are plain map tasks — they scale linearly with workers
+and with ``num_buckets`` (the explicit partitioning unit: at 100 TB
+raise B so a bucket fits a worker's heap; buckets are independent, so
+a failed run can re-reduce only missing buckets). No stage holds more
+than one bucket in memory; nothing funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SEP = "\x1f"
+
+
+def _bucket_of(batch: pa.Table, key_cols: list[str], num_buckets: int) -> np.ndarray:
+    """Deterministic per-row bucket: pandas hash_array (SipHash with a
+    fixed key — stable across processes/machines, unlike Python's
+    str hash) over the '\\x1f'-joined key columns."""
+    import pandas as pd
+
+    parts = [pc.cast(batch.column(c), pa.string()) for c in key_cols]
+    if len(parts) == 1:
+        key = parts[0]
+    else:
+        key = pc.binary_join_element_wise(*parts, _SEP)
+    arr = key.combine_chunks().to_numpy(zero_copy_only=False) if isinstance(key, pa.ChunkedArray) else key.to_numpy(zero_copy_only=False)
+    return (pd.util.hash_array(arr.astype(object), categorize=False) % num_buckets).astype(np.int64)
+
+
+def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
+                          num_buckets: int = 32, select: list[str] | None = None,
+                          local_reduce: bool = False):
+    """Generic two-stage external shuffle-reduce.
+
+    ``reduce_fn(table) -> table`` runs ONCE per bucket over all of the
+    bucket's rows (Arrow C++ speed); it must be insensitive to row
+    order across shards. Returns a Dataset of the concatenated reduce
+    outputs (unordered across buckets — sort downstream if needed).
+    ``local_reduce=True`` additionally applies ``reduce_fn`` per batch
+    before spilling (a combiner — only pays when keys repeat within
+    batches). The caller owns ``tmp_dir`` cleanup after consuming the
+    result (the returned Dataset lazily reads the spill files).
+    """
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)  # stale spill from a killed run
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    def spill(batch: pa.Table) -> pa.Table:
+        if select is not None:
+            batch = batch.select(select)
+        if local_reduce and batch.num_rows:
+            batch = reduce_fn(batch)
+        if not batch.num_rows:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        buckets = _bucket_of(batch, key_cols, num_buckets)
+        shard = uuid.uuid4().hex[:12]
+        order = np.argsort(buckets, kind="stable")
+        sorted_tbl = batch.take(pa.array(order, pa.int64()))
+        sb = buckets[order]
+        edges = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+        bounds = np.r_[edges, len(sb)]
+        for i, start in enumerate(edges):
+            end = bounds[i + 1]
+            b = int(sb[start])
+            d = os.path.join(tmp_dir, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sorted_tbl.slice(start, end - start), os.path.join(d, f"{shard}.parquet"))
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(spill, batch_format="pyarrow").count()  # execute stage 1
+
+    bucket_dirs = sorted(glob.glob(os.path.join(tmp_dir, "bucket=*")))
+    if not bucket_dirs:
+        # empty input: preserve schema via an empty reduce
+        empty = pa.table({c: pa.array([], pa.string()) for c in (select or key_cols)})
+        return ray.data.from_arrow(empty)
+
+    def reduce_bucket(batch) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        tables = []
+        for d in batch["dir"]:
+            t = pads.dataset(str(d)).to_table()
+            if t.num_rows:
+                tables.append(reduce_fn(t))
+        if not tables:
+            t = pads.dataset(str(batch["dir"][0])).to_table()
+            return t.slice(0, 0)
+        return pa.concat_tables(tables).combine_chunks()
+
+    return ray.data.from_items([{"dir": d} for d in bucket_dirs]).map_batches(
+        reduce_bucket, batch_size=1, batch_format="numpy"
+    )
+
+
+def hash_distinct(ds, cols: list[str], tmp_dir: str, num_buckets: int = 32,
+                  local_reduce: bool = True):
+    """DISTINCT ``cols`` via the external hash shuffle (unordered)."""
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(cols).aggregate([])
+
+    return hash_partition_reduce(ds, cols, distinct, tmp_dir,
+                                 num_buckets=num_buckets, select=cols,
+                                 local_reduce=local_reduce)
+
+
+def hash_first_by_key(ds, key_col: str, order_col: str, payload_cols: list[str],
+                      tmp_dir: str, num_buckets: int = 32):
+    """Min-``order_col`` row per ``key_col`` (first-wins) via the
+    external hash shuffle; returns (key, *payload) columns unordered.
+    The Arrow reduce is sort + boundary mask — no per-group Python."""
+    out_cols = [key_col] + payload_cols
+
+    def first(t: pa.Table) -> pa.Table:
+        srt = t.sort_by([(key_col, "ascending"), (order_col, "ascending")])
+        keys = srt.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        k = keys.to_numpy(zero_copy_only=False)
+        firstmask = np.ones(len(k), bool)
+        if len(k):
+            firstmask[1:] = k[1:] != k[:-1]
+        return srt.filter(pa.array(firstmask)).select([key_col, order_col] + payload_cols)
+
+    red = hash_partition_reduce(ds, [key_col], first, tmp_dir,
+                                num_buckets=num_buckets,
+                                select=[key_col, order_col] + payload_cols,
+                                local_reduce=True)
+    return red.map_batches(lambda b: b.select(out_cols), batch_format="pyarrow")

@@ -212,3 +212,37 @@ def test_finalize_small_equals_shuffle(ray_session, synth_web, synth_pages_dir, 
     keys = [("s", "ascending"), ("p", "ascending"), ("o", "ascending"), ("lit", "ascending")]
     assert tbl(a.triples_path, keys) == tbl(b.triples_path, keys)
     assert tbl(a.text_path, [("curl", "ascending")]) == tbl(b.text_path, [("curl", "ascending")])
+
+
+def test_finish_frontier_vectorized_parity():
+    """_finish_frontier's Arrow fast path must equal the per-row
+    Python helpers (complete_uri/host_of) on every URL shape: absolute,
+    ports/userinfo, schemeless, bare word, mailto, empty-host."""
+    import pyarrow as pa
+
+    from scrappy_ray.crawl.driver import _finish_frontier
+    from scrappy_ray.support import complete_uri, host_of
+
+    urls = [
+        "http://site0.test/art/1",
+        "HTTPS://MixedCase.Host:8080/x?q=1#f",
+        "http://user@host.test/p",
+        "site1.test/page",          # schemeless
+        "word",                     # bare word → word.com
+        "mailto:someone@x.test",    # scheme, no host
+        "http:///odd",              # empty host
+    ]
+    batch = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "depth": pa.array([1] * len(urls), pa.int32()),
+            "seq": pa.array(range(len(urls)), pa.int64()),
+        }
+    )
+    out = _finish_frontier(batch)
+    exp_curl = [complete_uri(u) for u in urls]
+    assert out.column("curl").to_pylist() == exp_curl
+    assert out.column("host").to_pylist() == [host_of(c) for c in exp_curl]
+    assert out.column("url").to_pylist() == urls
+    # 0-row batch keeps the schema
+    assert _finish_frontier(batch.slice(0, 0)).num_rows == 0

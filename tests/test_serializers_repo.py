@@ -45,6 +45,18 @@ def test_json_and_yarf():
     y = triples_to_yarf(TRIPLES)
     assert "http://a.test/x:" in y and '  dc:title: "He said' in y
     with pytest.raises(ValueError):
+        serialize(TRIPLES, "turtle")  # unknown format → clean error
+
+
+def test_dot_and_png_stub():
+    """DOT carries the full graph (reference renders this to png via
+    graphviz — absent here, so png is a documented stub)."""
+    dot = serialize(TRIPLES, "dot")
+    assert dot.startswith("digraph G {") and dot.rstrip().endswith("}")
+    # one labeled edge per triple, literals boxed
+    assert dot.count(" -> ") == len(TRIPLES)
+    assert "shape=box" in dot and 'label="rdf:type"' in dot
+    with pytest.raises(NotImplementedError):
         serialize(TRIPLES, "png")
 
 
