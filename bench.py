@@ -30,6 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _init_ray(num_cpus: int):
+    # keep the worker pool warm across the many short per-round jobs:
+    # Ray's default reaps workers idle >1s, so every wide stage after a
+    # barrier re-spawns num_cpus python processes (measured: 50s → 12s
+    # for the first 32-CPU crawl round). A production cluster's pools
+    # are long-lived; mirror that for the bench.
+    os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
+    os.environ.setdefault("RAY_enable_worker_prestart", "1")
     import ray
 
     # honest CPU budget: driver-side Arrow kernels (adaptive small
@@ -183,6 +190,9 @@ def main():
     polite = polite_crawl_bench(concurrency=conc)
     queries["crawl_politeness"] = round(polite["wall_s"], 3)
 
+    dist = crawl_dist_bench(concurrency=conc)
+    queries["crawl_distributed"] = round(dist["wall_s"], 3)
+
     t = time.perf_counter()
     ext = extract_bench(SF_DIR, concurrency=conc)
     queries["extract_all"] = round(ext["wall_s"], 3)
@@ -208,6 +218,8 @@ def main():
                 "crawl_urls": crawl["urls"],
                 "polite_crawl_urls_per_sec": round(polite["urls_per_sec"], 2),
                 "polite_crawl_rounds": polite["rounds"],
+                "dist_crawl_urls_per_sec": round(dist["urls_per_sec"], 2),
+                "dist_crawl_urls": dist["urls"],
                 "extract_pages_per_sec": round(ext["pages_per_sec"], 2),
             }
         )

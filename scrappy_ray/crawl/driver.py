@@ -120,37 +120,61 @@ def _frontier_table(items: list[dict]) -> pa.Table:
     )
 
 
-def _make_mark_exec(grants_ref):
-    """Per-host politeness mark: sort the host's items by seq, execute
-    the first ``grants[host]``. Grants are precomputed ONCE per round on
-    the driver (one batched RPC per budget shard — NOT one actor
-    round-trip per host group, which at millions of hosts/round would
-    be millions of tiny RPCs) and broadcast via ray.put."""
+def _make_mark_exec_bucket(grants_ref):
+    """Politeness mark for one host-hash bucket (MANY hosts at once):
+    execute each host's first ``grants[host]`` items in seq order.
+    Fully vectorized — numpy rank-within-host over the bucket, the
+    same kernel as the driver-side small path — with the grant table
+    precomputed ONCE per round (one batched RPC per budget shard) and
+    broadcast via ray.put. No per-host Python, no per-host RPCs."""
     import numpy as np
 
     from ..common import cached_get
 
-    def mark_exec(group: pa.Table) -> pa.Table:
-        group = group.sort_by([("seq", "ascending")])
-        host = group.column("host")[0].as_py()
-        g = cached_get(grants_ref).get(host, 0)
-        mask = pa.array(np.arange(group.num_rows) < g)
-        return group.append_column("exec", mask)
+    def mark_exec(tbl: pa.Table) -> pa.Table:
+        srt = tbl.sort_by([("host", "ascending"), ("seq", "ascending")])
+        hosts = srt.column("host")
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        h = hosts.to_numpy(zero_copy_only=False)
+        n = len(h)
+        if not n:
+            return srt.append_column("exec", pa.array([], pa.bool_()))
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ranks = np.arange(n, dtype=np.int64) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        grants = cached_get(grants_ref)
+        limits = np.array([grants.get(h[s], 0) for s in starts], np.int64)
+        mask = ranks < np.repeat(limits, np.diff(np.r_[starts, n]))
+        return srt.append_column("exec", pa.array(mask))
 
     return mark_exec
 
 
-def _host_counts(fdir: str) -> dict[str, int]:
-    """Per-host frontier counts from the checkpointed frontier files —
-    a driver-side columnar scan of ONE narrow column (the per-round
-    grant table is O(distinct hosts), the small side by construction)."""
-    import pyarrow.dataset as pads
+@ray.remote
+def _file_host_counts(path: str) -> dict:
+    """value_counts of one frontier file's host column (remote task)."""
+    import pyarrow.parquet as pq
 
-    col = pads.dataset(fdir).to_table(columns=["host"]).column("host")
-    import pyarrow.compute as pc
-
-    vc = pc.value_counts(col.combine_chunks())
+    col = pq.read_table(path, columns=["host"]).column("host").combine_chunks()
+    vc = pc.value_counts(col)
     return dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
+
+
+def _host_counts(fdir: str) -> dict[str, int]:
+    """Per-host frontier counts: one remote value_counts task per
+    frontier file, merged on the driver. Driver work is O(distinct
+    hosts × files) — never O(frontier rows) — so the per-round grant
+    table stays the small side at a 10^10-row frontier."""
+    import glob
+
+    partials = ray.get(
+        [_file_host_counts.remote(f) for f in sorted(glob.glob(os.path.join(fdir, "*.parquet")))]
+    )
+    counts: dict[str, int] = {}
+    for d in partials:
+        for h, c in d.items():
+            counts[h] = counts.get(h, 0) + int(c)
+    return counts
 
 
 class _SeenMark:
@@ -412,9 +436,21 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             n_deferred = sum(c - min(c, grants.get(h, 0)) for h, c in counts.items())
             grants_ref = ray.put(grants)
             marked_dir = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "marked")
-            frontier.groupby("host").map_groups(
-                _make_mark_exec(grants_ref), batch_format="pyarrow"
+            # mark via the external hash shuffle: spill by host hash,
+            # then ONE vectorized rank-mark task per bucket (numpy
+            # rank-within-host < grant — identical to the small path's
+            # kernel). NOT groupby(host).map_groups: per-host Python
+            # calls across millions of hosts is the at-scale
+            # anti-pattern, and Ray's sort groupby pays ~10× besides.
+            from ..stages.shuffle import hash_partition_reduce
+
+            mark_tmp = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "mark_shuf")
+            hash_partition_reduce(
+                frontier, ["host"], _make_mark_exec_bucket(grants_ref), mark_tmp
             ).write_parquet(marked_dir)
+            import shutil as _sh
+
+            _sh.rmtree(mark_tmp, ignore_errors=True)
             marked = ray.data.read_parquet(marked_dir)
             exec_ds = marked.filter(expr="exec == True").drop_columns(["exec"])
             defer_ds = marked.filter(expr="exec == False").drop_columns(["exec"])
@@ -593,8 +629,7 @@ def _finalize_shuffle(edirs, out_sched, out_triples, out_text) -> None:
 
     from ..stages.shuffle import hash_distinct, hash_first_by_key
 
-    ex = ray.data.read_parquet(edirs, columns=["url", "curl", "depth", "seq", "round", "fetched", "text"])
-    ex.select_columns(["seq", "url", "depth", "round"]).write_parquet(out_sched)
+    ray.data.read_parquet(edirs, columns=["seq", "url", "depth", "round"]).write_parquet(out_sched)
     tmp = tempfile.mkdtemp(prefix="finalize_shuf_", dir=os.path.dirname(out_sched) or "/tmp")
     try:
         # text: one row per url, first-crawled wins (min seq per curl)

@@ -307,3 +307,32 @@ def test_wide_seed_distributed_matches_simulator(synth_web, synth_pages_dir, tmp
         for r in pads.dataset(res.triples_path).to_table().to_pylist()
     }
     assert ray_triples == set(sup.triples)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_politeness_distributed_matches_simulator(synth_web, synth_pages_dir, tmp_path):
+    """Politeness marking through the at-scale path (external host-hash
+    shuffle + vectorized per-bucket rank-mark) must reproduce the
+    simulator's (round, seq) execution order exactly."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(
+        lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1, host_budget=4
+    )
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            host_budget=4,
+            small_round_threshold=0,
+            driver_round_threshold=0,
+            finalize_small_bytes=0,
+        )
+    )
+    assert exec_order(res) == sim_exec_order(sup)
