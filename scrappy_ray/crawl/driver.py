@@ -527,7 +527,10 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             # first-wins in-round dedup (min enc per url,depth) via the
             # external hash shuffle — spill partitioned by key hash,
             # per-bucket Arrow min; ~10× Ray's sort-based groupby at
-            # this shape and every stage is a plain map task
+            # this shape and every stage is a plain map task. (The
+            # spill stays a separate job over large read blocks: fusing
+            # it into the 64-row extraction batches was measured to
+            # drown in tiny per-batch shard files.)
             links_tmp = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "links_shuf")
             exploded = ray.data.read_parquet(edir, columns=["seq", "links"]).map_batches(
                 _explode_links, batch_format="pyarrow"

@@ -49,57 +49,58 @@ def _bucket_of(batch: pa.Table, key_cols: list[str], num_buckets: int) -> np.nda
     return (pd.util.hash_array(arr.astype(object), categorize=False) % num_buckets).astype(np.int64)
 
 
-def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
-                          num_buckets: int = 32, select: list[str] | None = None,
-                          local_reduce: bool = False):
-    """Generic two-stage external shuffle-reduce.
-
-    ``reduce_fn(table) -> table`` runs ONCE per bucket over all of the
-    bucket's rows (Arrow C++ speed); it must be insensitive to row
-    order across shards. Returns a Dataset of the concatenated reduce
-    outputs (unordered across buckets — sort downstream if needed).
-    ``local_reduce=True`` additionally applies ``reduce_fn`` per batch
-    before spilling (a combiner — only pays when keys repeat within
-    batches). The caller owns ``tmp_dir`` cleanup after consuming the
-    result (the returned Dataset lazily reads the spill files).
-    """
+def prepare_spill_dir(tmp_dir: str) -> str:
+    """Clear stale spill from a killed run, create the dir."""
     import shutil
 
-    import pyarrow.parquet as pq
-    import ray.data
-
-    shutil.rmtree(tmp_dir, ignore_errors=True)  # stale spill from a killed run
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
+    return tmp_dir
 
-    def spill(batch: pa.Table) -> pa.Table:
-        if select is not None:
-            batch = batch.select(select)
-        if local_reduce and batch.num_rows:
-            batch = reduce_fn(batch)
-        if not batch.num_rows:
-            return pa.table({"rows": pa.array([0], pa.int64())})
-        buckets = _bucket_of(batch, key_cols, num_buckets)
-        shard = uuid.uuid4().hex[:12]
-        order = np.argsort(buckets, kind="stable")
-        sorted_tbl = batch.take(pa.array(order, pa.int64()))
-        sb = buckets[order]
-        edges = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
-        bounds = np.r_[edges, len(sb)]
-        for i, start in enumerate(edges):
-            end = bounds[i + 1]
-            b = int(sb[start])
-            d = os.path.join(tmp_dir, f"bucket={b}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(sorted_tbl.slice(start, end - start), os.path.join(d, f"{shard}.parquet"))
-        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
 
-    ds.map_batches(spill, batch_format="pyarrow").count()  # execute stage 1
+def spill_table(batch: pa.Table, key_cols: list[str], tmp_dir: str,
+                num_buckets: int = 32, select: list[str] | None = None,
+                local_reduce_fn=None) -> int:
+    """Append one batch's rows to the per-bucket spill shards of
+    ``tmp_dir`` (callable from inside ANY map stage — e.g. fused into
+    an extraction job so links spill as a side effect of the pass that
+    produced them, saving a separate job + re-read). Shard names are
+    uuid-fresh, so a retried task leaves duplicate rows — callers must
+    reduce with duplicate-insensitive kernels (min / distinct / first),
+    which every user in this repo does. Returns rows spilled."""
+    import pyarrow.parquet as pq
+
+    if select is not None:
+        batch = batch.select(select)
+    if local_reduce_fn is not None and batch.num_rows:
+        batch = local_reduce_fn(batch)
+    if not batch.num_rows:
+        return 0
+    buckets = _bucket_of(batch, key_cols, num_buckets)
+    shard = uuid.uuid4().hex[:12]
+    order = np.argsort(buckets, kind="stable")
+    sorted_tbl = batch.take(pa.array(order, pa.int64()))
+    sb = buckets[order]
+    edges = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+    bounds = np.r_[edges, len(sb)]
+    for i, start in enumerate(edges):
+        end = bounds[i + 1]
+        b = int(sb[start])
+        d = os.path.join(tmp_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sorted_tbl.slice(start, end - start), os.path.join(d, f"{shard}.parquet"))
+    return batch.num_rows
+
+
+def reduce_spill(tmp_dir: str, reduce_fn):
+    """Stage 2 alone: one task per existing spill bucket, each reduced
+    with ``reduce_fn`` at Arrow C++ speed. Returns a (lazy) Dataset —
+    the caller owns ``tmp_dir`` cleanup after consuming it."""
+    import ray.data
 
     bucket_dirs = sorted(glob.glob(os.path.join(tmp_dir, "bucket=*")))
     if not bucket_dirs:
-        # empty input: preserve schema via an empty reduce
-        empty = pa.table({c: pa.array([], pa.string()) for c in (select or key_cols)})
-        return ray.data.from_arrow(empty)
+        return None
 
     def reduce_bucket(batch) -> pa.Table:
         import pyarrow.dataset as pads
@@ -117,6 +118,39 @@ def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
     return ray.data.from_items([{"dir": d} for d in bucket_dirs]).map_batches(
         reduce_bucket, batch_size=1, batch_format="numpy"
     )
+
+
+def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
+                          num_buckets: int = 32, select: list[str] | None = None,
+                          local_reduce: bool = False):
+    """Generic two-stage external shuffle-reduce.
+
+    ``reduce_fn(table) -> table`` runs ONCE per bucket over all of the
+    bucket's rows (Arrow C++ speed); it must be insensitive to row
+    order across shards. Returns a Dataset of the concatenated reduce
+    outputs (unordered across buckets — sort downstream if needed).
+    ``local_reduce=True`` additionally applies ``reduce_fn`` per batch
+    before spilling (a combiner — only pays when keys repeat within
+    batches). The caller owns ``tmp_dir`` cleanup after consuming the
+    result (the returned Dataset lazily reads the spill files).
+    """
+    import ray.data
+
+    prepare_spill_dir(tmp_dir)
+
+    def spill(batch: pa.Table) -> pa.Table:
+        n = spill_table(batch, key_cols, tmp_dir, num_buckets, select,
+                        reduce_fn if local_reduce else None)
+        return pa.table({"rows": pa.array([n], pa.int64())})
+
+    ds.map_batches(spill, batch_format="pyarrow").count()  # execute stage 1
+
+    out = reduce_spill(tmp_dir, reduce_fn)
+    if out is None:
+        # empty input: preserve schema via an empty reduce
+        empty = pa.table({c: pa.array([], pa.string()) for c in (select or key_cols)})
+        return ray.data.from_arrow(empty)
+    return out
 
 
 def hash_distinct(ds, cols: list[str], tmp_dir: str, num_buckets: int = 32,
