@@ -101,7 +101,16 @@ def round_cols(ds_or_table, cols: list[str], digits: int = 4):
             if c in batch.column_names:
                 i = batch.column_names.index(c)
                 batch = batch.set_column(
-                    i, c, pc.round(pc.cast(batch.column(c), pa.float64()), ndigits=digits)
+                    i,
+                    c,
+                    # DuckDB ROUND is half-away-from-zero; Arrow defaults to
+                    # half-to-even — ties (e.g. 0.5703125 @ 6 digits) would
+                    # hash-mismatch the oracle without the explicit mode.
+                    pc.round(
+                        pc.cast(batch.column(c), pa.float64()),
+                        ndigits=digits,
+                        round_mode="half_towards_infinity",
+                    ),
                 )
         return batch
 
