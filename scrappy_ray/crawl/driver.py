@@ -133,6 +133,20 @@ def _make_mark_exec_bucket(grants_ref):
 
     def mark_exec(tbl: pa.Table) -> pa.Table:
         srt = tbl.sort_by([("host", "ascending"), ("seq", "ascending")])
+        # A retried spill task leaves duplicate rows in the bucket
+        # (spill_table's documented contract is duplicate-insensitive
+        # reduces only). Frontier rows are unique by seq, so dupes are
+        # identical rows sitting adjacent after the sort — drop them
+        # before ranking, else each copy gets marked and fetched.
+        seqs = srt.column("seq")
+        if isinstance(seqs, pa.ChunkedArray):
+            seqs = seqs.combine_chunks()
+        sq = seqs.to_numpy(zero_copy_only=False)
+        if len(sq):
+            keep = np.ones(len(sq), bool)
+            keep[1:] = sq[1:] != sq[:-1]
+            if not keep.all():
+                srt = srt.filter(pa.array(keep))
         hosts = srt.column("host")
         if isinstance(hosts, pa.ChunkedArray):
             hosts = hosts.combine_chunks()

@@ -297,6 +297,10 @@ def _optimize_all(fragments: list[FragmentSpec], score_of, metric: str = "fscore
     fragments = [copy.deepcopy(f) for f in fragments]
     best = score_of(fragments)
     tried: set = set()
+    # `tried` is keyed on id() pairs; keep every fragment that ever
+    # entered the pool alive so a merged-away fragment's id can't be
+    # recycled by a new object and spuriously mask an untried pair.
+    retained: list = list(fragments)
     while True:
         candidate = None
         pairs = []
@@ -313,6 +317,7 @@ def _optimize_all(fragments: list[FragmentSpec], score_of, metric: str = "fscore
             tried.add(key)
             merged = group(fragments[i], fragments[j])
             if merged is not None:
+                retained.append(merged)
                 candidate = (i, j, merged)
                 break
         if candidate is None:
@@ -337,11 +342,16 @@ def _uri_superfragment(subfragments: list[FragmentSpec], uris: list[str]) -> Fra
     )
 
 
-def optimize_extractors(kb: KB, samples: list[dict], metric: str = "fscore") -> KB:
+def optimize_extractors(kb: KB, samples: list[dict], metric: str = "recall") -> KB:
     """optimizer.rb:7-41: take the URI-routed root fragments that match
     some sample, optimize their subfragments (distance-ordered grouping
     with selector generalization, score-gated), and wrap the result
-    under one common UriSelector superfragment."""
+    under one common UriSelector superfragment.
+
+    Default metric is recall to match optimizer.rb doc_score
+    (optimizer.rb:323 — fscore only for :patterns): extractor merges
+    that trade precision for coverage must be judged as the reference
+    judges them."""
     sample_uris = [s["url"] for s in samples]
     roots = [
         f

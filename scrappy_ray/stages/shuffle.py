@@ -50,9 +50,34 @@ def _bucket_of(batch: pa.Table, key_cols: list[str], num_buckets: int) -> np.nda
 
 
 def prepare_spill_dir(tmp_dir: str) -> str:
-    """Clear stale spill from a killed run, create the dir."""
+    """Clear stale spill from a killed run, create the dir.
+
+    ``tmp_dir`` MUST be visible to every worker AND the driver: spill
+    tasks write shards wherever they run and ``reduce_spill`` globs
+    bucket dirs from the driver, so on a multi-node cluster the dir has
+    to live on shared storage (NFS/Lustre/FUSE-mounted object store).
+    A node-local path on a multi-node cluster would silently drop the
+    shards written on other nodes — guarded here rather than at read
+    time so a misconfigured run fails fast instead of losing data.
+    Set SCRAPPY_SHUFFLE_SHARED_FS=1 to attest the path is shared.
+    """
     import shutil
 
+    try:
+        import ray
+
+        if (
+            ray.is_initialized()
+            and len([n for n in ray.nodes() if n.get("Alive")]) > 1
+            and os.environ.get("SCRAPPY_SHUFFLE_SHARED_FS") != "1"
+        ):
+            raise RuntimeError(
+                f"external-shuffle spill dir {tmp_dir!r} on a multi-node "
+                "cluster requires shared storage; point it at a "
+                "cluster-visible mount and set SCRAPPY_SHUFFLE_SHARED_FS=1"
+            )
+    except ImportError:  # pragma: no cover - ray is a hard dep in practice
+        pass
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
     return tmp_dir
@@ -147,10 +172,34 @@ def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
 
     out = reduce_spill(tmp_dir, reduce_fn)
     if out is None:
-        # empty input: preserve schema via an empty reduce
-        empty = pa.table({c: pa.array([], pa.string()) for c in (select or key_cols)})
+        # Empty input: reproduce the real reduce-output schema so
+        # downstream unions don't see every column degraded to string
+        # (a zero-link crawl round unioned with deferred int frontier
+        # rows would otherwise fail or corrupt the frontier schema).
+        empty = _empty_like(ds, select or key_cols)
+        try:
+            empty = reduce_fn(empty)
+        except Exception:
+            pass
         return ray.data.from_arrow(empty)
     return out
+
+
+def _empty_like(ds, cols: list[str]) -> pa.Table:
+    """Zero-row table with ``cols`` typed from ``ds``'s schema (string
+    fallback only when the schema is genuinely unknowable)."""
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        base = getattr(sch, "base_schema", None) or sch
+        if isinstance(base, pa.Schema):
+            have = set(base.names)
+            if all(c in have for c in cols):
+                return pa.table(
+                    {c: pa.array([], base.field(c).type) for c in cols}
+                )
+    except Exception:
+        pass
+    return pa.table({c: pa.array([], pa.string()) for c in cols})
 
 
 def hash_distinct(ds, cols: list[str], tmp_dir: str, num_buckets: int = 32,

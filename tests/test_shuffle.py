@@ -98,3 +98,63 @@ def test_hash_shuffle_empty_and_stale_spill(tmp_path):
     empty = t.slice(0, 0)
     out = hash_distinct(ray.data.from_arrow(empty), ["k", "w"], str(tmp_path / "e"), num_buckets=4)
     assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_shuffle_preserves_schema(tmp_path):
+    """Zero spilled rows must not degrade every column to string: a
+    zero-link crawl round's result gets unioned with int-typed deferred
+    frontier rows, so the empty fallback must carry the input types."""
+    import ray.data
+
+    from scrappy_ray.stages.shuffle import hash_distinct
+
+    t = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int32()),
+            "enc": pa.array([], pa.int64()),
+        }
+    )
+    out = hash_distinct(
+        ray.data.from_arrow(t), ["url", "depth", "enc"], str(tmp_path / "es"), num_buckets=4
+    )
+    sch = out.schema().base_schema
+    assert sch.field("depth").type == pa.int32()
+    assert sch.field("enc").type == pa.int64()
+    assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mark_exec_bucket_duplicate_rows_idempotent():
+    """A retried spill task duplicates bucket rows; mark_exec must
+    grant each (host, seq) frontier row at most once — duplicated rows
+    would double-fetch and break seq uniqueness downstream."""
+    import ray
+
+    from scrappy_ray.crawl.driver import _make_mark_exec_bucket
+
+    grants = {"a.test": 2, "b.test": 1}
+    rows = pa.table(
+        {
+            "host": pa.array(["a.test", "a.test", "a.test", "b.test", "b.test"]),
+            "seq": pa.array([10, 11, 12, 20, 21], pa.int64()),
+            "url": pa.array(["u0", "u1", "u2", "u3", "u4"]),
+        }
+    )
+    # simulate a retried spill: the whole table appended twice
+    duped = pa.concat_tables([rows, rows])
+    mark = _make_mark_exec_bucket(ray.put(grants))
+    out = mark(duped)
+    execd = sorted(
+        (h, s)
+        for h, s, e in zip(
+            out.column("host").to_pylist(),
+            out.column("seq").to_pylist(),
+            out.column("exec").to_pylist(),
+        )
+        if e
+    )
+    # exactly first 2 of a.test and first 1 of b.test, each once
+    assert execd == [("a.test", 10), ("a.test", 11), ("b.test", 20)]
+    assert out.num_rows == rows.num_rows  # dupes dropped entirely
