@@ -466,6 +466,22 @@ def _q_crawl_politeness(sf_dir: str):
     return res.schedule_table().sort_by([("round", "ascending"), ("seq", "ascending")])
 
 
+def _q_crawl_priority(sf_dir: str):
+    """Priority-frontier crawl (north_star scheduler mode): per-host
+    politeness grants rank by (priority desc, seq) and a global round
+    budget pops the best K granted rows per superstep. Semantics are
+    simulator-parity-tested (tests/test_crawl.py); this query freezes
+    the value-level output."""
+    from scrappy_ray.pipelines.crawl_pipeline import crawl_job
+
+    ckpt = tempfile.mkdtemp(prefix="crawl_prio_", dir="/tmp")
+    res = crawl_job(
+        sf_dir, ckpt, depth=-1, host_budget=5,
+        frontier_order="priority", priority_fn="short_url", round_budget=12,
+    )
+    return res.schedule_table().sort_by([("round", "ascending"), ("seq", "ascending")])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -513,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_politeness": _q_crawl_politeness,
+        "crawl_priority": _q_crawl_priority,
     }
 
 
@@ -586,6 +603,7 @@ _GOLDEN_ORACLES = {
     "extract_text": "ORDER BY url",
     "crawl_bfs": "ORDER BY seq",
     "crawl_politeness": "ORDER BY round, seq",
+    "crawl_priority": "ORDER BY round, seq",
 }
 
 

@@ -39,6 +39,7 @@ from ..state.robots import RobotsCachePool
 from ..state.seen import SeenSetPool, shard_of
 from ..support import complete_uri, host_of
 from . import checkpoint as ckpt
+from .priority import DEFAULT_PRIORITY_FN, priority_arrow, priority_py
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -47,6 +48,7 @@ FRONTIER_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("seq", pa.int64()),
         ("host", pa.string()),
+        ("priority", pa.float64()),
     ]
 )
 
@@ -77,6 +79,20 @@ class CrawlConfig:
     driver_round_threshold: int = 400
     robots: bool = False
     robots_shards: int = 2
+    # frontier scheduling order. "fifo" (default) = the reference's
+    # queue semantics (map_reduce.rb:22-29): within a round, per-host
+    # grants go to the lowest discovery seq. "priority" = the
+    # north_star's priority frontier: rows carry a float64 priority
+    # (priority_fn over url/depth, computed at discovery) and both the
+    # per-host grant ranking and the optional global round_budget
+    # select by (priority desc, seq asc).
+    frontier_order: str = "fifo"
+    priority_fn: str = "short_url"
+    # global cap on executions per round (None = off). In priority
+    # mode this is what makes the frontier a real priority queue: each
+    # superstep pops the globally best ``round_budget`` granted rows
+    # and defers the rest (they keep seq + priority and re-compete).
+    round_budget: int | None = None
     max_rounds: int = 200
     extract_concurrency: int = 4
     extract_batch_size: int = 64
@@ -108,7 +124,7 @@ class CrawlResult:
         return pads.dataset(self.schedule_path).to_table().sort_by([("seq", "ascending")])
 
 
-def _frontier_table(items: list[dict]) -> pa.Table:
+def _frontier_table(items: list[dict], priority_fn: str = DEFAULT_PRIORITY_FN) -> pa.Table:
     return pa.table(
         {
             "url": pa.array([i["url"] for i in items], pa.string()),
@@ -116,13 +132,17 @@ def _frontier_table(items: list[dict]) -> pa.Table:
             "depth": pa.array([i["depth"] for i in items], pa.int32()),
             "seq": pa.array([i["seq"] for i in items], pa.int64()),
             "host": pa.array([host_of(complete_uri(i["url"])) for i in items], pa.string()),
+            "priority": pa.array(
+                [priority_py(priority_fn, i["url"], i["depth"]) for i in items], pa.float64()
+            ),
         }
     )
 
 
-def _make_mark_exec_bucket(grants_ref):
+def _make_mark_exec_bucket(grants_ref, order: str = "fifo"):
     """Politeness mark for one host-hash bucket (MANY hosts at once):
-    execute each host's first ``grants[host]`` items in seq order.
+    execute each host's first ``grants[host]`` items, ranked in seq
+    order (fifo) or (priority desc, seq) order (priority mode).
     Fully vectorized — numpy rank-within-host over the bucket, the
     same kernel as the driver-side small path — with the grant table
     precomputed ONCE per round (one batched RPC per budget shard) and
@@ -131,8 +151,14 @@ def _make_mark_exec_bucket(grants_ref):
 
     from ..common import cached_get
 
+    sort_keys = (
+        [("host", "ascending"), ("seq", "ascending")]
+        if order == "fifo"
+        else [("host", "ascending"), ("priority", "descending"), ("seq", "ascending")]
+    )
+
     def mark_exec(tbl: pa.Table) -> pa.Table:
-        srt = tbl.sort_by([("host", "ascending"), ("seq", "ascending")])
+        srt = tbl.sort_by(sort_keys)
         # A retried spill task leaves duplicate rows in the bucket
         # (spill_table's documented contract is duplicate-insensitive
         # reduces only). Frontier rows are unique by seq, so dupes are
@@ -162,6 +188,81 @@ def _make_mark_exec_bucket(grants_ref):
         return srt.append_column("exec", pa.array(mask))
 
     return mark_exec
+
+
+def _order_sort_keys(order: str) -> list:
+    """Round-budget selection key: FIFO = discovery order; priority
+    mode = best priority first, discovery order within ties."""
+    return (
+        [("seq", "ascending")]
+        if order == "fifo"
+        else [("priority", "descending"), ("seq", "ascending")]
+    )
+
+
+def _topk_table(tbl: pa.Table, k: int, order: str) -> tuple[pa.Table, pa.Table]:
+    """(exec top-k, deferred rest) of a driver-resident frontier table."""
+    srt = tbl.sort_by(_order_sort_keys(order))
+    return srt.slice(0, k), srt.slice(k)
+
+
+@ray.remote
+def _merge_partial_topk(k: int, order: str, *tables: pa.Table):
+    """Worker-side merge of per-block partial top-Ks: returns the
+    GLOBAL top-k's seq identifiers as a sorted int64 numpy array (the
+    broadcastable keep-set — 8 bytes/row, never the full rows)."""
+    import numpy as np
+
+    # filtered upstreams can emit schema-less empty blocks (Ray 2.49);
+    # drop them before concat or the schemas mismatch
+    tables = [t for t in tables if t.num_columns]
+    if not tables:
+        return np.empty(0, np.int64)
+    merged = pa.concat_tables(tables).sort_by(_order_sort_keys(order))
+    seqs = merged.column("seq").combine_chunks().to_numpy(zero_copy_only=False)
+    return np.sort(seqs[:k].astype(np.int64))
+
+
+def _round_topk_keep(exec_ds, k: int, order: str):
+    """Distributed round-budget selection: per-block partial top-K of
+    the NARROW (seq, priority) projection, then ONE worker task merges
+    the ≤ blocks×K partial rows and returns the keep-set ref. Nothing
+    funnels through the driver; the keep-set is K int64s, broadcast
+    once. (If K×blocks ever outgrows one merge task, raise the block
+    size or pre-merge per spill bucket — documented scale knob.)"""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({"seq": pa.array([], pa.int64()), "priority": pa.array([], pa.float64())})
+        return batch.select(["seq", "priority"]).sort_by(_order_sort_keys(order)).slice(0, k)
+
+    parts = exec_ds.map_batches(partial, batch_format="pyarrow").materialize()
+    refs = parts.to_arrow_refs()
+    return _merge_partial_topk.remote(k, order, *refs)
+
+
+def _make_seq_member_filter(keep_ref, keep: bool):
+    """Filter batches by membership of seq in the broadcast keep-set
+    (sorted array + searchsorted — vectorized, no per-batch hash-set
+    build)."""
+    import numpy as np
+
+    from ..common import cached_get
+
+    def member_filter(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        keep_arr = cached_get(keep_ref)
+        sq = batch.column("seq").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keep_arr):
+            idx = np.searchsorted(keep_arr, sq)
+            idx[idx == len(keep_arr)] = len(keep_arr) - 1
+            member = keep_arr[idx] == sq
+        else:
+            member = np.zeros(len(sq), bool)
+        return batch.filter(pa.array(member if keep else ~member))
+
+    return member_filter
 
 
 @ray.remote
@@ -312,7 +413,7 @@ def _links_small_path(edir: str, nfdir: str, seen, robots, cfg, next_seq: int, d
         {"url": u, "depth": d, "seq": next_seq + i}
         for i, (_, _, u, d) in enumerate(items)
     ]
-    new_tbl = _frontier_table(rows)
+    new_tbl = _frontier_table(rows, cfg.priority_fn)
     if defer_tbl is not None and defer_tbl.num_rows:
         new_tbl = pa.concat_tables([defer_tbl.select(new_tbl.column_names), new_tbl])
     os.makedirs(nfdir, exist_ok=True)
@@ -320,7 +421,7 @@ def _links_small_path(edir: str, nfdir: str, seen, robots, cfg, next_seq: int, d
     return next_seq + len(rows)
 
 
-def _finish_frontier(batch: pa.Table) -> pa.Table:
+def _finish_frontier(batch: pa.Table, priority_fn: str = DEFAULT_PRIORITY_FN) -> pa.Table:
     """(url, depth, seq) → frontier schema rows. Vectorized for the
     overwhelming case (absolute scheme://host URLs after link
     completion): host via one Arrow regex extract; rows the fast path
@@ -350,6 +451,7 @@ def _finish_frontier(batch: pa.Table) -> pa.Table:
             "depth": batch.column("depth"),
             "seq": batch.column("seq"),
             "host": pc.cast(hosts, pa.string()),
+            "priority": priority_arrow(priority_fn, urls, batch.column("depth")),
         }
     )
 
@@ -400,7 +502,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         os.makedirs(fdir, exist_ok=True)
         import pyarrow.parquet as pq
 
-        pq.write_table(_frontier_table(items), os.path.join(fdir, "part-0.parquet"))
+        pq.write_table(_frontier_table(items, cfg.priority_fn), os.path.join(fdir, "part-0.parquet"))
         next_seq = len(items)
         start_round = 0
         ckpt.save_seen_snapshot(cfg.ckpt_dir, -1, seen.snapshot_delta())
@@ -423,8 +525,14 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             import numpy as np
             import pyarrow.dataset as pads
 
-            ft = pads.dataset(fdir).to_table().sort_by([("seq", "ascending")])
-            # vectorized per-host mark: within-host rank (in seq order)
+            # row order here IS the within-host grant order: discovery
+            # seq (fifo) or (priority desc, seq) in priority mode
+            ft = pads.dataset(fdir).to_table().sort_by(
+                [("seq", "ascending")]
+                if cfg.frontier_order == "fifo"
+                else [("priority", "descending"), ("seq", "ascending")]
+            )
+            # vectorized per-host mark: within-host rank (in row order)
             # < granted count. One batched grant call per round.
             hosts_np = ft.column("host").combine_chunks().to_numpy(zero_copy_only=False)
             uniq, inv, cnt = np.unique(hosts_np, return_inverse=True, return_counts=True)
@@ -460,7 +568,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
 
             mark_tmp = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "mark_shuf")
             hash_partition_reduce(
-                frontier, ["host"], _make_mark_exec_bucket(grants_ref), mark_tmp
+                frontier, ["host"], _make_mark_exec_bucket(grants_ref, cfg.frontier_order), mark_tmp
             ).write_parquet(marked_dir)
             import shutil as _sh
 
@@ -477,6 +585,32 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         else:
             exec_ds, exec_tbl = frontier, None
             defer_ds, n_deferred = None, 0
+
+        # -- round budget (priority-frontier global top-K) -------------
+        if cfg.round_budget is not None and (n_ready - n_deferred) > cfg.round_budget:
+            k = cfg.round_budget
+            if exec_tbl is not None:
+                exec_tbl, extra_tbl = _topk_table(exec_tbl, k, cfg.frontier_order)
+                defer_tbl = (
+                    extra_tbl
+                    if defer_tbl is None
+                    else pa.concat_tables([defer_tbl, extra_tbl.select(defer_tbl.column_names)])
+                )
+                n_deferred += extra_tbl.num_rows
+            else:
+                # distributed: per-block partial top-K → one merge task
+                # → broadcast keep-set; both consumers re-filter the
+                # parquet-backed granted set (no driver gather).
+                keep_ref = _round_topk_keep(exec_ds, k, cfg.frontier_order)
+                granted_ds = exec_ds
+                exec_ds = granted_ds.map_batches(
+                    _make_seq_member_filter(keep_ref, True), batch_format="pyarrow"
+                )
+                extra_ds = granted_ds.map_batches(
+                    _make_seq_member_filter(keep_ref, False), batch_format="pyarrow"
+                )
+                defer_ds = extra_ds if defer_ds is None else defer_ds.union(extra_ds)
+                n_deferred += (n_ready - n_deferred) - k
 
         # -- fetch + extract + checkpoint ------------------------------
         this_round = rnd
@@ -560,7 +694,10 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             ).sort("enc")  # enc order == (parent_seq, link_idx) order
             new_ds, next_seq_after = add_global_seq(links, next_seq, order_cols=("enc",))
 
-            next_frontier = new_ds.map_batches(_finish_frontier, batch_format="pyarrow")
+            next_frontier = new_ds.map_batches(
+                _finish_frontier, batch_format="pyarrow",
+                fn_kwargs={"priority_fn": cfg.priority_fn},
+            )
             if defer_ds is not None and n_deferred:
                 next_frontier = defer_ds.union(next_frontier)
 

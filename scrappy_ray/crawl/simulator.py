@@ -78,9 +78,19 @@ def superstep_crawl_sim(
     host_budget: int | None = None,
     robots: bool = False,
     max_rounds: int = 1000,
+    frontier_order: str = "fifo",
+    priority_fn: str = "short_url",
+    round_budget: int | None = None,
 ) -> SimResult:
-    """The BFS-superstep semantics of the Ray driver, in-process."""
+    """The BFS-superstep semantics of the Ray driver, in-process.
+
+    ``frontier_order="priority"`` replays the driver's priority
+    frontier: items carry ``priority_py(priority_fn, url, depth)``;
+    per-host grants rank by (priority desc, seq) and the optional
+    global ``round_budget`` keeps only the best K granted items per
+    round (the rest defer with seq + priority intact)."""
     from ..state.robots import parse_robots
+    from .priority import priority_py
 
     res = SimResult()
     robots_cache: dict[str, object] = {}
@@ -102,10 +112,15 @@ def superstep_crawl_sim(
     next_seq = len(ready)
     all_triples: list = []
 
+    def order_key(it):
+        if frontier_order == "fifo":
+            return (it["seq"],)
+        return (-priority_py(priority_fn, it["url"], it["depth"]), it["seq"])
+
     for rnd in range(max_rounds):
         if not ready:
             break
-        ready.sort(key=lambda it: it["seq"])
+        ready.sort(key=order_key)
         if host_budget is not None:
             used: dict[str, int] = {}
             execute, deferred = [], []
@@ -117,7 +132,11 @@ def superstep_crawl_sim(
                 else:
                     deferred.append(it)
         else:
-            execute, deferred = ready, []
+            execute, deferred = list(ready), []
+        if round_budget is not None and len(execute) > round_budget:
+            # global top-K of the granted set by the same order key
+            deferred = execute[round_budget:] + deferred
+            execute = execute[:round_budget]
 
         candidates = []  # (parent_seq, link_idx, url, depth)
         for it in execute:

@@ -150,7 +150,9 @@ def text_table(pages_path: str, **kw):
 def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, robots=False,
               concurrency: int = 4, seen_mode: str = "exact", num_buckets: int | None = None,
               max_rounds: int = 100, small_round_threshold: int | None = None,
-              seeds: list[str] | None = None, force_distributed: bool = False):
+              seeds: list[str] | None = None, force_distributed: bool = False,
+              frontier_order: str = "fifo", priority_fn: str = "short_url",
+              round_budget: int | None = None):
     """Full crawl over the synthetic web for an sf scale.
 
     ``seeds`` overrides the default one-root-per-host list (a
@@ -188,6 +190,9 @@ def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, rob
             robots=robots,
             seen_mode=seen_mode,
             max_rounds=max_rounds,
+            frontier_order=frontier_order,
+            priority_fn=priority_fn,
+            round_budget=round_budget,
             **kw,
         )
     )

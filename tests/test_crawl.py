@@ -35,6 +35,14 @@ def sim_exec_order(sim):
     return [(r["round"], r["seq"], r["url"]) for r in sim.schedule]
 
 
+def sim_exec_sorted(sim):
+    """(round, seq)-sorted sim schedule — the right comparison in
+    priority mode, where within-round execution order is priority
+    order, not seq order (the driver's schedule table carries no
+    within-round order either way)."""
+    return sorted(sim_exec_order(sim))
+
+
 def test_fifo_equals_superstep(synth_web):
     cfg, kb = synth_web
     lookup = lookup_from_config(cfg)
@@ -307,6 +315,160 @@ def test_wide_seed_distributed_matches_simulator(synth_web, synth_pages_dir, tmp
         for r in pads.dataset(res.triples_path).to_table().to_pylist()
     }
     assert ray_triples == set(sup.triples)
+
+
+def test_priority_fn_arrow_py_parity():
+    """The vectorized Arrow priority kernels must match the scalar
+    simulator forms exactly (the parity the crawl tests rest on)."""
+    import pyarrow as pa
+
+    from scrappy_ray.crawl.priority import priority_arrow, priority_py
+
+    urls = ["http://a.test/", "http://a.test/art/1", "http://b.test/x?ref=2", ""]
+    depths = [3, 2, -1, 0]
+    ua, da = pa.array(urls, pa.string()), pa.array(depths, pa.int32())
+    for fn in ("short_url", "depth"):
+        vec = priority_arrow(fn, ua, da).to_pylist()
+        scalar = [priority_py(fn, u, d) for u, d in zip(urls, depths)]
+        assert vec == scalar, fn
+
+
+def test_priority_sim_reorders_but_visits_same_set(synth_web):
+    """Priority mode changes the execution ORDER (short URLs first)
+    but an exhaustive crawl still visits the identical (url, depth)
+    set — scheduling is a reorder, never a drop."""
+    cfg, kb = synth_web
+    lookup = lookup_from_config(cfg)
+    seeds = seed_urls(cfg)
+    fifo = superstep_crawl_sim(lookup, kb, seeds, depth=-1, host_budget=3)
+    prio = superstep_crawl_sim(
+        lookup, kb, seeds, depth=-1, host_budget=3,
+        frontier_order="priority", round_budget=8,
+    )
+    assert fifo.seen == prio.seen
+    assert sim_exec_order(fifo) != sim_exec_order(prio)
+    # round budget honored every round
+    by_round: dict = {}
+    for r in prio.schedule:
+        by_round.setdefault(r["round"], []).append(r)
+    for rows in by_round.values():
+        assert len(rows) <= 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_priority_matches_simulator(synth_web, synth_pages_dir, tmp_path):
+    """Priority frontier, driver-side small path: per-host grants rank
+    by (priority desc, seq) and the global round budget pops the best
+    K granted rows — must equal the simulator exactly."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(
+        lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1,
+        host_budget=4, frontier_order="priority", round_budget=10,
+    )
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            host_budget=4,
+            frontier_order="priority",
+            round_budget=10,
+        )
+    )
+    assert exec_order(res) == sim_exec_sorted(sup)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_round_budget_no_host_budget(synth_web, synth_pages_dir, tmp_path):
+    """Round budget alone (no politeness): pure global top-K priority
+    queue per superstep."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(
+        lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1,
+        frontier_order="priority", round_budget=6,
+    )
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            frontier_order="priority",
+            round_budget=6,
+        )
+    )
+    assert exec_order(res) == sim_exec_sorted(sup)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_priority_distributed_matches_simulator(synth_web, synth_pages_dir, tmp_path):
+    """Priority frontier through the at-scale path: priority-ranked
+    politeness marking in the external host-hash shuffle PLUS the
+    distributed round-budget top-K (per-block partial top-K → one
+    merge task → broadcast seq keep-set filters)."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(
+        lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1,
+        host_budget=4, frontier_order="priority", round_budget=10,
+    )
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            host_budget=4,
+            frontier_order="priority",
+            round_budget=10,
+            small_round_threshold=0,
+            driver_round_threshold=0,
+            finalize_small_bytes=0,
+        )
+    )
+    assert exec_order(res) == sim_exec_sorted(sup)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_priority_resume_identical(synth_web, synth_pages_dir, tmp_path):
+    """Checkpoint/resume in priority mode: the priority column survives
+    the frontier parquet round-trip and deferred rows re-compete with
+    their original (priority, seq)."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    mk = lambda d, rounds: CrawlConfig(
+        pages_path=synth_pages_dir,
+        kb_yaml=synth_kb_yaml(),
+        seeds=seed_urls(cfg),
+        ckpt_dir=d,
+        depth=-1,
+        num_buckets=4,
+        extract_concurrency=2,
+        host_budget=4,
+        frontier_order="priority",
+        round_budget=10,
+        max_rounds=rounds,
+    )
+    full = run_crawl(mk(str(tmp_path / "full"), 80))
+    run_crawl(mk(str(tmp_path / "part"), 3))  # killed after 3 rounds
+    resumed = run_crawl(mk(str(tmp_path / "part"), 80))
+    assert exec_order(resumed) == exec_order(full)
 
 
 @pytest.mark.usefixtures("ray_session")

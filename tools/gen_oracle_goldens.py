@@ -6,7 +6,8 @@ simhash pairs, crawl/extract outputs) are value-checked by the driver
 against these committed files. Re-run this ONLY when a deliberate
 semantic change alters a query's output, then commit the new files.
 
-Usage: python tools/gen_oracle_goldens.py [sf_dir]
+Usage: python tools/gen_oracle_goldens.py [sf_dir] [query ...]
+(no query names = regenerate all golden-oracled queries)
 """
 
 import os
@@ -39,10 +40,13 @@ def main() -> None:
     import __ray_entry__ as entrymod
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     out_dir = os.path.join(_REPO, "tests", "golden", "oracle")
     os.makedirs(out_dir, exist_ok=True)
     qs = entrymod.queries()
     for name in entrymod._GOLDEN_ORACLES:
+        if only and name not in only:
+            continue
         t = _to_table(qs[name](sf_dir))
         path = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(t, path)
