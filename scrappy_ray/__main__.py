@@ -43,17 +43,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.cmd == "server":
-        import hashlib
-
         from .kb.loader import load_kb_file
         from .server import EngineState, make_server
-        from .stages.fetch import build_page_store, default_num_buckets
+        from .stages.fetch import build_page_store, default_num_buckets, store_dir_for
 
         nb = default_num_buckets(args.pages)
-        store = (
-            "/tmp/scrappy_ray_store/"
-            f"{hashlib.md5(__import__('os').path.abspath(args.pages).encode()).hexdigest()[:12]}-b{nb}"
-        )
+        store = store_dir_for(args.pages, nb)
         build_page_store(args.pages, store, nb)  # auto-inits Ray for the build only
         kb = load_kb_file(args.kb)
         srv = make_server(EngineState(kb=kb, pages_store=store, num_buckets=nb),

@@ -393,10 +393,19 @@ def embedding_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.95, n_
     """Embedding near-dup pairs: random-hyperplane LSH bucket groupby
     then in-bucket exact cosine (the scale path — no all-pairs)."""
 
+    # plane matrix per (dim) built once per worker process, not per
+    # batch (dim is only known from the data; same constructor-hoist
+    # pattern as MinHashBands)
+    plane_cache: dict[int, np.ndarray] = {}
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(vecs.shape[1], n_planes)
+        from ..functions.similarity import _as_matrix
+
+        vecs = _as_matrix(batch.column(vec_col))
+        planes = plane_cache.get(vecs.shape[1])
+        if planes is None:
+            planes = np.random.RandomState(seed).randn(vecs.shape[1], n_planes)
+            plane_cache[vecs.shape[1]] = planes
         sig = (vecs @ planes > 0).astype(np.uint8)
         codes = (sig * (1 << np.arange(n_planes))).sum(axis=1)
         return pa.table(

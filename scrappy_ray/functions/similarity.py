@@ -18,7 +18,61 @@ import ray
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """list<float> column → (n, d) float64 matrix, zero-copy-ish via
+    Arrow list flatten (fixed-dim embeddings; falls back to the Python
+    path for ragged/null rows)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(col), -1)
+    except (ValueError, pa.ArrowInvalid):
+        return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def sample_vectors(ds, vec_col="embedding", id_col="vec_id", sample_size: int = 2048,
+                   seed: int = 0) -> np.ndarray:
+    """Deterministic uniform sample of embedding rows: per-block
+    bottom-``sample_size`` by a seeded hash of the id (a bottom-k
+    sketch — the k globally smallest hashes are a uniform random
+    sample under ANY partitioning), merged in ONE worker task. Unlike
+    ``ds.limit()``, the result is independent of block order, so a
+    time- or host-clustered 100 TB layout cannot skew the sample.
+    Each block contributes ≤ sample_size rows to the merge; if
+    blocks × sample_size ever outgrows one task, pre-merge per spill
+    bucket (documented scale knob)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({"h": pa.array([], pa.uint64()), vec_col: batch.column(vec_col)})
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids_np.dtype, np.integer):
+            # keep uint64 arithmetic — int64 + uint64 upcasts to float64
+            h = pd.util.hash_array(ids_np.astype(np.uint64) + np.uint64(seed))
+        else:
+            h = pd.util.hash_array(ids_np.astype(object), hash_key=f"{seed:016d}")
+        order = np.argsort(h, kind="stable")[:sample_size]
+        return pa.table(
+            {
+                "h": pa.array(h[order], pa.uint64()),
+                vec_col: batch.column(vec_col).take(pa.array(order, pa.int64())),
+            }
+        )
+
+    @ray.remote
+    def merge(*tables):
+        tabs = [t for t in tables if t.num_columns]
+        if not tabs:
+            return np.empty((0, 0))
+        m = pa.concat_tables(tabs).sort_by([("h", "ascending")]).slice(0, sample_size)
+        return _as_matrix(m.column(vec_col))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    return ray.get(merge.remote(*parts.to_arrow_refs()))
 
 
 def topk_cosine(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="vec_id",
@@ -81,22 +135,20 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col
 def ivf_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="vec_id",
              n_centroids: int = 16, nprobe: int = 4, seed: int = 31,
              query_ids: list | None = None, sample_size: int = 2048, iters: int = 8):
-    """IVF-style ANN: a coarse k-means quantizer is trained on a driver
-    SAMPLE (one pass, ``ds.limit(sample_size)``), vectors are assigned
-    to their nearest centroid via a vectorized matmul per batch
-    (groupby list = the inverted file), and each query probes only its
-    ``nprobe`` nearest lists. Per-query work is O(nprobe/n_centroids)
-    of the corpus — the classic IVF-Flat layout (Jégou et al. '11,
-    public)."""
+    """IVF-style ANN: a coarse k-means quantizer is trained on a
+    UNIFORM sample (``sample_vectors`` — bottom-k-by-id-hash, spread
+    over every block, so a sorted/clustered 100 TB layout cannot skew
+    the centroids the way ``ds.limit()``'s first-blocks sample would),
+    vectors are assigned to their nearest centroid via a vectorized
+    matmul per batch (groupby list = the inverted file), and each
+    query probes only its ``nprobe`` nearest lists. Per-query work is
+    O(nprobe/n_centroids) of the corpus — the classic IVF-Flat layout
+    (Jégou et al. '11, public)."""
     q = np.asarray(queries, dtype=np.float64)
     qids = list(query_ids) if query_ids is not None else list(range(len(q)))
 
-    # --- train the coarse quantizer on a sample (driver-side, tiny) ---
-    sample = _as_matrix(
-        pa.concat_tables(
-            [pa.table({vec_col: b.column(vec_col)}) for b in ds.limit(sample_size).iter_batches(batch_format="pyarrow")]
-        ).column(vec_col)
-    )
+    # --- train the coarse quantizer on a uniform sample (tiny) ---
+    sample = sample_vectors(ds, vec_col=vec_col, id_col=id_col, sample_size=sample_size, seed=seed)
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):
@@ -201,10 +253,12 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="v
         sig = (m @ planes > 0).astype(np.int64)
         return (sig * (1 << np.arange(n_planes))).sum(axis=1)
 
+    # plane matrix built ONCE on the driver (dim known from the query
+    # matrix) and captured by the closure — not rebuilt per batch
+    planes = np.random.RandomState(seed).randn(q.shape[1], n_planes)
+
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = _as_matrix(batch.column(vec_col))
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(vecs.shape[1], n_planes)
         return pa.table(
             {
                 "bucket": pa.array(codes_of(vecs, planes), pa.int32()),
@@ -213,8 +267,6 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="v
             }
         )
 
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(q.shape[1], n_planes)
     qcodes = codes_of(q, planes)
     probe: dict[int, list[int]] = {}
     for qi, c in enumerate(qcodes):

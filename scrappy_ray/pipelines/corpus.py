@@ -39,6 +39,8 @@ def clean_corpus(
     num_perm: int = 32,
     bands: int = 8,
     lsh_concurrency: int = 2,
+    distributed_cc: bool | None = None,
+    cc_endpoint_threshold: int = 5_000_000,
 ):
     """Returns (kept_docs_ds, stats_table). ``kept_docs_ds`` streams the
     surviving (id, text) rows; ``stats_table`` is a one-row funnel
@@ -60,7 +62,14 @@ def clean_corpus(
     verified = ngram_jaccard_verify(
         pairs, kept_exact, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
     ).materialize()
-    deduped = dedup_by_components(kept_exact, verified, id_col=id_col).materialize()
+    # components: driver union-find is O(pair endpoints); auto-switch
+    # to the distributed min-label propagation when the verified pair
+    # endpoints could outgrow driver memory (parity-tested equal).
+    if distributed_cc is None:
+        distributed_cc = 2 * verified.count() > cc_endpoint_threshold
+    deduped = dedup_by_components(
+        kept_exact, verified, id_col=id_col, distributed=distributed_cc
+    ).materialize()
     n_neardup = deduped.count()
 
     # 3+4. language + quality filter — both metrics derive purely from

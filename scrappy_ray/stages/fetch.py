@@ -32,12 +32,45 @@ from ..support import complete_uri
 FETCH_COLUMNS = ["url", "html"]
 
 
+# Store layout version: bumped when the url→bucket hash changes (the
+# bucket assignment is persisted in the store directory, so hash and
+# layout must move together; a new tag ⇒ a fresh store build).
+STORE_LAYOUT = "h2"
+
+
+def _bucket_np(urls, num_buckets: int):
+    """Vectorized url→bucket: one pandas hash_array call over the whole
+    column (same stable siphash kernel the external shuffle keys on,
+    stages/shuffle.py) — replaces the per-row Python md5 loop that
+    dominated store builds."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(urls, dtype=object)
+    if not len(arr):
+        return np.empty(0, np.int64)
+    return (pd.util.hash_array(arr) % num_buckets).astype(np.int64)
+
+
 def url_bucket(url: str, num_buckets: int) -> int:
-    return int.from_bytes(hashlib.md5(url.encode("utf-8", "ignore")).digest()[4:8], "big") % num_buckets
+    return int(_bucket_np([url], num_buckets)[0])
 
 
 def _bucket_array(urls, num_buckets: int) -> pa.Array:
-    return pa.array([url_bucket(u, num_buckets) for u in urls], pa.int32())
+    """urls: list/ndarray of str or a pyarrow (Chunked)Array."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if isinstance(urls, pa.Array):
+        urls = urls.to_numpy(zero_copy_only=False)
+    return pa.array(_bucket_np(urls, num_buckets), pa.int32())
+
+
+def store_dir_for(pages_path: str, num_buckets: int) -> str:
+    """Canonical page-store location for a corpus: keyed by corpus
+    path, bucket count AND hash-layout version, so a hash change can
+    never read a store partitioned under the old scheme."""
+    key = hashlib.md5(os.path.abspath(pages_path).encode()).hexdigest()[:12]
+    return f"/tmp/scrappy_ray_store/{key}-b{num_buckets}-{STORE_LAYOUT}"
 
 
 def default_num_buckets(pages_path: str, target_rows_per_bucket: int = 2500) -> int:
@@ -91,7 +124,7 @@ def build_page_store(pages_path: str, store_dir: str, num_buckets: int = 64,
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "bucket", _bucket_array(batch.column("url").to_pylist(), num_buckets)
+            "bucket", _bucket_array(batch.column("url"), num_buckets)
         )
 
     ds = ray.data.read_parquet(pages_path)
@@ -139,8 +172,8 @@ def lookup_urls(store_dir: str, num_buckets: int, urls: list[str], columns=FETCH
     """Point lookup used by robots actors / small-round fetch."""
     out = []
     by_bucket: dict[int, list[str]] = {}
-    for u in urls:
-        by_bucket.setdefault(url_bucket(u, num_buckets), []).append(u)
+    for u, b in zip(urls, _bucket_np(urls, num_buckets)):
+        by_bucket.setdefault(int(b), []).append(u)
     for b, us in by_bucket.items():
         ds = _bucket_dataset(store_dir, b)
         if ds is False:
@@ -192,7 +225,7 @@ def fetch_frontier_table(tbl: pa.Table, store_dir: str, num_buckets: int):
 
     if tbl.num_rows == 0:
         return ray.data.from_arrow(tbl.append_column("html", pa.array([], pa.binary())))
-    buckets = np.array([url_bucket(u, num_buckets) for u in tbl.column("curl").to_pylist()])
+    buckets = _bucket_np(tbl.column("curl").combine_chunks().to_numpy(zero_copy_only=False), num_buckets)
     order = np.argsort(buckets, kind="stable")
     srt = tbl.take(pa.array(order, pa.int64()))
     bs = buckets[order]
@@ -219,7 +252,7 @@ def fetch_frontier(frontier_ds, store_dir: str, num_buckets: int, shuffle: bool 
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "bucket", _bucket_array(batch.column("curl").to_pylist(), num_buckets)
+            "bucket", _bucket_array(batch.column("curl"), num_buckets)
         )
 
     if shuffle:

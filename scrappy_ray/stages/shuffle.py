@@ -85,14 +85,18 @@ def prepare_spill_dir(tmp_dir: str) -> str:
 
 def spill_table(batch: pa.Table, key_cols: list[str], tmp_dir: str,
                 num_buckets: int = 32, select: list[str] | None = None,
-                local_reduce_fn=None) -> int:
+                local_reduce_fn=None, dir_prefix: str = "bucket=") -> int:
     """Append one batch's rows to the per-bucket spill shards of
     ``tmp_dir`` (callable from inside ANY map stage — e.g. fused into
     an extraction job so links spill as a side effect of the pass that
     produced them, saving a separate job + re-read). Shard names are
     uuid-fresh, so a retried task leaves duplicate rows — callers must
     reduce with duplicate-insensitive kernels (min / distinct / first),
-    which every user in this repo does. Returns rows spilled."""
+    which every user in this repo does. Returns rows spilled.
+
+    ``dir_prefix`` without an '=' (e.g. "hb_") makes the layout safe to
+    re-read with ray.data.read_parquet, which would otherwise hive-infer
+    ``bucket`` as an extra partition column."""
     import pyarrow.parquet as pq
 
     if select is not None:
@@ -111,19 +115,19 @@ def spill_table(batch: pa.Table, key_cols: list[str], tmp_dir: str,
     for i, start in enumerate(edges):
         end = bounds[i + 1]
         b = int(sb[start])
-        d = os.path.join(tmp_dir, f"bucket={b}")
+        d = os.path.join(tmp_dir, f"{dir_prefix}{b}")
         os.makedirs(d, exist_ok=True)
         pq.write_table(sorted_tbl.slice(start, end - start), os.path.join(d, f"{shard}.parquet"))
     return batch.num_rows
 
 
-def reduce_spill(tmp_dir: str, reduce_fn):
+def reduce_spill(tmp_dir: str, reduce_fn, dir_prefix: str = "bucket="):
     """Stage 2 alone: one task per existing spill bucket, each reduced
     with ``reduce_fn`` at Arrow C++ speed. Returns a (lazy) Dataset —
     the caller owns ``tmp_dir`` cleanup after consuming it."""
     import ray.data
 
-    bucket_dirs = sorted(glob.glob(os.path.join(tmp_dir, "bucket=*")))
+    bucket_dirs = sorted(glob.glob(os.path.join(tmp_dir, f"{dir_prefix}*")))
     if not bucket_dirs:
         return None
 

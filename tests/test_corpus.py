@@ -45,3 +45,12 @@ def test_clean_corpus_funnel(ray_session):
     assert s["n_after_neardup"] == 4    # doc 2 dropped
     assert s["n_kept"] == 2             # docs 3, 4 filtered
     assert s["total_tokens"] > 0
+
+    # the distributed-CC path (auto-selected at scale by pair-endpoint
+    # count) must produce the identical keep-set through the PIPELINE,
+    # not just the primitive
+    kept_d, stats_d = clean_corpus(
+        ds, jaccard_threshold=0.5, min_quality=0.3, distributed_cc=True
+    )
+    assert sorted(r["doc_id"] for r in kept_d.take_all()) == kept_ids
+    assert stats_d.to_pylist()[0] == s

@@ -302,3 +302,72 @@ def test_ivf_topk_recall():
         b1 = brute[(brute.query_id == q) & (brute["rank"] == 1)]["neighbor_id"].tolist()
         hits += bool(b1 and b1[0] in ivf[ivf.query_id == q]["neighbor_id"].tolist())
     assert hits >= 3  # nprobe=4 of 8 lists recovers most rank-1 neighbors
+
+
+def test_sample_vectors_block_order_independent():
+    """The IVF training sample must be drawn uniformly regardless of
+    block layout: an adversarially CLUSTER-SORTED dataset (block 1 all
+    cluster A, block 2 all cluster B) must still yield a sample from
+    both clusters — ds.limit() would see only the first block."""
+    import ray.data
+
+    from scrappy_ray.functions.similarity import sample_vectors
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(400, 8) + 10.0   # cluster A (first block)
+    b = rng.randn(400, 8) - 10.0   # cluster B (second block)
+
+    def tbl(vs, start):
+        return pa.table(
+            {
+                "vec_id": pa.array(range(start, start + len(vs)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vs], pa.list_(pa.float64())),
+            }
+        )
+
+    ds = ray.data.from_arrow([tbl(a, 0), tbl(b, 400)])
+    sample = sample_vectors(ds, sample_size=64, seed=3)
+    assert sample.shape == (64, 8)
+    n_a = int((sample[:, 0] > 0).sum())
+    assert 16 <= n_a <= 48  # both clusters well represented
+    # deterministic across runs/partitionings
+    again = sample_vectors(ds.repartition(5), sample_size=64, seed=3)
+    assert np.array_equal(np.sort(sample, axis=0), np.sort(again, axis=0))
+
+
+def test_ivf_balanced_lists_on_sorted_layout():
+    """With the uniform sampler, a cluster-sorted layout trains
+    centroids covering BOTH clusters — each cluster's vectors land in
+    lists whose centroids are near that cluster (no empty half)."""
+    import ray.data
+
+    from scrappy_ray.functions.similarity import ivf_topk, topk_cosine
+
+    rng = np.random.RandomState(9)
+    a = rng.randn(200, 8) + 10.0
+    b = rng.randn(200, 8) - 10.0
+    vecs = np.vstack([a, b])
+    t1 = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in a], pa.list_(pa.float64())),
+        }
+    )
+    t2 = pa.table(
+        {
+            "vec_id": pa.array(range(200, 400), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in b], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow([t1, t2])
+    qs = np.vstack([a[:3], b[:3]])
+    brute = topk_cosine(ds, qs, k=3, query_ids=list(range(6))).to_pandas()
+    ivf = ivf_topk(ds, qs, k=3, query_ids=list(range(6)), n_centroids=8, nprobe=4,
+                   sample_size=128).to_pandas()
+    # queries from BOTH clusters get useful neighbors (a first-block
+    # sample would starve cluster B's lists)
+    hits = 0
+    for q in range(6):
+        b1 = brute[(brute.query_id == q) & (brute["rank"] == 1)]["neighbor_id"].tolist()
+        hits += bool(b1 and b1[0] in ivf[ivf.query_id == q]["neighbor_id"].tolist())
+    assert hits >= 5
