@@ -473,6 +473,94 @@ def _frontier_files(d: str) -> list[str]:
     )
 
 
+def _read_frontier_table(fdir: str) -> pa.Table:
+    """Whole frontier as one Arrow table (driver small paths), deduped
+    by seq: a retried spill task leaves duplicate rows in bucketed
+    frontier dirs (spill_table's uuid-shard contract); frontier rows
+    are unique by seq with identical payloads, so keep one per seq —
+    the same idempotence rule the distributed mark applies."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(_frontier_files(fdir)).to_table()
+    if t.num_rows:
+        seqs = t.column("seq").combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(seqs, return_index=True)
+        if len(uniq) != len(seqs):
+            t = t.take(pa.array(np.sort(idx), pa.int64()))
+    return t
+
+
+def _make_mark_defer_spill(grants_ref, order: str, nfdir: str, mark_buckets: int):
+    """Politeness mark for one WHOLE host-hash bucket of an
+    already-bucketed frontier (the fused path): apply the vectorized
+    rank-mark, spill the deferred rows STRAIGHT into the next round's
+    frontier buckets (same host hash ⇒ same bucket layout), and return
+    the granted rows — which stream on into the fetch job. No mark
+    shuffle, no marked-parquet write, no defer union: two whole
+    Dataset-job launches per round cheaper than the fallback."""
+    from ..stages.shuffle import spill_table
+
+    mark = _make_mark_exec_bucket(grants_ref, order)
+
+    def mark_bucket(tbl: pa.Table) -> pa.Table:
+        marked = mark(tbl)
+        mask = marked.column("exec")
+        defer = marked.filter(pc.invert(mask)).drop_columns(["exec"])
+        if defer.num_rows:
+            spill_table(defer, ["host"], nfdir, mark_buckets, dir_prefix="hb_")
+        return marked.filter(mask).drop_columns(["exec"])
+
+    return mark_bucket
+
+
+@ray.remote
+def _finish_write_block(tbl: pa.Table, offset: int, nfdir: str, priority_fn: str,
+                        bucketed: bool, num_buckets: int) -> int:
+    """One sorted links block → seq-stamped frontier rows → written.
+    Flat writes are offset-named (idempotent under task retry);
+    bucketed spills are uuid-named and deduped by seq downstream."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import spill_table
+
+    if "seq" in tbl.column_names:
+        tbl = tbl.drop_columns(["seq"])
+    tbl = tbl.append_column("seq", pa.array(range(offset, offset + tbl.num_rows), pa.int64()))
+    out = _finish_frontier(tbl, priority_fn)
+    if bucketed:
+        spill_table(out, ["host"], nfdir, num_buckets, dir_prefix="hb_")
+    else:
+        pq.write_table(out, os.path.join(nfdir, f"part-{offset:012d}.parquet"))
+    return out.num_rows
+
+
+def _seq_finish_write(links_ds, start: int, nfdir: str, priority_fn: str,
+                      bucketed: bool, num_buckets: int) -> int:
+    """Global-seq assignment + frontier completion + frontier WRITE
+    fused into the seq tasks themselves: the sorted links Dataset is
+    materialized once, block offsets come from the same block-prefix-sum
+    scheme as stages/seq.add_global_seq, and each block is stamped,
+    finished and written by one plain ray.remote task — saving the
+    whole materialize→map_batches→write_parquet Dataset-job launch the
+    unfused path pays every round. Returns next_seq."""
+    from ..stages.seq import _block_meta
+
+    os.makedirs(nfdir, exist_ok=True)
+    refs = links_ds.materialize().to_arrow_refs()
+    metas = ray.get([_block_meta.remote(r, ("enc",)) for r in refs])
+    order = sorted((i for i in range(len(refs)) if metas[i][1] > 0), key=lambda i: metas[i][0])
+    futures = []
+    offset = start
+    for i in order:
+        futures.append(
+            _finish_write_block.remote(refs[i], offset, nfdir, priority_fn, bucketed, num_buckets)
+        )
+        offset += metas[i][1]
+    ray.get(futures)
+    return offset
+
+
 def _parquet_rows(d: str) -> int:
     """Row count from parquet footers — no Dataset execution."""
     import pyarrow.parquet as pq
@@ -528,18 +616,23 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         if n_ready == 0:
             break
         small = n_ready <= cfg.small_round_threshold
-        frontier = None if small else ray.data.read_parquet(fdir)
+        # a crashed attempt of THIS round may have left a partial next
+        # frontier (defer spills / block writes land there before the
+        # manifest commits the round) — re-running must start clean
+        import shutil as _sh0
+
+        _sh0.rmtree(ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1), ignore_errors=True)
+        frontier = None if small else ray.data.read_parquet(_frontier_files(fdir))
         t0 = time.perf_counter()
 
         # -- politeness split ------------------------------------------
         defer_tbl = None  # small path carries deferred rows driver-side
         if budget and small:
             import numpy as np
-            import pyarrow.dataset as pads
 
             # row order here IS the within-host grant order: discovery
             # seq (fifo) or (priority desc, seq) in priority mode
-            ft = pads.dataset(fdir).to_table().sort_by(
+            ft = _read_frontier_table(fdir).sort_by(
                 [("seq", "ascending")]
                 if cfg.frontier_order == "fifo"
                 else [("priority", "descending"), ("seq", "ascending")]
@@ -559,40 +652,70 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             exec_ds = None  # small path fetches from the driver table
             defer_ds, n_deferred = None, defer_tbl.num_rows
         elif budget:
+            import glob as _glob
+
             # grants computed ONCE on the driver from a narrow host-count
             # scan (O(distinct hosts) rows), with ONE batched RPC per
-            # budget shard — then broadcast so the marking groupby does
-            # zero actor traffic. n_deferred follows arithmetically, so
-            # the marked frontier is written once and read once per
-            # consumer (exec / defer) instead of three times.
+            # budget shard — then broadcast so the marking stage does
+            # zero actor traffic. n_deferred follows arithmetically.
             counts = _host_counts(fdir)
             grants = budget.grant(counts, rnd)
             n_deferred = sum(c - min(c, grants.get(h, 0)) for h, c in counts.items())
             grants_ref = ray.put(grants)
-            marked_dir = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "marked")
-            # mark via the external hash shuffle: spill by host hash,
-            # then ONE vectorized rank-mark task per bucket (numpy
-            # rank-within-host < grant — identical to the small path's
-            # kernel). NOT groupby(host).map_groups: per-host Python
-            # calls across millions of hosts is the at-scale
-            # anti-pattern, and Ray's sort groupby pays ~10× besides.
-            from ..stages.shuffle import hash_partition_reduce
+            hb_dirs = sorted(_glob.glob(os.path.join(fdir, "hb_*")))
+            flat_files = _glob.glob(os.path.join(fdir, "*.parquet"))
+            # FUSED mark: a host-hash-bucketed frontier (written that
+            # way by the previous distributed round) needs NO mark
+            # shuffle and NO marked-parquet write — one task per bucket
+            # rank-marks its (whole) hosts, spills the deferred rows
+            # straight into the next round's frontier buckets, and the
+            # granted rows stream on into the fetch job. Requires exec
+            # to be consumed exactly once (the defer spill is a side
+            # effect), so a round-budget overflow — which re-filters
+            # exec twice — takes the fallback below.
+            fused = bool(hb_dirs) and not flat_files and (
+                cfg.round_budget is None or (n_ready - n_deferred) <= cfg.round_budget
+            )
+            if fused:
+                from ..stages.shuffle import reduce_spill
 
-            mark_tmp = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "mark_shuf")
-            hash_partition_reduce(
-                frontier, ["host"], _make_mark_exec_bucket(grants_ref, cfg.frontier_order), mark_tmp
-            ).write_parquet(marked_dir)
-            import shutil as _sh
+                exec_ds = reduce_spill(
+                    fdir,
+                    _make_mark_defer_spill(
+                        grants_ref, cfg.frontier_order,
+                        ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1), cfg.mark_buckets,
+                    ),
+                    dir_prefix="hb_",
+                )
+                defer_ds = None  # deferred rows already persisted by the mark tasks
+                exec_tbl = None
+            else:
+                marked_dir = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "marked")
+                # fallback (flat frontier — seeds/resume — or round-budget
+                # overflow): mark via the external hash shuffle — spill by
+                # host hash, then ONE vectorized rank-mark task per bucket
+                # (numpy rank-within-host < grant — identical to the small
+                # path's kernel). NOT groupby(host).map_groups: per-host
+                # Python calls across millions of hosts is the at-scale
+                # anti-pattern, and Ray's sort groupby pays ~10× besides.
+                from ..stages.shuffle import hash_partition_reduce
 
-            _sh.rmtree(mark_tmp, ignore_errors=True)
-            marked = ray.data.read_parquet(marked_dir)
-            exec_ds = marked.filter(expr="exec == True").drop_columns(["exec"])
-            defer_ds = marked.filter(expr="exec == False").drop_columns(["exec"])
-            exec_tbl = None
+                import shutil as _shm
+
+                _shm.rmtree(marked_dir, ignore_errors=True)  # stale crashed-attempt output
+                mark_tmp = os.path.join(ckpt.round_dir(cfg.ckpt_dir, rnd), "mark_shuf")
+                hash_partition_reduce(
+                    frontier, ["host"], _make_mark_exec_bucket(grants_ref, cfg.frontier_order), mark_tmp
+                ).write_parquet(marked_dir)
+                import shutil as _sh
+
+                _sh.rmtree(mark_tmp, ignore_errors=True)
+                marked = ray.data.read_parquet(marked_dir)
+                exec_ds = marked.filter(expr="exec == True").drop_columns(["exec"])
+                defer_ds = marked.filter(expr="exec == False").drop_columns(["exec"])
+                exec_tbl = None
         elif small:
-            import pyarrow.dataset as pads
-
-            exec_tbl = pads.dataset(fdir).to_table()
+            exec_tbl = _read_frontier_table(fdir)
             exec_ds, defer_ds, n_deferred = None, None, 0
         else:
             exec_ds, exec_tbl = frontier, None
@@ -704,17 +827,39 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             links = links.map_batches(
                 _SeenMark(seen, cfg.url_only_seen), batch_format="pyarrow", batch_size=4096
             ).sort("enc")  # enc order == (parent_seq, link_idx) order
-            new_ds, next_seq_after = add_global_seq(links, next_seq, order_cols=("enc",))
-
-            next_frontier = new_ds.map_batches(
-                _finish_frontier, batch_format="pyarrow",
-                fn_kwargs={"priority_fn": cfg.priority_fn},
-            )
-            if defer_ds is not None and n_deferred:
-                next_frontier = defer_ds.union(next_frontier)
 
             nfdir = ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1)
-            next_frontier.write_parquet(nfdir)
+            # budget crawls persist the next frontier ALREADY partitioned
+            # by hash(host) (hb_N/ bucket dirs) so the next round's
+            # politeness mark needs no shuffle (the fused path above)
+            bucketed_out = budget is not None
+            if defer_ds is None:
+                # no deferred Dataset to union (fused mark spilled its
+                # defers already; or no budget): fuse seq assignment,
+                # frontier completion AND the write into the seq tasks —
+                # one whole Dataset-job launch per round cheaper.
+                next_seq_after = _seq_finish_write(
+                    links, next_seq, nfdir, cfg.priority_fn, bucketed_out, cfg.mark_buckets
+                )
+            else:
+                new_ds, next_seq_after = add_global_seq(links, next_seq, order_cols=("enc",))
+                next_frontier = new_ds.map_batches(
+                    _finish_frontier, batch_format="pyarrow",
+                    fn_kwargs={"priority_fn": cfg.priority_fn},
+                )
+                if n_deferred:
+                    next_frontier = defer_ds.union(next_frontier)
+                if bucketed_out:
+                    from ..stages.shuffle import spill_table
+
+                    def _spill_frontier(batch: pa.Table, _d=nfdir, _nb=cfg.mark_buckets) -> pa.Table:
+                        n = spill_table(batch, ["host"], _d, _nb, dir_prefix="hb_")
+                        return pa.table({"rows": pa.array([n], pa.int64())})
+
+                    os.makedirs(nfdir, exist_ok=True)
+                    next_frontier.map_batches(_spill_frontier, batch_format="pyarrow").count()
+                else:
+                    next_frontier.write_parquet(nfdir)
             import shutil as _sh
 
             _sh.rmtree(links_tmp, ignore_errors=True)  # spill consumed

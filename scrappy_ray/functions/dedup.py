@@ -122,28 +122,50 @@ class MinHashBands:
         self.a, self.b = _minhash_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t, self.a, self.b, self.k)
-            for bnd in range(self.bands):
-                chunk = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_band.append(bnd)
-                out_hash.append(h)
-                out_id.append(i)
+        n = len(texts)
+        if not n:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bhash": pa.array([], pa.uint64()),
+                    self.id_col: batch.column(self.id_col),
+                }
+            )
+        # per-doc signature (vectorized over shingles × permutations),
+        # then the banding fold is vectorized over docs × bands: an
+        # FNV-1a accumulate across the band's rows (r is a small
+        # constant) + an avalanche finish — bucket partition identical
+        # to any strong per-band hash, with zero per-(doc,band) Python.
+        sigs = np.empty((n, self.num_perm), np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = minhash_signature(t, self.a, self.b, self.k)
+        chunks = sigs.reshape(n, self.bands, self.rows_per_band)
+        h = np.full((n, self.bands), 0xCBF29CE484222325, np.uint64)
+        for j in range(self.rows_per_band):
+            h = (h ^ chunks[:, :, j]) * np.uint64(0x100000001B3)  # mod 2^64
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands), pa.int64())
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "bhash": pa.array(out_hash, pa.string()),
-                self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
+                "band": pa.array(band, pa.int32()),
+                "bhash": pa.array(h.reshape(-1), pa.uint64()),
+                self.id_col: ids.take(rep),
             }
         )
 
 
 def _bucket_pairs(group: pa.Table, id_col: str, max_bucket: int = 200) -> pa.Table:
-    ids = sorted(group.column(id_col).to_pylist())
+    ids_col = group.column(id_col)
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    ids = np.sort(ids_col.to_numpy(zero_copy_only=False))
     if len(ids) > max_bucket:
         # NO SILENT CAPS: a hot LSH bucket loses candidate recall here —
         # surface it through the cluster-wide counters so the driver can
@@ -153,13 +175,9 @@ def _bucket_pairs(group: pa.Table, id_col: str, max_bucket: int = 200) -> pa.Tab
         incr("lsh_buckets_truncated", 1)
         incr("lsh_ids_truncated", len(ids) - max_bucket)
         ids = ids[:max_bucket]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    ai, bi = np.triu_indices(len(ids), k=1)  # all i<j pairs, no Python loop
     t = group.schema.field(id_col).type
-    return pa.table({"id_a": pa.array(a, t), "id_b": pa.array(b, t)})
+    return pa.table({"id_a": pa.array(ids[ai], t), "id_b": pa.array(ids[bi], t)})
 
 
 def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, shingle_k=5, concurrency=4):

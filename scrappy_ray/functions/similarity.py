@@ -88,22 +88,32 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         vecs = _as_matrix(batch.column(vec_col))
-        ids = batch.column(id_col).to_pylist()
+        ids_col = batch.column(id_col)
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids_np = ids_col.to_numpy(zero_copy_only=False)
         vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
         cos = vn @ qm.T  # (n × Q)
-        out = {"query_id": [], "neighbor_id": [], "cosine": []}
-        kk = min(k + (1 if exclude_self else 0), cos.shape[0])
-        for qi in range(cos.shape[1]):
-            part = np.argpartition(-cos[:, qi], kk - 1)[:kk] if cos.shape[0] > kk else np.arange(cos.shape[0])
-            for i in part:
-                out["query_id"].append(qids[qi])
-                out["neighbor_id"].append(ids[i])
-                out["cosine"].append(float(cos[i, qi]))
+        n, nq = cos.shape
+        kk = min(k + (1 if exclude_self else 0), n)
+        # one argpartition over ALL queries at once (axis=0), then
+        # fancy-index the (kk × Q) selection — no per-query Python loop
+        if n > kk:
+            part = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, Q)
+        else:
+            part = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, nq))
+        qidx = np.broadcast_to(np.arange(nq), part.shape)
         return pa.table(
             {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                "cosine": pa.array(out["cosine"], pa.float64()),
+                "query_id": pa.array(
+                    np.asarray(qids, np.int64)[qidx].reshape(-1, order="F"), pa.int64()
+                ),
+                "neighbor_id": pa.array(
+                    ids_np[part].reshape(-1, order="F").astype(np.int64), pa.int64()
+                ),
+                "cosine": pa.array(
+                    cos[part, qidx].reshape(-1, order="F").astype(np.float64), pa.float64()
+                ),
             }
         )
 

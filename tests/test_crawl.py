@@ -498,3 +498,40 @@ def test_politeness_distributed_matches_simulator(synth_web, synth_pages_dir, tm
         )
     )
     assert exec_order(res) == sim_exec_order(sup)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_politeness_fused_mark_matches_simulator(synth_web, synth_pages_dir, tmp_path):
+    """Distributed politeness via the FUSED mark path (host-hash
+    bucketed frontier → per-bucket rank-mark with defer-spill side
+    effect, no mark shuffle / marked write): must equal the simulator,
+    and the bucketed hb_* frontier layout must actually be produced
+    (proving the fused branch ran, not the flat-frontier fallback)."""
+    import glob
+    import os
+
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(
+        lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1, host_budget=4
+    )
+    ckpt = str(tmp_path / "ckpt")
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=ckpt,
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            host_budget=4,
+            small_round_threshold=0,
+            driver_round_threshold=0,
+            mark_buckets=4,
+        )
+    )
+    assert exec_order(res) == sim_exec_order(sup)
+    hb = glob.glob(os.path.join(ckpt, "round-*", "frontier", "hb_*"))
+    assert hb, "expected host-hash-bucketed frontier dirs (fused mark path)"
