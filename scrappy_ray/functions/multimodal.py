@@ -2,13 +2,17 @@
 columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The container has no image/audio codecs, so the DECODE KERNELS ARE
-STUBS — ``FakeImageDecoder`` parses a deterministic synthetic header
-(``b"IMG!" + w:u16 + h:u16 + pixels``) and a real codec drop-in would
-only replace ``_decode``; everything Ray-side (schema, batch sizing
-for large binaries, actor signature, output layout) is real and
-tested. ``decode_image_batch(..., real=True)`` raises
-NotImplementedError by design."""
+The container has no image/audio codecs, so the DEFAULT DECODE KERNELS
+ARE STUBS — ``FakeImageDecoder`` parses a deterministic synthetic
+header (``b"IMG!" + w:u16 + h:u16 + pixels``). The real-codec seam is
+``PILImageDecoder`` (same actor signature, same output schema): it
+imports Pillow ONCE per actor in ``__init__`` and decodes any
+PIL-readable payload; where Pillow is absent (this container) it
+raises a documented NotImplementedError at actor construction, so
+``decode_images(..., real=True)`` works wherever codecs exist and
+fails loudly where they don't. Everything Ray-side (schema, batch
+sizing for large binaries, actor pool, output layout) is identical
+between the two."""
 
 from __future__ import annotations
 
@@ -27,26 +31,25 @@ def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
     return b"IMG!" + struct.pack("<HH", width, height) + pixels.tobytes()
 
 
-class FakeImageDecoder:
+def _image_features(px: np.ndarray) -> tuple[float, str]:
+    """Shared feature kernel (fake + PIL paths): mean pixel + a
+    perceptual-hash stand-in (64-cell downsample sign bits)."""
+    mean_px = float(px.mean()) if px.size else 0.0
+    grid = px[: (len(px) // 64) * 64].reshape(64, -1).mean(axis=1) if len(px) >= 64 else px
+    bits = (grid > grid.mean()).astype(np.uint8) if grid.size else np.zeros(0, np.uint8)
+    return mean_px, hashlib.blake2b(bits.tobytes(), digest_size=8).hexdigest()
+
+
+class _ImageDecoderBase:
     """Actor stage: decode + feature-extract image payloads.
 
     batch_size MUST be small for large binaries (a 10 MB payload ×
     batch 256 = 2.5 GB in one task heap — size batch × concurrency to
-    the worker, SURVEY.md §7 'wide binary rows')."""
+    the worker, SURVEY.md §7 'wide binary rows'). Subclasses supply
+    ``_decode(payload) -> (w, h, flat_gray_px) | None``."""
 
-    def __init__(self, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "no image codec in this environment; plug a real decoder here"
-            )
-
-    @staticmethod
-    def _decode(payload: bytes):
-        if payload is None or payload[:4] != b"IMG!":
-            return None
-        w, h = struct.unpack("<HH", payload[4:8])
-        px = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
-        return w, h, px
+    def _decode(self, payload: bytes):
+        raise NotImplementedError
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_pylist()
@@ -61,13 +64,11 @@ class FakeImageDecoder:
                 out["ok"].append(False)
                 continue
             w, h, px = d
+            mean_px, phash = _image_features(px)
             out["width"].append(w)
             out["height"].append(h)
-            out["mean_px"].append(float(px.mean()) if px.size else 0.0)
-            # perceptual-hash stand-in: 8x8 downsample sign bits
-            grid = px[: (len(px) // 64) * 64].reshape(64, -1).mean(axis=1) if len(px) >= 64 else px
-            bits = (grid > grid.mean()).astype(np.uint8)
-            out["phash"].append(hashlib.blake2b(bits.tobytes(), digest_size=8).hexdigest())
+            out["mean_px"].append(mean_px)
+            out["phash"].append(phash)
             out["ok"].append(True)
         return pa.table(
             {
@@ -79,6 +80,54 @@ class FakeImageDecoder:
                 "ok": pa.array(out["ok"], pa.bool_()),
             }
         )
+
+
+class FakeImageDecoder(_ImageDecoderBase):
+    """Synthetic-format decoder (the container default)."""
+
+    def __init__(self, real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "no image codec in this environment; use PILImageDecoder "
+                "(decode_images(real=True)) where Pillow is installed"
+            )
+
+    def _decode(self, payload: bytes):
+        if payload is None or payload[:4] != b"IMG!":
+            return None
+        w, h = struct.unpack("<HH", payload[4:8])
+        px = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
+        return w, h, px
+
+
+class PILImageDecoder(_ImageDecoderBase):
+    """The real-codec drop-in: Pillow imported ONCE per actor (the
+    stateful-stage pattern — setup in ``__init__``, work per batch).
+    Decodes any PIL-readable payload (PNG/JPEG/...) to grayscale and
+    feeds the same feature kernel as the fake, so pipelines swap
+    decoders without schema changes."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "PILImageDecoder requires Pillow, which is not installed "
+                "in this environment"
+            ) from e
+        self._Image = Image
+
+    def _decode(self, payload: bytes):
+        if payload is None:
+            return None
+        import io
+
+        try:
+            img = self._Image.open(io.BytesIO(payload)).convert("L")
+        except Exception:
+            return None
+        px = np.asarray(img, dtype=np.uint8).ravel()
+        return img.width, img.height, px
 
 
 class FakeFrameSampler:
@@ -116,11 +165,13 @@ class FakeFrameSampler:
         )
 
 
-def decode_images(ds, concurrency: int = 2, batch_size: int = 32):
+def decode_images(ds, concurrency: int = 2, batch_size: int = 32, real: bool = False):
     """The image pipeline stage: small batches (large binaries), actor
-    pool (decoder state loaded once per actor)."""
+    pool (decoder state loaded once per actor). ``real=True`` selects
+    the Pillow-backed decoder (NotImplementedError where Pillow is
+    absent — this container)."""
     return ds.map_batches(
-        FakeImageDecoder,
+        PILImageDecoder if real else FakeImageDecoder,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -203,6 +203,45 @@ def test_multimodal_decode_and_frames():
         FakeImageDecoder(real=True)
 
 
+def test_pil_decoder_raises_without_pillow():
+    """Where Pillow is absent (this container) the real-codec seam must
+    fail loudly at actor construction, not mid-batch."""
+    from scrappy_ray.functions.multimodal import PILImageDecoder
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            PILImageDecoder()
+    else:
+        pytest.skip("Pillow present — covered by test_pil_decoder_real_path")
+
+
+def test_pil_decoder_real_path():
+    """Exercises decode_images(real=True) end-to-end where Pillow
+    exists (skipped in this container): a real PNG decodes through the
+    SAME actor signature / output schema as the fake decoder."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import decode_images
+
+    buf = io.BytesIO()
+    PIL_Image.new("L", (6, 4), color=128).save(buf, format="PNG")
+    imgs = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([buf.getvalue(), b"garbage"], pa.binary()),
+        }
+    )
+    out = decode_images(ray.data.from_arrow(imgs), real=True).to_pandas().set_index("id")
+    assert out.loc[1, "width"] == 6 and out.loc[1, "height"] == 4 and out.loc[1, "ok"]
+    assert out.loc[1, "mean_px"] == 128.0
+    assert not out.loc[2, "ok"]
+
+
 def test_prf_metrics():
     from scrappy_ray.functions.metrics import per_predicate_metrics, prf
 
