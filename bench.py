@@ -48,7 +48,12 @@ def _init_ray(num_cpus: int):
     _pa.set_cpu_count(num_cpus)
     _pa.set_io_thread_count(max(2, num_cpus))
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+        # log_to_driver=False: worker log lines otherwise interleave
+        # with stdout and can corrupt the single-JSON-line contract
+        # (observed: a worker print fragment landing mid-file before
+        # the JSON in a captured bench run)
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
