@@ -4,7 +4,8 @@
     python -m scrappy_ray get URL [URL...] \
         --pages PAGES_PARQUET --kb KB_YAML \
         [-l DEPTH] [-f ntriples|json|ejson|yarf|rdfxml|rdf] [--budget N] [--robots] \
-        [--ckpt DIR] [--dump DIR]
+        [--ckpt DIR] [--dump DIR] [--order fifo|priority] [--round-budget K] \
+        [--seen-mode exact|cuckoo|bloom]
 
 Options map to the reference: -l/--levels (bin/scrappy:27),
 -f/--format (bin/scrappy:31), politeness delay → per-host budget
@@ -39,6 +40,14 @@ def main(argv=None):
     g.add_argument("--robots", action="store_true")
     g.add_argument("--ckpt", default=None, help="checkpoint dir (resume if it exists)")
     g.add_argument("--dump", default=None, help="dump per-url files to this dir (Dumper sink)")
+    g.add_argument("--order", default="fifo", choices=["fifo", "priority"],
+                   help="frontier order: fifo (reference parity) or priority")
+    g.add_argument("--priority-fn", default="short_url", choices=["short_url", "depth"],
+                   help="priority function for --order priority")
+    g.add_argument("--round-budget", type=int, default=None,
+                   help="global cap on executions per round (priority queue pop size)")
+    g.add_argument("--seen-mode", default="exact", choices=["exact", "cuckoo", "bloom"],
+                   help="URL-seen backend (cuckoo/bloom for the 10^10 design point)")
 
     args = p.parse_args(argv)
 
@@ -83,6 +92,10 @@ def main(argv=None):
             depth=args.levels,
             host_budget=args.budget,
             robots=args.robots,
+            frontier_order=args.order,
+            priority_fn=args.priority_fn,
+            round_budget=args.round_budget,
+            seen_mode=args.seen_mode,
         )
     )
     import pyarrow.dataset as pads

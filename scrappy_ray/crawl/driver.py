@@ -62,7 +62,7 @@ class CrawlConfig:
     depth: int = -1
     num_buckets: int = 16
     seen_shards: int = 4
-    seen_mode: str = "exact"  # "cuckoo" for the 10^10 design point
+    seen_mode: str = "exact"  # "cuckoo" / "bloom" for the 10^10 design point
     seen_capacity_per_shard: int = 1_000_000
     url_only_seen: bool = False
     host_budget: float | None = None  # items per host per round (None = off)

@@ -255,13 +255,19 @@ def ngram_jaccard_verify(pairs_ds, docs_ds, text_col="text", id_col="doc_id", k=
         sh = [_shingles(t, k).tobytes() for t in kept.column(text_col).to_pylist()]
         return pa.table({id_col: kept.column(id_col), "sh": pa.array(sh, pa.binary())})
 
-    sh_ds = docs_ds.map_batches(doc_shingles, batch_format="pyarrow").materialize()
-    sh_a = sh_ds.rename_columns({id_col: "id_a", "sh": "sh_a"})
-    sh_b = sh_ds.rename_columns({id_col: "id_b", "sh": "sh_b"})
     from ..common import drop_empty_blocks
 
-    # drop_empty_blocks between joins: Ray 2.49's join breaks on 0-row
-    # left-side blocks (see common.drop_empty_blocks)
+    # doc_shingles filters per batch, so sh_ds routinely carries 0-row
+    # blocks — guard BOTH join sides: Ray 2.49's hash-shuffle join
+    # breaks on 0-row left blocks deterministically, and 0-row blocks
+    # on either side can flakily surface as ArrowInvalid inside
+    # HashShuffleAggregator.finalize depending on which aggregator
+    # partition they land in (observed intermittently in the corpus
+    # funnel test; see common.drop_empty_blocks)
+    sh_ds = drop_empty_blocks(docs_ds.map_batches(doc_shingles, batch_format="pyarrow"))
+    sh_a = sh_ds.rename_columns({id_col: "id_a", "sh": "sh_a"})
+    sh_b = sh_ds.rename_columns({id_col: "id_b", "sh": "sh_b"})
+
     half = drop_empty_blocks(
         drop_empty_blocks(pairs_ds).join(sh_a, "inner", num_partitions, on=("id_a",))
     )

@@ -3,9 +3,11 @@
 Replaces the reference's single shared Queue.history array
 (/root/reference/lib/scrappy/agent/map_reduce.rb:13-42; equality on
 the whole {uri, depth} item) with a pool of Ray actors sharded by
-``hash(url) % num_shards``. Each shard is either an exact Python set
-(test scale, reference-parity mode) or a cuckoo filter (the 10^10
-design point) behind the same interface. Shards snapshot/restore for
+``hash(url) % num_shards``. Each shard is an exact Python set (test
+scale, reference-parity mode), a cuckoo filter, or a bloom filter
+(the 10^10 design points — bloom is ~40% smaller at the same fp rate
+and fully vectorized per batch; cuckoo supports exact fingerprints)
+behind the same interface. Shards snapshot/restore for
 checkpoint-resume.
 
 Keys are "url\\tdepth" to keep the reference's (url, depth) pair
@@ -18,6 +20,7 @@ import hashlib
 
 import ray
 
+from .bloom import BloomFilter
 from .cuckoo import CuckooFilter
 
 
@@ -27,12 +30,18 @@ class SeenShard:
         self.mode = mode
         if mode == "cuckoo":
             self.filt = CuckooFilter(capacity, seed)
+        elif mode == "bloom":
+            self.filt = BloomFilter(capacity, seed=seed)
         else:
             self.filt = set()
         self.delta: list[bytes] = []  # keys added since last delta snapshot
 
     def check_and_add(self, keys: list[bytes]) -> list[bool]:
         """For each key: True if newly added (unseen before)."""
+        if self.mode == "bloom":
+            out = self.filt.check_and_add_many(keys)
+            self.delta.extend(k for k, new in zip(keys, out) if new)
+            return [bool(x) for x in out]
         if self.mode == "cuckoo":
             out = [self.filt.check_and_add(k) for k in keys]
             self.delta.extend(k for k, new in zip(keys, out) if new)
@@ -60,23 +69,31 @@ class SeenShard:
         import pickle
 
         assert data[:1] == b"D"
-        for k in pickle.loads(data[1:]):
-            if self.mode == "cuckoo":
-                if k not in self.filt:
+        keys = pickle.loads(data[1:])
+        if self.mode == "bloom":
+            self.filt.check_and_add_many(keys)  # idempotent, keeps count right
+        else:
+            for k in keys:
+                if self.mode == "cuckoo":
+                    if k not in self.filt:
+                        self.filt.add(k)
+                else:
                     self.filt.add(k)
-            else:
-                self.filt.add(k)
         self.delta = []
 
     def contains(self, keys: list[bytes]) -> list[bool]:
+        if self.mode == "bloom":
+            return [bool(x) for x in self.filt.contains_many(keys)]
         return [k in self.filt for k in keys]
 
     def size(self) -> int:
-        return self.filt.count if self.mode == "cuckoo" else len(self.filt)
+        return self.filt.count if self.mode in ("cuckoo", "bloom") else len(self.filt)
 
     def snapshot(self) -> bytes:
         if self.mode == "cuckoo":
             return b"C" + self.filt.dumps()
+        if self.mode == "bloom":
+            return b"B" + self.filt.dumps()
         import pickle
 
         return b"E" + pickle.dumps(self.filt)
@@ -87,6 +104,9 @@ class SeenShard:
         if data[:1] == b"C":
             self.mode = "cuckoo"
             self.filt = CuckooFilter.loads(data[1:])
+        elif data[:1] == b"B":
+            self.mode = "bloom"
+            self.filt = BloomFilter.loads(data[1:])
         else:
             self.mode = "exact"
             self.filt = pickle.loads(data[1:])

@@ -207,6 +207,31 @@ def test_ray_crawl_cuckoo_seen_matches_exact(synth_web, synth_pages_dir, tmp_pat
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_bloom_seen_matches_exact(synth_web, synth_pages_dir, tmp_path):
+    """The bloom-filter seen set (the north_star's named alternative to
+    cuckoo) reproduces the exact-set crawl on this corpus, including
+    delta-snapshot checkpointing through every round."""
+    cfg, kb = synth_web
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    sup = superstep_crawl_sim(lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1)
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            seen_mode="bloom",
+            seen_capacity_per_shard=100_000,
+        )
+    )
+    assert sched_tuples(res) == sim_tuples(sup)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ray_crawl_shuffle_path_matches(synth_web, synth_pages_dir, tmp_path):
     """Force the at-scale Dataset shuffle path (small_round_threshold=0)
     — must equal the driver-side fast path and the simulator."""
