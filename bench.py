@@ -127,6 +127,27 @@ def wide_seed_list(scale: str) -> list[str]:
     return seeds
 
 
+def priority_crawl_bench(concurrency: int) -> dict:
+    """The priority-frontier mode (the north_star's named scheduler):
+    per-host budget + global round budget, exec set ranked
+    (priority desc, seq) — same 160k corpus as the politeness bench so
+    the ordering overhead is directly comparable."""
+    from scrappy_ray.pipelines.crawl_pipeline import crawl_job, pages_dir_for
+
+    pages_dir_for("bench160", use_ray=True)
+    ckpt = tempfile.mkdtemp(prefix="bench_prio_", dir="/tmp")
+    t0 = time.perf_counter()
+    res = crawl_job("bench160", ckpt, depth=-1, concurrency=concurrency,
+                    host_budget=1250, robots=True,
+                    frontier_order="priority", round_budget=20000)
+    wall = time.perf_counter() - t0
+    n = sum(r["executed"] for r in res.manifest["rounds"])
+    rounds = len(res.manifest["rounds"])
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {"wall_s": wall, "urls": n, "rounds": rounds,
+            "urls_per_sec": n / wall if wall else None}
+
+
 def crawl_dist_bench(concurrency: int) -> dict:
     """The cluster-faithful scaling crawl: wide fixed seed list (big
     rounds from round 0) + force_distributed (every adaptive driver
@@ -195,6 +216,9 @@ def main():
     polite = polite_crawl_bench(concurrency=conc)
     queries["crawl_politeness"] = round(polite["wall_s"], 3)
 
+    prio = priority_crawl_bench(concurrency=conc)
+    queries["crawl_priority"] = round(prio["wall_s"], 3)
+
     dist = crawl_dist_bench(concurrency=conc)
     queries["crawl_distributed"] = round(dist["wall_s"], 3)
 
@@ -223,6 +247,8 @@ def main():
                 "crawl_urls": crawl["urls"],
                 "polite_crawl_urls_per_sec": round(polite["urls_per_sec"], 2),
                 "polite_crawl_rounds": polite["rounds"],
+                "priority_crawl_urls_per_sec": round(prio["urls_per_sec"], 2),
+                "priority_crawl_rounds": prio["rounds"],
                 "dist_crawl_urls_per_sec": round(dist["urls_per_sec"], 2),
                 "dist_crawl_urls": dist["urls"],
                 "extract_pages_per_sec": round(ext["pages_per_sec"], 2),
@@ -323,10 +349,16 @@ def scaling_main():
     for N→4N node scaling; both pairs are reported."""
     pair = tuple(int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(","))
     repeats = int(os.environ.get("SCALING_REPEATS", "1"))
-    results = []
-    for n in pair:
-        attempts = []
-        for _ in range(repeats):
+    # INTERLEAVE the levels (8,32,8,32,...) rather than running each
+    # level's repeats back-to-back: this VM's CPU-steal comes in long
+    # windows, and consecutive repeats of one level can all land inside
+    # one window (measured round 3: three consecutive 32-CPU attempts
+    # all read the dist crawl at ~178 s while temporally spread fresh
+    # processes read 124.9 s on identical code+input). Interleaving
+    # spreads each level's attempts across windows so best-of-N works.
+    attempts_by_n = {n: [] for n in pair}
+    for _ in range(repeats):
+        for n in pair:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one-scale", str(n)],
                 capture_output=True,
@@ -343,7 +375,10 @@ def scaling_main():
                 timeout=3600,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            attempts.append(json.loads(line))
+            attempts_by_n[n].append(json.loads(line))
+    results = []
+    for n in pair:
+        attempts = attempts_by_n[n]
         # this VM sees one-sided CPU steal (firecracker host): take the
         # best attempt per workload — slowdowns are noise, never signal
         best = attempts[0]
@@ -376,6 +411,13 @@ def scaling_main():
                 "crawl_adaptive_scaling_efficiency": round(eff_crawl, 3),
                 "extract_scaling_efficiency": round(eff_ext, 3),
                 "control_scaling_efficiency": round(eff_ctl, 3),
+                # the control IS the box: dividing out its ratio isolates
+                # the engine's scaling from the VM's steal windows
+                "control_normalized": {
+                    "crawl_dist": round(eff_dist / eff_ctl, 3),
+                    "crawl_adaptive": round(eff_crawl / eff_ctl, 3),
+                    "extract": round(eff_ext / eff_ctl, 3),
+                },
             }
         )
     )
