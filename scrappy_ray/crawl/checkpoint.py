@@ -61,11 +61,39 @@ def save_manifest(ckpt_dir: str, manifest: dict) -> None:
 
 
 def save_seen_snapshot(ckpt_dir: str, rnd: int, snaps: list[bytes]) -> None:
+    from ..state.seen import ROUTING
+
     d = os.path.join(ckpt_dir, "seen", f"round-{rnd:04d}")
     os.makedirs(d, exist_ok=True)
+    # snapshots are per-shard state, valid only under the routing that
+    # produced them — stamp (routing, num_shards) once per checkpoint
+    rp = os.path.join(ckpt_dir, "seen", "ROUTING")
+    if not os.path.exists(rp):
+        with open(rp, "w") as f:
+            f.write(f"{ROUTING}:{len(snaps)}")
     for i, b in enumerate(snaps):
         with open(os.path.join(d, f"shard-{i}.bin"), "wb") as f:
             f.write(b)
+
+
+def check_seen_routing(ckpt_dir: str, num_shards: int) -> None:
+    """Refuse to resume seen snapshots written under a different
+    shard-routing scheme or shard count — keys would land in the wrong
+    shards and the crawl would silently re-crawl (or skip) URLs."""
+    from ..state.seen import ROUTING
+
+    rp = os.path.join(ckpt_dir, "seen", "ROUTING")
+    got = None
+    if os.path.exists(rp):
+        with open(rp) as f:
+            got = f.read().strip()
+    want = f"{ROUTING}:{num_shards}"
+    if got != want:
+        raise RuntimeError(
+            f"seen-set checkpoint at {ckpt_dir!r} was written under routing "
+            f"{got or 'pre-versioning (md5 v0)'} but this build routes with {want}; "
+            "restart the crawl with a fresh ckpt_dir (or matching seen_shards)."
+        )
 
 
 def load_seen_snapshot(ckpt_dir: str, rnd: int) -> list[bytes]:

@@ -283,14 +283,42 @@ def _file_host_counts(path: str) -> dict:
     return dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
 
 
+@ray.remote
+def _bucket_host_counts(bucket_dir: str) -> dict:
+    """value_counts of one BUCKETED frontier dir's host column, deduped
+    by seq first: a retried spill task (or a re-executed lazy plan with
+    the fused mark's defer-spill side effect) leaves duplicate rows in
+    hb_N dirs, and grant/threshold arithmetic must count items, not
+    shards. A seq's host is fixed, so per-bucket dedup is global dedup."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(bucket_dir).to_table(columns=["host", "seq"])
+    if not t.num_rows:
+        return {}
+    seqs = t.column("seq").combine_chunks().to_numpy(zero_copy_only=False)
+    uniq, idx = np.unique(seqs, return_index=True)
+    host = t.column("host").combine_chunks()
+    if len(uniq) != len(seqs):
+        host = host.take(pa.array(idx, pa.int64()))
+    vc = pc.value_counts(host)
+    return dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
+
+
 def _host_counts(fdir: str) -> dict[str, int]:
-    """Per-host frontier counts: one remote value_counts task per
-    frontier file, merged on the driver. Driver work is O(distinct
-    hosts × files) — never O(frontier rows) — so the per-round grant
-    table stays the small side at a 10^10-row frontier."""
+    """Per-host frontier counts: one remote value_counts task per flat
+    frontier file / per hb_ bucket dir (seq-deduped), merged on the
+    driver. Driver work is O(distinct hosts × files) — never O(frontier
+    rows) — so the per-round grant table stays the small side at a
+    10^10-row frontier."""
     import glob
 
-    partials = ray.get([_file_host_counts.remote(f) for f in _frontier_files(fdir)])
+    flat = sorted(glob.glob(os.path.join(fdir, "*.parquet")))
+    hb = sorted(glob.glob(os.path.join(fdir, "hb_*")))
+    partials = ray.get(
+        [_file_host_counts.remote(f) for f in flat]
+        + [_bucket_host_counts.remote(b) for b in hb]
+    )
     counts: dict[str, int] = {}
     for d in partials:
         for h, c in d.items():
@@ -304,10 +332,8 @@ class _SeenMark:
         self.url_only = url_only
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        depths = batch.column("depth").to_pylist()
-        mask = self.pool.mark_new(urls, depths, self.url_only)
-        return batch.filter(pa.array(mask, pa.bool_()))
+        mask = self.pool.mark_new_table(batch, self.url_only)
+        return batch.filter(pa.array(mask))
 
 
 class _RobotsFilter:
@@ -561,11 +587,37 @@ def _seq_finish_write(links_ds, start: int, nfdir: str, priority_fn: str,
     return offset
 
 
+@ray.remote
+def _bucket_distinct_seq(bucket_dir: str) -> int:
+    """Distinct seq count of one hb_ bucket dir (narrow int64 scan) —
+    footer row counts over-count when a retried spill task left
+    duplicate shards."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(bucket_dir).to_table(columns=["seq"])
+    if not t.num_rows:
+        return 0
+    return len(np.unique(t.column("seq").combine_chunks().to_numpy(zero_copy_only=False)))
+
+
 def _parquet_rows(d: str) -> int:
-    """Row count from parquet footers — no Dataset execution."""
+    """Frontier item count: parquet footers for flat files (written
+    once by the driver/write_parquet), distinct-seq for hb_ bucket dirs
+    (retry-duplicated shards must not inflate n_ready, the grant
+    arithmetic, or the small/distributed threshold choice)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    return sum(pq.read_metadata(f).num_rows for f in _frontier_files(d))
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    )
+    hb = sorted(glob.glob(os.path.join(d, "hb_*")))
+    if hb:
+        n += sum(ray.get([_bucket_distinct_seq.remote(b) for b in hb]))
+    return n
 
 
 def run_crawl(cfg: CrawlConfig) -> CrawlResult:
@@ -585,6 +637,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         # seen snapshots are per-round DELTAS (O(round) each); replay
         # them in order from the seed snapshot (-1) through `last`
         last = manifest["rounds"][-1]["round"]
+        ckpt.check_seen_routing(cfg.ckpt_dir, cfg.seen_shards)
         seen.restore_deltas(
             [ckpt.load_seen_snapshot(cfg.ckpt_dir, r) for r in range(-1, last + 1)]
         )

@@ -180,12 +180,13 @@ def _bucket_pairs(group: pa.Table, id_col: str, max_bucket: int = 200) -> pa.Tab
     return pa.table({"id_a": pa.array(ids[ai], t), "id_b": pa.array(ids[bi], t)})
 
 
-def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, shingle_k=5, concurrency=4):
+def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, shingle_k=5,
+                      concurrency=4, max_bucket=200):
     """Candidate near-duplicate pairs via MinHash+LSH banding
     (Broder '97 / Leskovec-Rajaraman-Ullman MMDS ch.3 — public)."""
 
     def pairs(group: pa.Table) -> pa.Table:
-        return _bucket_pairs(group, id_col)
+        return _bucket_pairs(group, id_col, max_bucket=max_bucket)
 
     cand = (
         ds.map_batches(
@@ -413,7 +414,8 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, max_bucke
 # -- embedding cosine ---------------------------------------------------
 
 
-def embedding_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.95, n_planes=8, seed=11):
+def embedding_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.95, n_planes=8, seed=11,
+                    max_bucket: int = 200):
     """Embedding near-dup pairs: random-hyperplane LSH bucket groupby
     then in-bucket exact cosine (the scale path — no all-pairs)."""
 
@@ -441,25 +443,35 @@ def embedding_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.95, n_
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        vecs = np.array(group.column(vec_col).to_pylist(), dtype=np.float64)
+        order = np.argsort(np.asarray(group.column(id_col)), kind="stable")
+        if len(order) > max_bucket:
+            # NO SILENT CAPS: hot-bucket truncation surfaces through the
+            # cluster-wide counters (same contract as the minhash and
+            # simhash buckets above) — keep the max_bucket smallest ids
+            from .counters import incr
+
+            incr("embedding_buckets_truncated", 1)
+            incr("embedding_ids_truncated", len(order) - max_bucket)
+            order = order[:max_bucket]
+        ids = group.column(id_col).take(pa.array(order, pa.int64()))
+        ids_np = np.asarray(ids)
+        vecs = np.array(group.column(vec_col).take(pa.array(order, pa.int64())).to_pylist(),
+                        dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
         cos = unit @ unit.T
-        a, b, c = [], [], []
-        order = np.argsort(ids)
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                i, j = order[x], order[y]
-                if cos[i, j] >= threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    c.append(float(cos[i, j]))
+        m = len(ids_np)
+        ii, jj = np.triu_indices(m, k=1)  # all i<j pairs, no Python loop
+        keep = cos[ii, jj] >= threshold
         t = group.schema.field(id_col).type
         return pa.table(
-            {"id_a": pa.array(a, t), "id_b": pa.array(b, t), "cosine": pa.array(c, pa.float64())}
-        )
+            {
+                "id_a": ids.take(pa.array(ii[keep], pa.int64())),
+                "id_b": ids.take(pa.array(jj[keep], pa.int64())),
+                "cosine": pa.array(cos[ii[keep], jj[keep]], pa.float64()),
+            }
+        ).cast(pa.schema([("id_a", t), ("id_b", t), ("cosine", pa.float64())]))
 
     cand = ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
         pairs, batch_format="pyarrow"
@@ -570,20 +582,45 @@ def connected_components_distributed(pairs_ds, max_iters: int = 64):
     return labels
 
 
-def dedup_by_components(ds, pairs_ds, id_col="doc_id", distributed: bool = False):
+def dedup_by_components(ds, pairs_ds, id_col="doc_id", distributed: bool = False,
+                        broadcast_threshold: int = 1_000_000, num_partitions: int = 8):
     """Exact cluster dedup: keep only each connected component's min-id
     member (transitively correct, unlike the greedy pair-drop below).
     ``distributed=True`` computes components with the groupby label
-    propagation (no driver state proportional to pair endpoints)."""
+    propagation AND applies the keep-set without ever gathering it:
+    below ``broadcast_threshold`` drop-ids the set is broadcast
+    (``ray.put`` + ``pc.is_in`` — cheaper than shuffling the corpus),
+    above it the corpus is LEFT-ANTI-joined against the drop-label
+    table — no driver state proportional to pair endpoints on the
+    at-scale path."""
     import ray
+
+    from ..common import drop_empty_blocks
 
     if distributed:
         labels = connected_components_distributed(pairs_ds)
+        dropl = drop_empty_blocks(
+            labels.filter(expr="id != root").select_columns(["id"])
+        ).materialize()  # consumed twice: count + (broadcast | join)
+        n_drop = dropl.count()
+        if n_drop == 0:
+            return ds
+        if n_drop > broadcast_threshold:
+            right = dropl
+            if id_col == "id":
+                right = dropl.map_batches(
+                    lambda b: b.rename_columns(["__drop_id"]), batch_format="pyarrow"
+                )
+            return drop_empty_blocks(ds).join(
+                right,
+                "left_anti",
+                num_partitions,
+                on=(id_col,),
+                right_on=("__drop_id" if id_col == "id" else "id",),
+            )
         drop = set()
-        for b in labels.iter_batches(batch_format="pyarrow"):
-            ids = b.column("id").to_pylist()
-            roots = b.column("root").to_pylist()
-            drop.update(i for i, r in zip(ids, roots) if i != r)
+        for b in dropl.iter_batches(batch_format="pyarrow"):
+            drop.update(b.column("id").to_pylist())
     else:
         comp = connected_components(pairs_ds)
         drop = {i for i, root in comp.items() if i != root}

@@ -23,6 +23,12 @@ _ES = frozenset(
     "muy sin sobre también hasta donde quien desde nos durante uno les ni contra".split()
 )
 
+# Arrow value sets for pc.is_in — token membership stays in C (one
+# kernel call over the flattened token array, no Python iteration)
+_EN_ARR = pa.array(sorted(_EN), pa.string())
+_ES_ARR = pa.array(sorted(_ES), pa.string())
+_STOP_ARR = pa.array(sorted(_EN | _ES), pa.string())
+
 _TOKEN_SPLIT = r"\s+"
 _PUNCT_RE = r"[.,;:!?]"
 # BPE-ish word/number/punct tokenizer (GPT-2-style coarse classes)
@@ -68,11 +74,11 @@ def quality_kernel(text) -> dict:
     safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
     mean_word_len = pc.divide(n_chars, safe_tokens)
 
-    # stopword ratio needs token membership — numpy over flattened lists
+    # stopword ratio: Arrow set membership over the flattened token
+    # array — pc.is_in keeps the whole membership test in C
     flat = pc.list_flatten(pc.split_pattern_regex(pc.utf8_lower(pc.utf8_trim_whitespace(text)), _TOKEN_SPLIT))
     offsets = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
-    toks = np.asarray(flat, dtype=object)
-    is_stop = np.fromiter(((t in _EN or t in _ES) for t in toks), dtype=np.int64, count=len(toks))
+    is_stop = pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False).astype(np.int64)
     idx = np.repeat(np.arange(len(offsets)), offsets)
     stop_counts = np.bincount(idx, weights=is_stop, minlength=len(offsets))
     stop_ratio = stop_counts / np.maximum(np.asarray(safe_tokens, dtype=np.float64), 1.0)
@@ -106,9 +112,9 @@ def lang_kernel(text) -> dict:
     text = pc.utf8_lower(pc.cast(text, pa.string()))
     tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
     offsets = np.asarray(pc.list_value_length(tokens)).astype(np.int64)
-    toks = np.asarray(pc.list_flatten(tokens), dtype=object)
-    en = np.fromiter((t in _EN for t in toks), dtype=np.int64, count=len(toks))
-    es = np.fromiter((t in _ES for t in toks), dtype=np.int64, count=len(toks))
+    flat = pc.list_flatten(tokens)
+    en = pc.is_in(flat, value_set=_EN_ARR).to_numpy(zero_copy_only=False).astype(np.int64)
+    es = pc.is_in(flat, value_set=_ES_ARR).to_numpy(zero_copy_only=False).astype(np.int64)
     idx = np.repeat(np.arange(len(offsets)), offsets)
     en_c = np.bincount(idx, weights=en, minlength=len(offsets))
     es_c = np.bincount(idx, weights=es, minlength=len(offsets))

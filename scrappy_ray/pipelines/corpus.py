@@ -39,6 +39,7 @@ def clean_corpus(
     num_perm: int = 32,
     bands: int = 8,
     lsh_concurrency: int = 2,
+    lsh_max_bucket: int = 200,
     distributed_cc: bool | None = None,
     cc_endpoint_threshold: int = 5_000_000,
 ):
@@ -46,6 +47,12 @@ def clean_corpus(
     surviving (id, text) rows; ``stats_table`` is a one-row funnel
     summary (input → after each stage) plus total kept tokens."""
     import ray.data  # noqa: F401  (Dataset ops below)
+
+    from ..functions.counters import get_counters
+
+    # counters are cluster-global + cumulative: snapshot before/after
+    # so the stats row reports THIS run's truncations only
+    c0 = get_counters()
 
     n_input = docs_ds.count()
 
@@ -57,7 +64,7 @@ def clean_corpus(
     # 2. near-dup dedup: LSH candidates → exact-jaccard verify → CC keep-set
     pairs = minhash_lsh_pairs(
         kept_exact, text_col=text_col, id_col=id_col, num_perm=num_perm,
-        bands=bands, concurrency=lsh_concurrency,
+        bands=bands, concurrency=lsh_concurrency, max_bucket=lsh_max_bucket,
     )
     verified = ngram_jaccard_verify(
         pairs, kept_exact, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
@@ -93,6 +100,16 @@ def clean_corpus(
 
     toks = token_stats(kept, text_col=text_col, id_col=id_col)
     totals = toks.aggregate(Sum("n_tokens", alias_name="total_tokens"))
+    # NO SILENT CAPS at the pipeline surface either: the LSH hot-bucket
+    # truncation counters the dedup stages fired land in the funnel
+    # stats a 100 TB operator actually reads (delta vs the pre-run
+    # snapshot; incr is fire-and-forget, so drain the actor first).
+    import time
+
+    time.sleep(0.2)
+    c1 = get_counters()
+    trunc_buckets = c1.get("lsh_buckets_truncated", 0) - c0.get("lsh_buckets_truncated", 0)
+    trunc_ids = c1.get("lsh_ids_truncated", 0) - c0.get("lsh_ids_truncated", 0)
     stats = pa.table(
         {
             "n_input": pa.array([n_input], pa.int64()),
@@ -100,6 +117,8 @@ def clean_corpus(
             "n_after_neardup": pa.array([n_neardup], pa.int64()),
             "n_kept": pa.array([n_kept], pa.int64()),
             "total_tokens": pa.array([int(totals["total_tokens"] or 0)], pa.int64()),
+            "lsh_buckets_truncated": pa.array([trunc_buckets], pa.int64()),
+            "lsh_ids_truncated": pa.array([trunc_ids], pa.int64()),
         }
     )
     return kept, stats

@@ -117,10 +117,22 @@ def build_page_store(pages_path: str, store_dir: str, num_buckets: int = 64,
     url, small row groups) so point lookups are row-group-pruned
     index reads, not bucket scans."""
     import ray.data
+    import shutil
 
+    # The marker records the hash-layout version + bucket count the
+    # store was partitioned under. The default store_dir_for() path
+    # embeds both, but an explicit cfg.store_dir survives layout bumps
+    # — a stale-layout store must be rebuilt, not silently probed with
+    # the new hash (lookups would hit the wrong bucket and pages would
+    # quietly come back missing).
     done_marker = os.path.join(store_dir, "_DONE")
+    marker_want = f"{STORE_LAYOUT}:{num_buckets}"
     if os.path.exists(done_marker):
-        return store_dir
+        with open(done_marker) as f:
+            got = f.read().strip()
+        if got == marker_want:
+            return store_dir
+        shutil.rmtree(store_dir)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -139,7 +151,7 @@ def build_page_store(pages_path: str, store_dir: str, num_buckets: int = 64,
         ]
     )
     with open(done_marker, "w") as f:
-        f.write(str(num_buckets))
+        f.write(marker_want)
     return store_dir
 
 

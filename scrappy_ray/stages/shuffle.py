@@ -180,30 +180,42 @@ def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
         # downstream unions don't see every column degraded to string
         # (a zero-link crawl round unioned with deferred int frontier
         # rows would otherwise fail or corrupt the frontier schema).
-        empty = _empty_like(ds, select or key_cols)
+        # select=None means reduce_fn sees FULL rows — give it the full
+        # dataset schema, not just the key columns (a mark-style
+        # reduce_fn reads/creates non-key columns even on empty input).
+        empty = _empty_like(ds, select, fallback_cols=key_cols)
         try:
             empty = reduce_fn(empty)
         except Exception:
-            pass
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hash_partition_reduce: reduce_fn rejected the empty-input "
+                "schema probe; returning the un-reduced empty schema "
+                "(downstream consumers of reduce-added columns will fail)",
+                exc_info=True,
+            )
         return ray.data.from_arrow(empty)
     return out
 
 
-def _empty_like(ds, cols: list[str]) -> pa.Table:
-    """Zero-row table with ``cols`` typed from ``ds``'s schema (string
-    fallback only when the schema is genuinely unknowable)."""
+def _empty_like(ds, cols: list[str] | None, fallback_cols: list[str] | None = None) -> pa.Table:
+    """Zero-row table with ``cols`` (or, when None, ALL of ``ds``'s
+    columns) typed from ``ds``'s schema; string fallback only when the
+    schema is genuinely unknowable."""
     try:
         sch = ds.schema(fetch_if_missing=True)
         base = getattr(sch, "base_schema", None) or sch
         if isinstance(base, pa.Schema):
+            names = list(base.names) if cols is None else cols
             have = set(base.names)
-            if all(c in have for c in cols):
+            if all(c in have for c in names):
                 return pa.table(
-                    {c: pa.array([], base.field(c).type) for c in cols}
+                    {c: pa.array([], base.field(c).type) for c in names}
                 )
     except Exception:
         pass
-    return pa.table({c: pa.array([], pa.string()) for c in cols})
+    return pa.table({c: pa.array([], pa.string()) for c in (cols or fallback_cols or [])})
 
 
 def hash_distinct(ds, cols: list[str], tmp_dir: str, num_buckets: int = 32,

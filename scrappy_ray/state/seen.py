@@ -16,12 +16,21 @@ semantics; pass ``url_only=True`` for plain URL dedup at scale.
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import ray
 
 from .bloom import BloomFilter
 from .cuckoo import CuckooFilter
+
+# Shard-routing scheme version. Routing keys the PERSISTED per-shard
+# snapshot layout, so a routing change must never silently read an
+# old checkpoint: the tag is written next to the snapshots
+# (checkpoint.py) and verified on resume. "hs1" = one vectorized
+# pandas-siphash call per batch over the url column (replaces the v0
+# per-url Python hashlib.md5 loop — the last per-row Python hot path
+# in the links pipeline).
+ROUTING = "hs1"
+_ROUTE_HASH_KEY = "scrappyseenroute"  # 16 chars, pandas hash_array requirement
 
 
 @ray.remote(num_cpus=0)
@@ -112,8 +121,20 @@ class SeenShard:
             self.filt = pickle.loads(data[1:])
 
 
+def shard_array(urls_obj: np.ndarray, num_shards: int) -> np.ndarray:
+    """Vectorized url→shard: ONE pandas hash_array (siphash) call per
+    batch — the same kernel the page-store buckets and the external
+    shuffle key on. Keyed differently from both so seen routing is
+    independent of store/shuffle partitioning."""
+    import pandas as pd
+
+    if not len(urls_obj):
+        return np.empty(0, np.int64)
+    return (pd.util.hash_array(urls_obj, hash_key=_ROUTE_HASH_KEY) % num_shards).astype(np.int64)
+
+
 def shard_of(url: str, num_shards: int) -> int:
-    return int.from_bytes(hashlib.md5(url.encode("utf-8", "ignore")).digest()[:4], "big") % num_shards
+    return int(shard_array(np.asarray([url], dtype=object), num_shards)[0])
 
 
 class SeenSetPool:
@@ -131,21 +152,60 @@ class SeenSetPool:
     def key(url: str, depth: int, url_only: bool = False) -> bytes:
         return url.encode("utf-8", "ignore") if url_only else f"{url}\t{depth}".encode("utf-8", "ignore")
 
-    def mark_new(self, urls: list[str], depths: list[int], url_only: bool = False) -> list[bool]:
-        per_shard: dict[int, list[int]] = {}
-        keys = []
-        for i, (u, d) in enumerate(zip(urls, depths)):
-            keys.append(self.key(u, d, url_only))
-            per_shard.setdefault(shard_of(u, self.num_shards), []).append(i)
-        futures = {
-            s: self.shards[s].check_and_add.remote([keys[i] for i in idxs])
-            for s, idxs in per_shard.items()
-        }
-        mask = [False] * len(urls)
-        for s, idxs in per_shard.items():
-            for i, new in zip(idxs, ray.get(futures[s])):
-                mask[i] = new
+    def _scatter_mark(self, urls_obj: np.ndarray, keys_obj: np.ndarray) -> np.ndarray:
+        """Route keys to shards (vectorized hash + argsort grouping —
+        the spill_table pattern, stages/shuffle.py) and return the
+        newly-added mask in input order."""
+        n = len(urls_obj)
+        shards = shard_array(urls_obj, self.num_shards)
+        order = np.argsort(shards, kind="stable")
+        bounds = np.searchsorted(shards[order], np.arange(self.num_shards + 1))
+        futures, idx_slices = [], []
+        for s in range(self.num_shards):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            if lo == hi:
+                continue
+            idxs = order[lo:hi]
+            futures.append(self.shards[s].check_and_add.remote(keys_obj[idxs].tolist()))
+            idx_slices.append(idxs)
+        mask = np.zeros(n, dtype=bool)
+        for idxs, res in zip(idx_slices, ray.get(futures)):
+            mask[idxs] = res
         return mask
+
+    def mark_new(self, urls: list[str], depths: list[int], url_only: bool = False) -> list[bool]:
+        if not urls:
+            return []
+        urls_obj = np.asarray(urls, dtype=object)
+        keys_obj = np.empty(len(urls), dtype=object)
+        keys_obj[:] = [self.key(u, d, url_only) for u, d in zip(urls, depths)]
+        return self._scatter_mark(urls_obj, keys_obj).tolist()
+
+    def mark_new_table(self, batch, url_only: bool = False) -> np.ndarray:
+        """Arrow-native mark for the at-scale links path: key build is
+        a pyarrow kernel (url ⊕ "\\t" ⊕ depth, cast to binary) and
+        routing is one vectorized hash per batch — no per-row Python."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not batch.num_rows:
+            return np.zeros(0, dtype=bool)
+        url_col = batch.column("url")
+        if isinstance(url_col, pa.ChunkedArray):
+            url_col = url_col.combine_chunks()
+        if url_only:
+            keys_col = url_col.cast(pa.binary())
+        else:
+            depth_col = batch.column("depth")
+            if isinstance(depth_col, pa.ChunkedArray):
+                depth_col = depth_col.combine_chunks()
+            keys_col = pc.binary_join_element_wise(
+                url_col, pc.cast(depth_col, pa.string()), "\t"
+            ).cast(pa.binary())
+        return self._scatter_mark(
+            url_col.to_numpy(zero_copy_only=False),
+            keys_col.to_numpy(zero_copy_only=False),
+        )
 
     def total(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))

@@ -1,0 +1,227 @@
+"""Round-4 additions: vectorized seen-shard routing (+ checkpoint
+routing versioning), capped/vectorized embedding pair buckets, and the
+distributed (anti-join) keep-set application for CC dedup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_dedup_components_antijoin_path_no_driver_dropset(ray_session, monkeypatch):
+    """broadcast_threshold=0 forces the left-anti-join path: output must
+    equal the broadcast path and _drop_ids (the broadcast applier) must
+    never run — the probe that the keep-set was applied distributed."""
+    import ray.data
+
+    from scrappy_ray.functions import dedup as D
+
+    docs = _docs([(i, f"doc {i}") for i in range(8)])
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([0, 1, 5], pa.int64()), "id_b": pa.array([1, 2, 6], pa.int64())})
+    )
+    expect = sorted(r["doc_id"] for r in D.dedup_by_components(docs, pairs).take_all())
+
+    def _boom(*a, **k):
+        raise AssertionError("anti-join path must not gather a driver drop set")
+
+    monkeypatch.setattr(D, "_drop_ids", _boom)
+    got = sorted(
+        r["doc_id"]
+        for r in D.dedup_by_components(
+            docs, pairs, distributed=True, broadcast_threshold=0
+        ).take_all()
+    )
+    assert got == expect == [0, 3, 4, 5, 7]
+
+
+def test_dedup_components_antijoin_id_column_collision(ray_session):
+    """docs whose id column is literally 'id' must still anti-join
+    cleanly (the drop-label table's key is also 'id')."""
+    import ray.data
+
+    from scrappy_ray.functions.dedup import dedup_by_components
+
+    docs = ray.data.from_arrow(
+        pa.table({"id": pa.array(list(range(6)), pa.int64())})
+    )
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([0], pa.int64()), "id_b": pa.array([1], pa.int64())})
+    )
+    kept = sorted(
+        r["id"]
+        for r in dedup_by_components(
+            docs, pairs, id_col="id", distributed=True, broadcast_threshold=0
+        ).take_all()
+    )
+    assert kept == [0, 2, 3, 4, 5]
+
+
+def test_embedding_pairs_bucket_cap_and_counters(ray_session):
+    """A planted hot LSH bucket (300 identical vectors) must be capped
+    at max_bucket with the truncation OBSERVABLE via counters, and the
+    emitted pair count bounded by C(max_bucket, 2)."""
+    import ray.data
+
+    from scrappy_ray.functions.counters import get_counters, reset_counters
+    from scrappy_ray.functions.dedup import embedding_pairs
+
+    reset_counters()
+    n, cap = 300, 50
+    vecs = [[1.0, 0.0, 0.0, 0.0]] * n  # identical → one bucket, all-pairs
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = embedding_pairs(ds, threshold=0.9, max_bucket=cap).take_all()
+    assert len(out) == cap * (cap - 1) // 2
+    # smallest ids are kept; every pair has id_a < id_b under the cap
+    assert all(r["id_a"] < r["id_b"] < cap for r in out)
+    import time
+
+    time.sleep(0.5)  # fire-and-forget increments drain
+    c = get_counters()
+    assert c.get("embedding_buckets_truncated", 0) >= 1
+    assert c.get("embedding_ids_truncated", 0) >= n - cap
+
+
+def test_embedding_pairs_vectorized_matches_reference_loop(ray_session):
+    """The triu-vectorized in-bucket cosine must emit exactly the pairs
+    a per-pair loop would (random vectors, mixed buckets)."""
+    import ray.data
+
+    from scrappy_ray.functions.dedup import embedding_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8)
+    vecs = np.vstack([base, base[:5] * 2.0])  # 5 exact-direction dups (cos=1)
+    ids = list(range(len(vecs)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    got = {(r["id_a"], r["id_b"]) for r in embedding_pairs(ds, threshold=0.999).take_all()}
+    # reference: brute-force cosine over all pairs, same threshold —
+    # LSH can only MISS pairs (different buckets), never invent them
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    ref = {
+        (i, j)
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.999
+    }
+    assert got <= ref
+    # identical-direction near-dups share every hyperplane sign → same
+    # bucket → must all be found
+    assert {(i, 20 + i) for i in range(5)} <= got
+
+
+def test_clean_corpus_stats_surface_truncation(ray_session):
+    """A planted hot LSH bucket must show up in the flagship pipeline's
+    OWN stats table (not just the cluster counters): the report a
+    100 TB operator actually reads."""
+    from scrappy_ray.functions.counters import reset_counters
+    from scrappy_ray.pipelines.corpus import clean_corpus
+
+    reset_counters()
+    # 30 NEAR-identical docs (unique suffix survives exact dedup, the
+    # long shared prefix dominates every minhash band) vs a 10-id cap
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight " * 4
+    docs = _docs(
+        [(i, base + f"tail{i}") for i in range(30)]
+        + [(1000 + i, f"a unique document with its own words number {i}") for i in range(5)]
+    )
+    kept, stats = clean_corpus(
+        docs, keep_langs=("en", "und"), min_quality=0.0, lsh_max_bucket=10
+    )
+    s = stats.to_pylist()[0]
+    assert s["n_after_exact"] == 35  # unique suffixes survive exact dedup
+    assert s["lsh_buckets_truncated"] >= 1
+    assert s["lsh_ids_truncated"] >= 10
+
+
+def test_seen_mark_table_matches_list_api(ray_session):
+    """Arrow-native mark_new_table ≡ the list API (same keys, same
+    routing), including duplicate urls at different depths."""
+    from scrappy_ray.state.seen import SeenSetPool
+
+    urls = [f"http://h{i % 7}.com/p{i}" for i in range(50)] + ["http://h0.com/p0"]
+    depths = [i % 3 for i in range(50)] + [2]
+    for mode in ("exact", "cuckoo", "bloom"):
+        p1 = SeenSetPool(num_shards=3, mode=mode, capacity_per_shard=10000)
+        m1 = p1.mark_new(urls, depths)
+        p2 = SeenSetPool(num_shards=3, mode=mode, capacity_per_shard=10000)
+        t = pa.table(
+            {"url": pa.array(urls, pa.string()), "depth": pa.array(depths, pa.int32())}
+        )
+        m2 = p2.mark_new_table(t).tolist()
+        assert m1 == m2
+        # re-mark: everything seen now, both APIs agree
+        assert p1.mark_new_table(t).tolist() == p2.mark_new(urls, depths) == [False] * len(urls)
+
+
+def test_frontier_counts_dedup_retried_spill_shards(ray_session, tmp_path):
+    """A retried spill task duplicates whole shards in hb_ bucket dirs:
+    n_ready (_parquet_rows) and the grant counts (_host_counts) must
+    count distinct items, not shards."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scrappy_ray.crawl.driver import _host_counts, _parquet_rows
+
+    d = str(tmp_path / "frontier")
+    os.makedirs(os.path.join(d, "hb_0"))
+    t = pa.table(
+        {
+            "seq": pa.array([0, 1, 2], pa.int64()),
+            "host": pa.array(["a.com", "a.com", "b.com"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "hb_0", "s1.parquet"))
+    pq.write_table(t, os.path.join(d, "hb_0", "s2.parquet"))  # the retry duplicate
+    # plus a flat part (seed/resume shape) that must still footer-count
+    flat = pa.table(
+        {"seq": pa.array([3], pa.int64()), "host": pa.array(["c.com"], pa.string())}
+    )
+    pq.write_table(flat, os.path.join(d, "part-0.parquet"))
+    assert _parquet_rows(d) == 4
+    assert _host_counts(d) == {"a.com": 2, "b.com": 1, "c.com": 1}
+
+
+def test_seen_routing_version_guard(ray_session, tmp_path):
+    """A checkpoint stamped under a different routing (or shard count)
+    must refuse to resume instead of silently mis-routing keys."""
+    from scrappy_ray.crawl import checkpoint as ckpt
+
+    d = str(tmp_path / "ck")
+    ckpt.save_seen_snapshot(d, -1, [b"D\x80\x04]\x94.", b"D\x80\x04]\x94."])
+    ckpt.check_seen_routing(d, 2)  # matching: fine
+    with pytest.raises(RuntimeError, match="routing"):
+        ckpt.check_seen_routing(d, 4)  # shard-count mismatch
+    import os
+
+    os.remove(os.path.join(d, "seen", "ROUTING"))  # legacy (pre-versioning)
+    with pytest.raises(RuntimeError, match="pre-versioning"):
+        ckpt.check_seen_routing(d, 2)
