@@ -450,6 +450,20 @@ def _q_extract_text(sf_dir: str):
     return text_table(pages_dir_for(sf_dir)).sort("url")
 
 
+def _q_serialize_roundtrip(sf_dir: str):
+    """S4/S7 sink round trip as an oracle query: extraction triples →
+    partitioned ntriples sink (one .nt shard per block) → ntriples
+    SOURCE → rows. Freezes the serializer's term normalization (CURIE
+    expansion, bnode mangling, literal escaping) and the parser's
+    inverse at the value level."""
+    from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for, triples_table
+    from scrappy_ray.sources.serializers import read_ntriples, write_ntriples
+
+    td = tempfile.mkdtemp(prefix="nt_roundtrip_", dir="/tmp")
+    write_ntriples(triples_table(pages_dir_for(sf_dir)).select_columns(["s", "p", "o", "lit"]), td)
+    return read_ntriples(td).sort(["s", "p", "o", "lit"])
+
+
 def _q_crawl_bfs(sf_dir: str):
     from scrappy_ray.pipelines.crawl_pipeline import crawl_job
 
@@ -527,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode": _q_mm_decode,
         "extract_triples": _q_extract_triples,
         "extract_text": _q_extract_text,
+        "serialize_roundtrip": _q_serialize_roundtrip,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_politeness": _q_crawl_politeness,
         "crawl_priority": _q_crawl_priority,
@@ -601,6 +616,7 @@ _GOLDEN_ORACLES = {
     "mm_decode": "ORDER BY id",
     "extract_triples": "ORDER BY url, s, p, o, lit",
     "extract_text": "ORDER BY url",
+    "serialize_roundtrip": "ORDER BY s, p, o, lit",
     "crawl_bfs": "ORDER BY seq",
     "crawl_politeness": "ORDER BY round, seq",
     "crawl_priority": "ORDER BY round, seq",

@@ -249,10 +249,20 @@ def _round_topk_keep(exec_ds, k: int, order: str):
     return _merge_partial_topk.remote(k, order, *refs)
 
 
+def _seq_member_mask(sq, keep_arr):
+    """Vectorized membership of seq values in a SORTED int64 keep-set
+    (searchsorted — no per-batch hash-set build)."""
+    import numpy as np
+
+    if len(keep_arr):
+        idx = np.searchsorted(keep_arr, sq)
+        idx[idx == len(keep_arr)] = len(keep_arr) - 1
+        return keep_arr[idx] == sq
+    return np.zeros(len(sq), bool)
+
+
 def _make_seq_member_filter(keep_ref, keep: bool):
-    """Filter batches by membership of seq in the broadcast keep-set
-    (sorted array + searchsorted — vectorized, no per-batch hash-set
-    build)."""
+    """Filter batches by membership of seq in the broadcast keep-set."""
     import numpy as np
 
     from ..common import cached_get
@@ -262,15 +272,39 @@ def _make_seq_member_filter(keep_ref, keep: bool):
             return batch
         keep_arr = cached_get(keep_ref)
         sq = batch.column("seq").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(keep_arr):
-            idx = np.searchsorted(keep_arr, sq)
-            idx[idx == len(keep_arr)] = len(keep_arr) - 1
-            member = keep_arr[idx] == sq
-        else:
-            member = np.zeros(len(sq), bool)
+        member = _seq_member_mask(sq, keep_arr)
         return batch.filter(pa.array(member if keep else ~member))
 
     return member_filter
+
+
+@ray.remote
+def _bucket_granted_topk(bucket_dir: str, grants_ref_cell: list, order: str, k: int) -> pa.Table:
+    """Phase A of the fused budget-overflow round: rank-mark ONE
+    host-hash bucket from a NARROW (host, seq, priority) scan and
+    return its granted rows' bucket-local top-K of (seq, priority).
+    The full-row pass (phase B) re-marks and spills — this pass only
+    feeds the global keep-set merge, so it never touches url/curl.
+    ``grants_ref_cell`` is a 1-list wrapping the grants ObjectRef (bare
+    refs in task args get auto-resolved; the mark kernel expects the
+    ref for its per-process cached_get)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(bucket_dir).to_table(columns=["host", "seq", "priority"])
+    marked = _make_mark_exec_bucket(grants_ref_cell[0], order)(t)
+    granted = marked.filter(marked.column("exec"))
+    return granted.select(["seq", "priority"]).sort_by(_order_sort_keys(order)).slice(0, k)
+
+
+def _bucket_topk_keep(fdir: str, grants_ref, order: str, k: int):
+    """Global round-budget keep-set over a bucketed frontier: one
+    narrow rank-mark + partial-top-K task per hb_ bucket, one merge
+    task — no shuffle, no full-row read, keep-set is K int64s."""
+    import glob
+
+    bucket_dirs = sorted(glob.glob(os.path.join(fdir, "hb_*")))
+    parts = [_bucket_granted_topk.remote(d, [grants_ref], order, k) for d in bucket_dirs]
+    return _merge_partial_topk.remote(k, order, *parts)
 
 
 @ray.remote
@@ -517,14 +551,23 @@ def _read_frontier_table(fdir: str) -> pa.Table:
     return t
 
 
-def _make_mark_defer_spill(grants_ref, order: str, nfdir: str, mark_buckets: int):
+def _make_mark_defer_spill(grants_ref, order: str, nfdir: str, mark_buckets: int,
+                           keep_ref=None):
     """Politeness mark for one WHOLE host-hash bucket of an
     already-bucketed frontier (the fused path): apply the vectorized
     rank-mark, spill the deferred rows STRAIGHT into the next round's
     frontier buckets (same host hash ⇒ same bucket layout), and return
     the granted rows — which stream on into the fetch job. No mark
     shuffle, no marked-parquet write, no defer union: two whole
-    Dataset-job launches per round cheaper than the fallback."""
+    Dataset-job launches per round cheaper than the fallback.
+
+    ``keep_ref`` (budget-overflow rounds) is the broadcast global
+    round-budget keep-set: exec additionally requires seq ∈ keep, and
+    granted-but-over-budget rows defer with everything else — the
+    rank-mark and the top-K selection share this one pass per bucket."""
+    import numpy as np
+
+    from ..common import cached_get
     from ..stages.shuffle import spill_table
 
     mark = _make_mark_exec_bucket(grants_ref, order)
@@ -532,6 +575,10 @@ def _make_mark_defer_spill(grants_ref, order: str, nfdir: str, mark_buckets: int
     def mark_bucket(tbl: pa.Table) -> pa.Table:
         marked = mark(tbl)
         mask = marked.column("exec")
+        if keep_ref is not None and marked.num_rows:
+            keep_arr = cached_get(keep_ref)
+            sq = marked.column("seq").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = pc.and_(mask, pa.array(_seq_member_mask(sq, keep_arr)))
         defer = marked.filter(pc.invert(mask)).drop_columns(["exec"])
         if defer.num_rows:
             spill_table(defer, ["host"], nfdir, mark_buckets, dir_prefix="hb_")
@@ -722,21 +769,31 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             # shuffle and NO marked-parquet write — one task per bucket
             # rank-marks its (whole) hosts, spills the deferred rows
             # straight into the next round's frontier buckets, and the
-            # granted rows stream on into the fetch job. Requires exec
-            # to be consumed exactly once (the defer spill is a side
-            # effect), so a round-budget overflow — which re-filters
-            # exec twice — takes the fallback below.
-            fused = bool(hb_dirs) and not flat_files and (
-                cfg.round_budget is None or (n_ready - n_deferred) <= cfg.round_budget
-            )
+            # granted rows stream on into the fetch job. A round-budget
+            # OVERFLOW fuses too: a narrow per-bucket rank-mark +
+            # partial-top-K pass builds the global keep-set first, then
+            # the one full-row pass marks exec = granted ∧ in-budget
+            # and spills everything else (granted-but-over-budget rows
+            # keep seq+priority and re-compete next round).
+            fused = bool(hb_dirs) and not flat_files
             if fused:
                 from ..stages.shuffle import reduce_spill
 
+                keep_ref = None
+                if cfg.round_budget is not None and (n_ready - n_deferred) > cfg.round_budget:
+                    keep_ref = _bucket_topk_keep(
+                        fdir, grants_ref, cfg.frontier_order, cfg.round_budget
+                    )
+                    # executed = exactly round_budget (granted > budget);
+                    # with n_deferred set so, the generic round-budget
+                    # section below sees no residual overflow and skips.
+                    n_deferred = n_ready - cfg.round_budget
                 exec_ds = reduce_spill(
                     fdir,
                     _make_mark_defer_spill(
                         grants_ref, cfg.frontier_order,
                         ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1), cfg.mark_buckets,
+                        keep_ref=keep_ref,
                     ),
                     dir_prefix="hb_",
                 )

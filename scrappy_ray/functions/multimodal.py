@@ -165,6 +165,52 @@ class FakeFrameSampler:
         )
 
 
+class ImageIOFrameSampler:
+    """The real-codec frame-sampling drop-in (mirror of
+    ``PILImageDecoder``): imageio + its ffmpeg plugin imported ONCE per
+    actor in ``__init__``; decodes any ffmpeg-readable video payload,
+    emits one row per ``stride``-th frame with the SAME output schema
+    as ``FakeFrameSampler``, so pipelines swap samplers without schema
+    changes. Where imageio/ffmpeg are absent (this container) it raises
+    a documented NotImplementedError at actor construction."""
+
+    def __init__(self, stride: int = 2):
+        try:
+            import imageio.v3 as iio  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "ImageIOFrameSampler requires imageio (+ ffmpeg plugin), "
+                "which is not installed in this environment"
+            ) from e
+        self._iio = iio
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"id": [], "frame_idx": [], "width": [], "height": []}
+        for vid, payload in zip(batch.column("id").to_pylist(), batch.column("payload").to_pylist()):
+            if payload is None:
+                continue
+            try:
+                frames = self._iio.imiter(payload, extension=".mp4")
+            except Exception:
+                continue
+            for fi, frame in enumerate(frames):
+                if fi % self.stride:
+                    continue
+                out["id"].append(vid)
+                out["frame_idx"].append(fi)
+                out["height"].append(int(frame.shape[0]))
+                out["width"].append(int(frame.shape[1]))
+        return pa.table(
+            {
+                "id": pa.array(out["id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+            }
+        )
+
+
 def decode_images(ds, concurrency: int = 2, batch_size: int = 32, real: bool = False):
     """The image pipeline stage: small batches (large binaries), actor
     pool (decoder state loaded once per actor). ``real=True`` selects
@@ -179,9 +225,14 @@ def decode_images(ds, concurrency: int = 2, batch_size: int = 32, real: bool = F
     )
 
 
-def sample_frames(ds, stride: int = 2, concurrency: int = 2, batch_size: int = 8):
+def sample_frames(ds, stride: int = 2, concurrency: int = 2, batch_size: int = 8,
+                  real: bool = False):
+    """The video pipeline stage: tiny batches (video payloads dwarf
+    images), actor pool. ``real=True`` selects the imageio/ffmpeg-backed
+    sampler (NotImplementedError where those are absent — this
+    container)."""
     return ds.map_batches(
-        FakeFrameSampler,
+        ImageIOFrameSampler if real else FakeFrameSampler,
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -284,6 +284,81 @@ def write_ntriples(triples_ds, out_dir: str, prefixes: dict | None = None) -> in
     return int(counts["rows"].sum()) if len(counts) else 0
 
 
+def _nt_unescape(s: str) -> str:
+    out = []
+    i = 0
+    esc = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append(esc.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_ntriples(text: str) -> list[tuple[str, str, str, bool]]:
+    """Parse the N-Triples subset emitted by :func:`triples_to_ntriples`
+    back to (s, p, o, lit) rows with fully-expanded URIs (bnodes as
+    ``_:label``) — the round-trip check for the ntriples sink and the
+    line format :func:`read_ntriples` consumes."""
+    import re
+
+    line_re = re.compile(r"^(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.+?)\s*\.\s*$")
+
+    def term(tok: str) -> tuple[str, bool]:
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1], False
+        if tok.startswith("_:"):
+            return tok, False
+        if tok.startswith('"') and tok.endswith('"'):
+            return _nt_unescape(tok[1:-1]), True
+        raise ValueError(f"unparseable N-Triples term: {tok!r}")
+
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = line_re.match(line)
+        if not m:
+            raise ValueError(f"unparseable N-Triples line: {line!r}")
+        s, _ = term(m.group(1))
+        p, _ = term(m.group(2))
+        o, lit = term(m.group(3))
+        out.append((s, p, o, lit))
+    return out
+
+
+def read_ntriples(nt_dir: str):
+    """N-Triples SOURCE: the partitioned ``write_ntriples`` layout read
+    back as a Dataset of (s, p, o, lit) rows — ray.data.read_text
+    streams the shard lines (one read task per file at scale), and the
+    parse is a per-batch map. Together with ``write_ntriples`` this
+    makes the ntriples sink a full round-trippable format."""
+    import glob
+
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(nt_dir, "*.nt")))
+    lines = ray.data.read_text(files)
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        rows = parse_ntriples("\n".join(batch.column("text").to_pylist()))
+        return pa.table(
+            {
+                "s": pa.array([r[0] for r in rows], pa.string()),
+                "p": pa.array([r[1] for r in rows], pa.string()),
+                "o": pa.array([r[2] for r in rows], pa.string()),
+                "lit": pa.array([r[3] for r in rows], pa.bool_()),
+            }
+        )
+
+    return lines.map_batches(parse_batch, batch_format="pyarrow")
+
+
 def dump_per_url(extraction_rows, dump_dir: str, fmt: str = "ntriples") -> list[str]:
     """The Dumper sink (agent/dumper.rb:5-11): one serialized file per
     url, reference filename mangling (http:// stripped, '/'→'-',

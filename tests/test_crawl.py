@@ -467,6 +467,15 @@ def test_priority_distributed_matches_simulator(synth_web, synth_pages_dir, tmp_
         )
     )
     assert exec_order(res) == sim_exec_sorted(sup)
+    # budget-overflow rounds must take the FUSED mark (narrow top-K
+    # pass + one full-row mark/spill per bucket), not the fallback mark
+    # shuffle: the only 'marked' dir allowed is round 0's flat seed
+    # frontier. (Overflow rounds DID occur — executed == budget.)
+    import glob as _g
+
+    assert any(r["executed"] == 10 and r["deferred"] > 0 for r in res.manifest["rounds"])
+    marked = _g.glob(str(tmp_path / "ckpt" / "round-*" / "marked"))
+    assert [m for m in marked if "round-0000" not in m] == []
 
 
 @pytest.mark.usefixtures("ray_session")

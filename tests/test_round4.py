@@ -181,6 +181,91 @@ def test_seen_mark_table_matches_list_api(ray_session):
         assert p1.mark_new_table(t).tolist() == p2.mark_new(urls, depths) == [False] * len(urls)
 
 
+def test_imageio_sampler_raises_without_imageio():
+    """Where imageio/ffmpeg are absent (this container) the real-codec
+    video seam must fail loudly at actor construction, not mid-batch —
+    the same contract as PILImageDecoder."""
+    from scrappy_ray.functions.multimodal import ImageIOFrameSampler
+
+    try:
+        import imageio  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            ImageIOFrameSampler()
+    else:
+        pytest.skip("imageio present — covered by test_imageio_sampler_real_path")
+
+
+def test_imageio_sampler_real_path(ray_session):
+    """Exercises sample_frames(real=True) end-to-end where imageio +
+    ffmpeg exist (skipped in this container): a real mp4 samples
+    through the SAME actor signature / output schema as the fake."""
+    iio = pytest.importorskip("imageio.v3")
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import sample_frames
+
+    frames = np.stack([np.full((16, 24, 3), i * 16, np.uint8) for i in range(6)])
+    payload = iio.imwrite("<bytes>", frames, extension=".mp4", fps=4)
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([1], pa.int64()), "payload": pa.array([payload], pa.binary())})
+    )
+    rows = sample_frames(ds, stride=2, real=True).take_all()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert all(r["width"] == 24 and r["height"] == 16 for r in rows)
+
+
+def test_ntriples_parse_roundtrip_hostile_escapes():
+    """parse_ntriples must exactly invert triples_to_ntriples across
+    escapes (quote/backslash/newline/tab), bnodes and CURIE expansion."""
+    from scrappy_ray.sources.serializers import (
+        expand,
+        parse_ntriples,
+        triples_to_ntriples,
+    )
+
+    rows = [
+        ("http://a.test/s", "dc:title", 'he said "hi\\there"\n\ttab', True),
+        ("_:b0!", "sc:text", "_:b1?", False),
+        ("sc:Page", "rdf:type", "http://a.test/o", False),
+        ("http://a.test/s", "dc:title", "", True),
+    ]
+    parsed = parse_ntriples(triples_to_ntriples(rows))
+    # serializer expands CURIEs and mangles bnode labels; literals and
+    # plain URIs come back byte-identical
+    assert parsed[0] == ("http://a.test/s", expand("dc:title"), rows[0][2], True)
+    assert parsed[1] == ("_:b0_", expand("sc:text"), "_:b1_", False)
+    assert parsed[2] == (expand("sc:Page"), expand("rdf:type"), "http://a.test/o", False)
+    assert parsed[3] == ("http://a.test/s", expand("dc:title"), "", True)
+    # double round trip is a fixpoint
+    again = parse_ntriples(triples_to_ntriples([(s, p, o, l) for s, p, o, l in parsed]))
+    assert again == parsed
+
+
+def test_read_ntriples_dataset_roundtrip(ray_session, tmp_path):
+    """write_ntriples → read_ntriples over a Dataset preserves every
+    row (the S4 sink as a full round-trippable format)."""
+    import ray.data
+
+    from scrappy_ray.sources.serializers import read_ntriples, write_ntriples
+
+    t = pa.table(
+        {
+            "s": pa.array([f"http://x.test/{i}" for i in range(20)], pa.string()),
+            "p": pa.array(["dc:title"] * 20, pa.string()),
+            "o": pa.array([f"value {i}\twith\ttabs" for i in range(20)], pa.string()),
+            "lit": pa.array([True] * 20, pa.bool_()),
+        }
+    )
+    d = str(tmp_path / "nt")
+    n = write_ntriples(ray.data.from_arrow(t), d)
+    assert n == 20
+    back = read_ntriples(d).sort("o").take_all()
+    assert len(back) == 20
+    assert back[0]["o"] == "value 0\twith\ttabs"
+    assert all(r["p"] == "http://purl.org/dc/elements/1.1/title" for r in back)
+
+
 def test_frontier_counts_dedup_retried_spill_shards(ray_session, tmp_path):
     """A retried spill task duplicates whole shards in hb_ bucket dirs:
     n_ready (_parquet_rows) and the grant counts (_host_counts) must
