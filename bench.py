@@ -323,19 +323,27 @@ def mp_control_bench(num_workers: int) -> dict:
 
 
 def one_scale_main(num_cpus: int):
-    """Child process for --scaling: crawl + extract + no-Ray control
-    at one parallelism."""
+    """Child process for --scaling: Ray workloads + no-Ray control at
+    one parallelism, back-to-back in ONE process — the dist/control
+    rate ratio of an attempt is therefore a PAIRED same-window
+    measurement (both sides see the same VM steal), which is the
+    primary scaling statistic. SCALING_WORKLOADS ("full" | "dist")
+    drops the adaptive crawl + extract from repeat attempts to keep
+    attempts short and temporally spread."""
+    workloads = os.environ.get("SCALING_WORKLOADS", "full")
     _init_ray(num_cpus)
     conc = max(2, num_cpus // 2)
-    crawl = crawl_bench(SF_DIR, concurrency=conc)
-    crawl_dist = crawl_dist_bench(concurrency=conc)
-    ext = extract_bench(SF_DIR, concurrency=conc)
+    out = {"num_cpus": num_cpus}
+    if workloads == "full":
+        out["crawl"] = crawl_bench(SF_DIR, concurrency=conc)
+    out["crawl_dist"] = crawl_dist_bench(concurrency=conc)
+    if workloads == "full":
+        out["extract"] = extract_bench(SF_DIR, concurrency=conc)
     import ray
 
     ray.shutdown()  # control must not share the box with Ray workers
-    ctl = mp_control_bench(num_cpus)
-    print(json.dumps({"num_cpus": num_cpus, "crawl": crawl, "crawl_dist": crawl_dist,
-                      "extract": ext, "control": ctl}))
+    out["control"] = mp_control_bench(num_cpus)
+    print(json.dumps(out))
 
 
 def scaling_main():
@@ -357,8 +365,12 @@ def scaling_main():
     # processes read 124.9 s on identical code+input). Interleaving
     # spreads each level's attempts across windows so best-of-N works.
     attempts_by_n = {n: [] for n in pair}
-    for _ in range(repeats):
+    for rep in range(repeats):
         for n in pair:
+            # first sweep runs the full workload set (absolute walls for
+            # crawl/extract); repeat sweeps run the short dist+control
+            # pair so attempts stay temporally spread across windows
+            wl = "full" if rep == 0 else os.environ.get("SCALING_WORKLOADS", "dist")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one-scale", str(n)],
                 capture_output=True,
@@ -366,6 +378,7 @@ def scaling_main():
                 env={
                     **os.environ,
                     "RAY_GRAFT_CPUS": str(n),
+                    "SCALING_WORKLOADS": wl,
                     # cap BLAS/OpenMP pools in the driver process too (set
                     # before numpy import, hence via the child env)
                     "OMP_NUM_THREADS": str(n),
@@ -376,51 +389,68 @@ def scaling_main():
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             attempts_by_n[n].append(json.loads(line))
+
+    def _median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
     results = []
     for n in pair:
         attempts = attempts_by_n[n]
-        # this VM sees one-sided CPU steal (firecracker host): take the
-        # best attempt per workload — slowdowns are noise, never signal
-        best = attempts[0]
-        for a in attempts[1:]:
-            for k in ("crawl", "crawl_dist", "extract", "control"):
-                rate = "urls_per_sec" if k.startswith("crawl") else "pages_per_sec"
-                if a[k][rate] > best[k][rate]:
-                    best[k] = a[k]
-        best["attempts"] = len(attempts)
-        results.append(best)
-    r8, r32 = results
+        # PRIMARY statistic: the per-attempt dist/control rate ratio.
+        # Both sides of each ratio ran back-to-back in one child process
+        # (same steal window), so the ratio is steal-invariant — unlike
+        # raw rates, whose best-of can mix windows across workloads.
+        paired = [a["crawl_dist"]["urls_per_sec"] / a["control"]["pages_per_sec"]
+                  for a in attempts]
+        summary = {
+            "num_cpus": n,
+            "attempts": len(attempts),
+            "paired_dist_over_control": [round(x, 4) for x in paired],
+            "paired_median": round(_median(paired), 4),
+            "dist_rates": [round(a["crawl_dist"]["urls_per_sec"], 1) for a in attempts],
+            "dist_rate_median": round(_median([a["crawl_dist"]["urls_per_sec"] for a in attempts]), 1),
+            "dist_rate_best": round(max(a["crawl_dist"]["urls_per_sec"] for a in attempts), 1),
+            "control_rate_best": round(max(a["control"]["pages_per_sec"] for a in attempts), 1),
+        }
+        full = [a for a in attempts if "crawl" in a]
+        if full:
+            summary["crawl"] = max((a["crawl"] for a in full), key=lambda c: c["urls_per_sec"])
+            summary["extract"] = max((a["extract"] for a in full), key=lambda c: c["pages_per_sec"])
+        results.append(summary)
+    lo, hi = results
     factor = pair[1] / pair[0]
-    eff_crawl = (r32["crawl"]["urls_per_sec"] / r8["crawl"]["urls_per_sec"]) / factor
-    eff_dist = (r32["crawl_dist"]["urls_per_sec"] / r8["crawl_dist"]["urls_per_sec"]) / factor
-    eff_ext = (r32["extract"]["pages_per_sec"] / r8["extract"]["pages_per_sec"]) / factor
-    eff_ctl = (r32["control"]["pages_per_sec"] / r8["control"]["pages_per_sec"]) / factor
-    print(
-        json.dumps(
-            {
-                "metric": f"scaling efficiency N→4N ({pair[0]}→{pair[1]} cpus, fresh processes)",
-                "value": round(eff_dist, 3),
-                "unit": "efficiency",
-                "sf": os.path.basename(os.path.normpath(SF_DIR)),
-                "runs": results,
-                # headline: the cluster-faithful wide-seed distributed
-                # crawl (see crawl_dist_bench docstring); "crawl" is the
-                # adaptive single-box mode kept for absolute-wall
-                # comparability with earlier rounds
-                "crawl_scaling_efficiency": round(eff_dist, 3),
-                "crawl_adaptive_scaling_efficiency": round(eff_crawl, 3),
-                "extract_scaling_efficiency": round(eff_ext, 3),
-                "control_scaling_efficiency": round(eff_ctl, 3),
-                # the control IS the box: dividing out its ratio isolates
-                # the engine's scaling from the VM's steal windows
-                "control_normalized": {
-                    "crawl_dist": round(eff_dist / eff_ctl, 3),
-                    "crawl_adaptive": round(eff_crawl / eff_ctl, 3),
-                    "extract": round(eff_ext / eff_ctl, 3),
-                },
-            }
-        )
-    )
+    # headline: control-normalized efficiency from the paired medians —
+    # [dist/ctl @hi] / [dist/ctl @lo] equals (dist efficiency)/(control
+    # efficiency); the control is the box's own multiprocessing ceiling,
+    # so this is the engine's scaling with the VM divided out.
+    eff_paired = _median([a["crawl_dist"]["urls_per_sec"] / a["control"]["pages_per_sec"]
+                          for a in attempts_by_n[pair[1]]]) / _median(
+        [a["crawl_dist"]["urls_per_sec"] / a["control"]["pages_per_sec"]
+         for a in attempts_by_n[pair[0]]])
+    eff_dist_best = (hi["dist_rate_best"] / lo["dist_rate_best"]) / factor
+    eff_dist_median = (hi["dist_rate_median"] / lo["dist_rate_median"]) / factor
+    eff_ctl_best = (hi["control_rate_best"] / lo["control_rate_best"]) / factor
+    out = {
+        "metric": f"scaling efficiency N→4N ({pair[0]}→{pair[1]} cpus, fresh processes, "
+                  f"paired dist/control medians over {repeats} spread attempts)",
+        "value": round(eff_paired, 3),
+        "unit": "efficiency",
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "scale": BENCH_SCALE,
+        "paired_control_normalized_efficiency": round(eff_paired, 3),
+        "raw_dist_efficiency_median": round(eff_dist_median, 3),
+        "raw_dist_efficiency_best": round(eff_dist_best, 3),
+        "control_efficiency_best": round(eff_ctl_best, 3),
+        "runs": results,
+    }
+    if all("crawl" in r for r in results):
+        out["crawl_adaptive_scaling_efficiency"] = round(
+            (hi["crawl"]["urls_per_sec"] / lo["crawl"]["urls_per_sec"]) / factor, 3)
+        out["extract_scaling_efficiency"] = round(
+            (hi["extract"]["pages_per_sec"] / lo["extract"]["pages_per_sec"]) / factor, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
