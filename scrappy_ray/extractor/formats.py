@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from ..htmldom.dom import TEXT, Node, parse_fragment
+from ..htmldom.dom import TEXT, Node, build_index, parse_fragment
 from ..support import clean
 
 
@@ -33,6 +33,11 @@ def format_value(node, fmt: str | None, uri: str) -> str:
 
 
 def _replace_all(doc: Node, css: str, make_text) -> None:
+    # each rewrite pass searches the post-mutation tree: re-index first
+    # (one fast walk) so the search is a tag-list scan, not a tree walk;
+    # the search list is materialized BEFORE any replacement below, so
+    # within-pass semantics are unchanged
+    build_index(doc)
     for n in doc.search(css):
         if n.parent is None:  # already detached by an earlier rewrite
             continue

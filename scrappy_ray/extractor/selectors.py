@@ -24,15 +24,25 @@ from ..support import clean, strip_query, underscore, wikify
 from .formats import format_value
 
 
+_TO_I_RE = re.compile(r"\s*([+-]?\d+)")
+_TO_F_RE = re.compile(r"\s*([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)")
+
+
 def ruby_to_i(v) -> int:
     """Ruby String#to_i: leading integer or 0."""
-    m = re.match(r"\s*([+-]?\d+)", str(v or ""))
+    if v is None:
+        return 0
+    try:  # fast path: plain integer attribute values (the common case)
+        return int(v)
+    except (TypeError, ValueError):
+        pass
+    m = _TO_I_RE.match(str(v))
     return int(m.group(1)) if m else 0
 
 
 def ruby_to_f(v) -> float:
     """Ruby String#to_f: leading float or 0.0."""
-    m = re.match(r"\s*([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)", str(v or ""))
+    m = _TO_F_RE.match(str(v or ""))
     return float(m.group(1)) if m else 0.0
 
 

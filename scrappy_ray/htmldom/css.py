@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import re
 
+from .dom import TEXT as _TEXT
+
 _SIMPLE_RE = re.compile(
     r"""
     (?P<tag>\*|[a-zA-Z][\w-]*)?
@@ -48,20 +50,26 @@ class Simple:
                 self.attrs.append((pm.group(3), val))
 
     def matches(self, node) -> bool:
-        if node.is_text():
+        if node.name == _TEXT:
             return False
         if self.tag is not None and node.name != self.tag:
             return False
+        nattrs = node.attrs
         if self.classes:
-            cls = (node.attrs.get("class") or "").split()
-            if any(c not in cls for c in self.classes):
-                return False
-        if any(node.attrs.get("id") != i for i in self.ids):
-            return False
-        for name, val in self.attrs:
-            got = node.attrs.get(name)
-            if got is None or (val is not None and got != val):
-                return False
+            cls = (nattrs.get("class") or "").split()
+            for c in self.classes:
+                if c not in cls:
+                    return False
+        if self.ids:
+            nid = nattrs.get("id")
+            for i in self.ids:
+                if nid != i:
+                    return False
+        if self.attrs:
+            for name, val in self.attrs:
+                got = nattrs.get(name)
+                if got is None or (val is not None and got != val):
+                    return False
         return True
 
 
@@ -118,11 +126,58 @@ def compile_css(selector: str) -> tuple:
     return tuple(Chain(part) for part in selector.split(",") if part.strip())
 
 
+def _is_bare_tag(c: Chain) -> bool:
+    s = c.steps[0][1]
+    return (len(c.steps) == 1 and s.tag is not None
+            and not s.classes and not s.ids and not s.attrs)
+
+
+def _idx_tag_nodes(scope, idx, tag: str) -> list:
+    """Strict descendants of ``scope`` named ``tag``, from the
+    document index — one sorted-list scan, no tree walk."""
+    cands = idx.tags.get(tag)
+    if not cands:
+        return []
+    lo, hi = scope._pre, scope._end
+    if lo == 0 and hi >= cands[-1]._pre:  # scope is the whole document
+        return list(cands)
+    return [n for n in cands if lo < n._pre <= hi]
+
+
 def css_search(scope, selector: str) -> list:
     """Descendants of ``scope`` (exclusive) matching any group of the
     selector, in document order. Compilation is cached (hot path: the
     same KB selectors run on every document)."""
+    from .dom import index_of
+
     chains = compile_css(selector)
+    idx = index_of(scope)
+    # index path: every chain's LAST step names a tag — candidates come
+    # from the per-document tag index (interval-filtered), and only the
+    # ancestor chain (if any) is verified per candidate.
+    if idx is not None and all(c.steps[-1][1].tag is not None for c in chains):
+        if len(chains) == 1:
+            c = chains[0]
+            cands = _idx_tag_nodes(scope, idx, c.steps[-1][1].tag)
+            if _is_bare_tag(c):
+                return cands
+            return [n for n in cands if c.matches(n, scope)]
+        out = []
+        for c in chains:
+            cands = _idx_tag_nodes(scope, idx, c.steps[-1][1].tag)
+            if _is_bare_tag(c):
+                out.extend(cands)
+            else:
+                out.extend(n for n in cands if c.matches(n, scope))
+        if len(chains) > 1:  # restore document order, dedupe
+            seen: set[int] = set()
+            uniq = []
+            for n in sorted(out, key=lambda n: n._pre):
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    uniq.append(n)
+            out = uniq
+        return out
     # fast path: single bare-tag chain (the overwhelmingly common case:
     # 'a', 'h1', 'li', ...) — plain name scan, no matcher dispatch
     if len(chains) == 1 and len(chains[0].steps) == 1:
@@ -132,14 +187,7 @@ def css_search(scope, selector: str) -> list:
             return [n for n in scope.descendants() if n.name == tag]
         return [n for n in scope.descendants() if simple.matches(n)]
     # fast path: every chain is a single bare tag ('h1, h2, h3, ...')
-    if all(
-        len(c.steps) == 1
-        and c.steps[0][1].tag is not None
-        and not c.steps[0][1].classes
-        and not c.steps[0][1].ids
-        and not c.steps[0][1].attrs
-        for c in chains
-    ):
+    if all(_is_bare_tag(c) for c in chains):
         tags = {c.steps[0][1].tag for c in chains}
         return [n for n in scope.descendants() if n.name in tags]
     out = []

@@ -20,8 +20,26 @@ TEXT = "#text"
 DOCUMENT = "document"  # Nokogiri's Document#name is "document"
 
 
+class _TagIndex:
+    """Per-document search index: every element node gets a preorder
+    position (``_pre``) and subtree-end position (``_end``), and the
+    index maps tag name → elements in document order. "n is a strict
+    descendant of s" ⇔ ``s._pre < n._pre <= s._end``, so a scoped
+    tag search is one list scan instead of a tree walk. Built once
+    per parsed page (``parse_html``); any later tree mutation flips
+    ``valid`` and searches fall back to walking (WikiText rewrites
+    run on un-indexed ``parse_fragment`` trees anyway)."""
+
+    __slots__ = ("tags", "valid")
+
+    def __init__(self):
+        self.tags: dict[str, list] = {}
+        self.valid = True
+
+
 class Node:
-    __slots__ = ("name", "attrs", "children", "parent", "data")
+    __slots__ = ("name", "attrs", "children", "parent", "data",
+                 "_idx", "_pre", "_end")
 
     def __init__(self, name, attrs=None, data=""):
         self.name = name
@@ -29,9 +47,12 @@ class Node:
         self.children: list[Node] = []
         self.parent: Node | None = None
         self.data = data  # text payload for #text nodes
+        self._idx: _TagIndex | None = None
 
     # -- tree ops -------------------------------------------------------
     def append(self, child: "Node") -> None:
+        if self._idx is not None:
+            self._idx.valid = False
         child.parent = self
         self.children.append(child)
 
@@ -40,6 +61,9 @@ class Node:
         (Nokogiri Node#replace, used by WikiText rewrites)."""
         if self.parent is None:
             return
+        tree_idx = self._idx or self.parent._idx
+        if tree_idx is not None:
+            tree_idx.valid = False
         sibs = self.parent.children
         idx = sibs.index(self)
         new.parent = self.parent
@@ -77,8 +101,9 @@ class Node:
         while stack:
             n = stack.pop()
             yield n
-            if not n.is_text():
-                stack.extend(reversed(n.children))
+            c = n.children
+            if c:
+                stack.extend(reversed(c))
 
     def element_descendants(self):
         for n in self.descendants():
@@ -168,6 +193,43 @@ def node_name(content) -> str:
     return content.name
 
 
+def build_index(root: Node) -> _TagIndex:
+    """Assign preorder/subtree-end positions to every element under
+    ``root`` and build the tag→nodes map. Call only on a tree that is
+    done mutating (mutation invalidates the index)."""
+    idx = _TagIndex()
+    tags = idx.tags
+    root._idx = idx
+    root._pre = 0
+    counter = 0
+    stack = [(root, iter(root.children))]
+    while stack:
+        node, it = stack[-1]
+        child = next(it, None)
+        if child is None:
+            node._end = counter
+            stack.pop()
+            continue
+        if child.name != TEXT:
+            counter += 1
+            child._pre = counter
+            child._idx = idx
+            lst = tags.get(child.name)
+            if lst is None:
+                tags[child.name] = [child]
+            else:
+                lst.append(child)
+            stack.append((child, iter(child.children)))
+    return idx
+
+
+def index_of(scope: Node) -> _TagIndex | None:
+    """The scope's live tag index, or None (un-indexed fragment tree,
+    text node, or a tree mutated since indexing)."""
+    idx = scope._idx
+    return idx if idx is not None and idx.valid else None
+
+
 # -- parser -------------------------------------------------------------
 
 
@@ -230,4 +292,5 @@ def parse_html(html: str) -> Node:
         for h in head_children:
             html_el.append(h)
         html_el.append(body)
+    build_index(root)
     return root

@@ -138,6 +138,8 @@ def _apply_preds(nodes, preds):
 
 
 def xpath_search(scope, pattern: str) -> list:
+    from .dom import index_of
+
     steps = _parse(pattern)
     current = [scope]
     for axis, name, preds in steps:
@@ -146,6 +148,16 @@ def xpath_search(scope, pattern: str) -> list:
         for node in current:
             if axis == "child":
                 cands = [c for c in node.children if _name_matches(c, name)]
+            elif name not in ("*", "text()") and (idx := index_of(node)) is not None:
+                # tag-named descendant step over an indexed document:
+                # one tag-list interval scan instead of a tree walk
+                tagged = idx.tags.get(name)
+                if tagged:
+                    lo, hi = node._pre, node._end
+                    cands = (list(tagged) if lo == 0 and hi >= tagged[-1]._pre
+                             else [d for d in tagged if lo < d._pre <= hi])
+                else:
+                    cands = []
             else:
                 cands = [d for d in node.descendants() if _name_matches(d, name)]
             cands = _apply_preds(cands, preds)
