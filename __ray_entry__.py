@@ -435,6 +435,72 @@ def _q_mm_decode(sf_dir: str):
     return decode_images(ray.data.from_arrow(tbl)).sort("id")
 
 
+def _messy_urls_table(batch: pa.Table) -> pa.Table:
+    """Deterministic messy URL per document (shared by the Ray query
+    and — as the same string expression — the SQL oracle): uppercase
+    scheme+host, default port, alternating trailing slash + fragment,
+    and a 50-way path collision so canonical groups have real dups."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    src = np.asarray(batch.column("source").to_pylist(), dtype=str)
+    url = np.char.add("HTTP://", np.char.add(np.char.upper(src), ".TEST:80/Doc/"))
+    url = np.char.add(url, (ids % 50).astype(str))
+    url = np.char.add(url, np.where(ids % 2 == 0, "/", ""))
+    url = np.char.add(url, np.where(ids % 4 == 0, "#frag", ""))
+    return pa.table({"doc_id": batch.column("doc_id"), "url": pa.array(url.tolist(), pa.string())})
+
+
+def _q_url_dedup(sf_dir: str):
+    from scrappy_ray.functions.webtext import url_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        _messy_urls_table, batch_format="pyarrow"
+    )
+    return url_dedup(ds, url_col="url", id_col="doc_id").sort("canonical_url")
+
+
+def _q_pii_scrub(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.webtext import scrub_pii_array
+
+    def add_pii_and_scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sid = pc.cast(batch.column("doc_id"), pa.string())
+        phone4 = pc.utf8_lpad(pa.array((ids % 10000).astype(str).tolist()), width=4, padding="0")
+        ip3 = pa.array((ids % 256).astype(str).tolist())
+        ip4 = pa.array((ids % 100).astype(str).tolist())
+        parts = [
+            pc.cast(batch.column("text"), pa.string()),
+            pa.array([" contact user"] * batch.num_rows), sid,
+            pa.array(["@example.com or +1 (555) 010-"] * batch.num_rows), phone4,
+            pa.array([" ip 10.0."] * batch.num_rows), ip3,
+            pa.array(["."] * batch.num_rows), ip4,
+        ]
+        messy = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"doc_id": batch.column("doc_id"), "scrubbed": scrub_pii_array(messy)})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_pii_and_scrub, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_normalize_text(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.webtext import normalize_text_array
+
+    def mess_and_norm(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("text"), pa.string())
+        # inject NFD combining accents + whitespace runs, then normalize
+        t = pc.replace_substring(t, pattern="a", replacement="á")
+        t = pc.replace_substring(t, pattern=" ", replacement="\t \t")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "normalized": normalize_text_array(t)}
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(mess_and_norm, batch_format="pyarrow").sort("doc_id")
+
+
 # ----------------------------------------------------------------- crawl
 
 
@@ -525,6 +591,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_types": _q_part_types,
         "supplier_nation": _q_supplier_nation,
         "dedup_exact": _q_dedup_exact,
+        "url_dedup": _q_url_dedup,
+        "pii_scrub": _q_pii_scrub,
+        "normalize_text": _q_normalize_text,
         "token_stats": _q_token_stats,
         "punct_ratio": _q_punct_ratio,
         "sim_topk": _q_sim_topk,
@@ -718,6 +787,46 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "url_dedup": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                     'HTTP://' || UPPER(source) || '.TEST:80/Doc/'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+              FROM documents)
+            SELECT lower(regexp_replace(regexp_replace(regexp_replace(
+                       url, '#.*$', ''), ':(80|443)(/|$)', '\2', 'g'), '/+$', ''))
+                     AS canonical_url,
+                   MIN(doc_id) AS doc_id
+            FROM urls GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        "pii_scrub": r"""
+            WITH messy AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 (555) 010-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+            FROM messy ORDER BY doc_id
+        """,
+        "normalize_text": r"""
+            WITH messy AS (
+              SELECT doc_id,
+                     replace(replace(text, 'a', 'a' || chr(769)),
+                             ' ', chr(9) || ' ' || chr(9)) AS t
+              FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g')) AS normalized
+            FROM messy ORDER BY doc_id
         """,
         "token_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,

@@ -1,0 +1,141 @@
+"""Web-text cleanup operators — URL canonicalization/dedup, PII
+scrubbing, unicode text normalization.
+
+All transforms are zero-copy Arrow ``map_batches`` kernels
+(``pyarrow.compute`` string/regex functions — RE2, the same engine
+DuckDB's ``regexp_replace`` uses, so the oracles share regex
+semantics exactly). No per-row Python anywhere.
+
+Reference parity note: the reference engine's URL handling is
+canonicalize-on-discovery (urlizer); these operators generalize that
+into standalone corpus-cleanup stages a training-data pipeline runs
+over a crawled pages/documents table.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# -- URL canonicalization -------------------------------------------------
+
+# policy (documented, applied in order):
+#   1. strip the fragment            (#… never reaches the server)
+#   2. drop default ports            (:80 / :443 before the path or end)
+#   3. strip trailing slashes        (path-identity for the common case)
+#   4. case-fold the whole URL       (scheme+host are case-insensitive;
+#      folding the path too is this canonicalizer's dedup policy —
+#      lossy on case-sensitive paths, standard for near-dup corpora)
+# Query strings are preserved as-is (no param reordering).
+_FRAGMENT = r"#.*$"
+_DEFAULT_PORT = r":(80|443)(/|$)"
+_TRAILING_SLASH = r"/+$"
+
+
+def canonical_url_array(urls: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """The canonical form of each url (vectorized kernel chain)."""
+    s = pc.cast(urls, pa.string())
+    s = pc.replace_substring_regex(s, pattern=_FRAGMENT, replacement="")
+    s = pc.replace_substring_regex(s, pattern=_DEFAULT_PORT, replacement=r"\2")
+    s = pc.replace_substring_regex(s, pattern=_TRAILING_SLASH, replacement="")
+    return pc.utf8_lower(s)
+
+
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
+    """Append ``out_col`` with the canonical form of ``url_col``."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out_col, canonical_url_array(batch.column(url_col)))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """Keep the min-id row of each canonical-URL group: canonicalize
+    per batch (vectorized), then one hash-aggregate ``groupby`` — the
+    same min-per-key shape as ``exact_dedup`` (no per-group Python,
+    scales to a 10^10-row url table as a single key exchange)."""
+    from ray.data.aggregate import Min
+
+    return (
+        canonicalize_urls(ds, url_col, "_curl")
+        .groupby("_curl")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .rename_columns({"_curl": "canonical_url"})
+    )
+
+
+# -- PII scrubbing --------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround), applied in order: emails
+# first (their local parts contain digits a later pass must not see),
+# then phone-like runs, then bare IPv4s (dots keep them out of the
+# phone class). DuckDB regexp_replace(…,'g') applies the same RE2
+# patterns for the oracle.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d() -]{7,}\d", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii_array(texts: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    s = pc.cast(texts, pa.string())
+    for pattern, repl in PII_PATTERNS:
+        s = pc.replace_substring_regex(s, pattern=pattern, replacement=repl)
+    return s
+
+
+def scrub_pii(ds, text_col: str = "text", out_col: str | None = None):
+    """Redact emails / phone numbers / IPv4 addresses in ``text_col``
+    (in place unless ``out_col`` names a new column)."""
+    target = out_col or text_col
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        cleaned = scrub_pii_array(batch.column(text_col))
+        if target in batch.column_names:
+            i = batch.column_names.index(target)
+            return batch.set_column(i, target, cleaned)
+        return batch.append_column(target, cleaned)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# -- unicode normalization ------------------------------------------------
+
+
+def normalize_text_array(texts: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """NFC-normalize, collapse whitespace runs to single spaces, trim.
+    Matches DuckDB ``trim(regexp_replace(nfc_normalize(t),'\\s+',' ','g'))``.
+
+    NFC goes through stdlib ``unicodedata`` (a C call per string):
+    this container's pyarrow build has a broken ``utf8_normalize``
+    (NFC of U+00E1 returns the DECOMPOSED pair — verified), so Arrow
+    can't do the composition. ``is_normalized`` (also C) short-circuits
+    the common already-NFC case, so the per-row Python cost is one
+    cheap check for typical web text."""
+    import unicodedata
+
+    s = pc.cast(texts, pa.string())
+    vals = s.to_pylist() if isinstance(s, (pa.Array, pa.ChunkedArray)) else list(s)
+    nfc = pa.array(
+        [None if v is None
+         else (v if unicodedata.is_normalized("NFC", v) else unicodedata.normalize("NFC", v))
+         for v in vals],
+        pa.string(),
+    )
+    s = pc.replace_substring_regex(nfc, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(s)
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str | None = None):
+    target = out_col or text_col
+
+    def norm(batch: pa.Table) -> pa.Table:
+        cleaned = normalize_text_array(batch.column(text_col))
+        if target in batch.column_names:
+            i = batch.column_names.index(target)
+            return batch.set_column(i, target, cleaned)
+        return batch.append_column(target, cleaned)
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -310,3 +310,91 @@ def test_seen_routing_version_guard(ray_session, tmp_path):
     os.remove(os.path.join(d, "seen", "ROUTING"))  # legacy (pre-versioning)
     with pytest.raises(RuntimeError, match="pre-versioning"):
         ckpt.check_seen_routing(d, 2)
+
+
+# ---------------------------------------------------------------- webtext
+
+
+def test_canonical_url_policy():
+    import pyarrow as pa
+
+    from scrappy_ray.functions.webtext import canonical_url_array
+
+    got = canonical_url_array(
+        pa.array(
+            [
+                "HTTP://Site0.TEST:80/Art/1#frag",   # case, default port, fragment
+                "http://site0.test/art/1/",           # trailing slash
+                "https://x.test:443/",                # https default port + slash
+                "http://a.test/p?q=1&B=2#x",          # query preserved (case-folded)
+                "http://h.test:8080/p",               # NON-default port kept
+            ]
+        )
+    ).to_pylist()
+    assert got == [
+        "http://site0.test/art/1",
+        "http://site0.test/art/1",
+        "https://x.test",
+        "http://a.test/p?q=1&b=2",
+        "http://h.test:8080/p",
+    ]
+
+
+def test_url_dedup_min_id(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from scrappy_ray.functions.webtext import url_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 3, 9, 1], pa.int64()),
+                "url": pa.array(
+                    [
+                        "HTTP://A.TEST/x/",
+                        "http://a.test/x",
+                        "http://a.test/x#frag",
+                        "http://b.test/y",
+                    ]
+                ),
+            }
+        )
+    )
+    out = {r["canonical_url"]: r["doc_id"] for r in url_dedup(ds).take_all()}
+    assert out == {"http://a.test/x": 3, "http://b.test/y": 1}
+
+
+def test_scrub_pii_patterns():
+    import pyarrow as pa
+
+    from scrappy_ray.functions.webtext import scrub_pii_array
+
+    got = scrub_pii_array(
+        pa.array(
+            [
+                "mail Bob.Smith+x@Example.COM now",
+                "call +1 (555) 123-4567 or 555-010-9999",
+                "host 10.0.0.1 and 192.168.255.3",
+                "no pii here, just sf0.01 and v1.2",
+            ]
+        )
+    ).to_pylist()
+    assert got == [
+        "mail <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "host <IP> and <IP>",
+        "no pii here, just sf0.01 and v1.2",
+    ]
+
+
+def test_normalize_text_nfc_and_whitespace():
+    import pyarrow as pa
+
+    from scrappy_ray.functions.webtext import normalize_text_array
+
+    decomp = "café  \t\n noir "
+    got = normalize_text_array(pa.array([decomp, "plain", None])).to_pylist()
+    assert got[0] == "café noir"  # composed + collapsed + trimmed
+    assert got[1] == "plain"
+    assert got[2] is None
