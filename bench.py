@@ -343,8 +343,22 @@ def one_scale_main(num_cpus: int):
     measurement (both sides see the same VM steal), which is the
     primary scaling statistic. SCALING_WORKLOADS ("full" | "dist")
     drops the adaptive crawl + extract from repeat attempts to keep
-    attempts short and temporally spread."""
+    attempts short and temporally spread.
+
+    The whole child process tree — Ray driver, raylet, object store,
+    workers, and the mp control alike — is PINNED to exactly
+    ``num_cpus`` logical CPUs (SCALING_PIN=0 disables). Without the
+    pin, Ray's system processes and the driver run on cores OUTSIDE
+    the num_cpus budget: a hidden subsidy worth ~25% at 2 CPUs but
+    ~6% at 8, which structurally deflates measured N→4N efficiency.
+    A fixed-size cluster node confines raylet+workers to the node's
+    cores, so pinning is the cluster-faithful accounting."""
     workloads = os.environ.get("SCALING_WORKLOADS", "full")
+    if os.environ.get("SCALING_PIN", "1") != "0":
+        try:
+            os.sched_setaffinity(0, set(range(num_cpus)))
+        except (AttributeError, OSError):  # non-Linux / restricted
+            pass
     _init_ray(num_cpus)
     conc = max(2, num_cpus // 2)
     out = {"num_cpus": num_cpus}
@@ -383,8 +397,10 @@ def scaling_main():
         for n in pair:
             # first sweep runs the full workload set (absolute walls for
             # crawl/extract); repeat sweeps run the short dist+control
-            # pair so attempts stay temporally spread across windows
-            wl = "full" if rep == 0 else os.environ.get("SCALING_WORKLOADS", "dist")
+            # pair so attempts stay temporally spread across windows.
+            # An explicit SCALING_WORKLOADS overrides rep0 too (dist-only
+            # runs keep every attempt short).
+            wl = os.environ.get("SCALING_WORKLOADS") or ("full" if rep == 0 else "dist")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one-scale", str(n)],
                 capture_output=True,

@@ -85,3 +85,83 @@ def test_parse_html_never_raises(s):
     from scrappy_ray.htmldom import parse_html
 
     parse_html(s).text
+
+
+# -- DOM index ≡ walk equivalence ----------------------------------------
+
+_TAGS = ["div", "p", "a", "span", "li", "h2"]
+
+
+@st.composite
+def _rand_html(draw):
+    """Random small nested HTML with classes/ids sprinkled in."""
+    def element(depth):
+        tag = draw(st.sampled_from(_TAGS))
+        attrs = ""
+        if draw(st.booleans()):
+            attrs += f' class="{draw(st.sampled_from(["x", "y", "x y"]))}"'
+        if draw(st.booleans()):
+            attrs += f' id="{draw(st.sampled_from(["i1", "i2"]))}"'
+        kids = ""
+        if depth < 3:
+            for _ in range(draw(st.integers(0, 3))):
+                kids += element(depth + 1) if draw(st.booleans()) else draw(
+                    st.sampled_from(["txt", " ", "ab"])
+                )
+        return f"<{tag}{attrs}>{kids}</{tag}>"
+
+    return "".join(element(0) for _ in range(draw(st.integers(1, 3))))
+
+
+_SELECTORS = [
+    "a", "li", "div p", "div > p", ".x", "p.x", "li li", "h2, a",
+    "div a, p span", "span[id]", "p[id=i1]", "#i2",
+]
+_XPATHS = ["//a", "//li", "//div", ".//p", "//span", "//*"]
+
+
+@given(_rand_html(), st.sampled_from(_SELECTORS))
+@settings(max_examples=120)
+def test_css_index_path_equals_walk_path(html, selector):
+    """The per-document tag index must be invisible: searching an
+    indexed parse_html tree and the same tree with the index disabled
+    must return the same nodes (by path) in the same order."""
+    from scrappy_ray.htmldom.css import css_search
+    from scrappy_ray.htmldom.dom import parse_html
+
+    doc = parse_html(html)
+    indexed = [n.path for n in css_search(doc, selector)]
+    doc._idx.valid = False  # force the walk fallback on the same tree
+    walked = [n.path for n in css_search(doc, selector)]
+    assert indexed == walked
+
+
+@given(_rand_html(), st.sampled_from(_XPATHS))
+@settings(max_examples=60)
+def test_xpath_index_path_equals_walk_path(html, xpath):
+    from scrappy_ray.htmldom.dom import parse_html
+    from scrappy_ray.htmldom.xpath import xpath_search
+
+    doc = parse_html(html)
+    indexed = [n.path for n in xpath_search(doc, xpath)]
+    doc._idx.valid = False
+    walked = [n.path for n in xpath_search(doc, xpath)]
+    assert indexed == walked
+
+
+@given(_rand_html(), st.sampled_from(_SELECTORS))
+@settings(max_examples=60)
+def test_css_scoped_index_search_equals_walk(html, selector):
+    """Same equivalence from a non-root scope (interval filtering)."""
+    from scrappy_ray.htmldom.css import css_search
+    from scrappy_ray.htmldom.dom import parse_html
+
+    doc = parse_html(html)
+    divs = css_search(doc, "div")
+    if not divs:
+        return
+    scope = divs[len(divs) // 2]
+    indexed = [n.path for n in css_search(scope, selector)]
+    doc._idx.valid = False
+    walked = [n.path for n in css_search(scope, selector)]
+    assert indexed == walked
