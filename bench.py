@@ -177,11 +177,23 @@ def crawl_dist_bench(concurrency: int) -> dict:
     res = crawl_job(BENCH_SCALE, ckpt, depth=-1, concurrency=concurrency,
                     seeds=wide_seed_list(BENCH_SCALE), force_distributed=True)
     wall = time.perf_counter() - t0
-    n = sum(r["executed"] for r in res.manifest["rounds"])
-    rounds = len(res.manifest["rounds"])
+    rr = res.manifest["rounds"]
+    n = sum(r["executed"] for r in rr)
+    # steady-state rate over the BIG rounds only (exec ≥ 25% of the
+    # largest round): at production frontier scale every round is a
+    # big round, so this is the throughput a 10^10-URL crawl sees —
+    # full-wall urls_per_sec additionally charges the one-time actor
+    # pool cold start and the tiny seed rounds, which on this small
+    # bench corpus are a fixed ~10 s regardless of parallelism.
+    big_cut = 0.25 * max(r["executed"] for r in rr)
+    big = [r for r in rr if r["executed"] >= big_cut]
+    big_exec = sum(r["executed"] for r in big)
+    big_wall = sum(r["wall_s"] for r in big)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return {"wall_s": wall, "urls": n, "rounds": rounds,
-            "urls_per_sec": n / wall if wall else None}
+    return {"wall_s": wall, "urls": n, "rounds": len(rr),
+            "urls_per_sec": n / wall if wall else None,
+            "big_round_urls": big_exec, "big_round_wall_s": big_wall,
+            "big_round_urls_per_sec": big_exec / big_wall if big_wall else None}
 
 
 def extract_bench(sf_dir: str, concurrency: int) -> dict:
@@ -444,6 +456,14 @@ def scaling_main():
             "dist_rate_best": round(max(a["crawl_dist"]["urls_per_sec"] for a in attempts), 1),
             "control_rate_best": round(max(a["control"]["pages_per_sec"] for a in attempts), 1),
         }
+        # steady-state variant: big rounds only (paired the same way)
+        big = [a["crawl_dist"].get("big_round_urls_per_sec") for a in attempts]
+        if all(b for b in big):
+            summary["big_round_paired"] = [
+                round(b / a["control"]["pages_per_sec"], 4) for b, a in zip(big, attempts)
+            ]
+            summary["big_round_paired_median"] = round(_median(summary["big_round_paired"]), 4)
+            summary["big_round_rate_median"] = round(_median(big), 1)
         full = [a for a in attempts if "crawl" in a]
         if full:
             summary["crawl"] = max((a["crawl"] for a in full), key=lambda c: c["urls_per_sec"])
@@ -475,6 +495,15 @@ def scaling_main():
         "control_efficiency_best": round(eff_ctl_best, 3),
         "runs": results,
     }
+    if all("big_round_paired_median" in r for r in results):
+        # steady-state headline: same paired control normalization,
+        # big rounds only (drops cold actor-pool start + seed rounds
+        # that are a fixed latency regardless of parallelism — at a
+        # 10^10-URL frontier every round is a big round)
+        out["big_round_paired_efficiency"] = round(
+            hi["big_round_paired_median"] / lo["big_round_paired_median"], 3)
+        out["big_round_raw_efficiency"] = round(
+            (hi["big_round_rate_median"] / lo["big_round_rate_median"]) / factor, 3)
     if all("crawl" in r for r in results):
         out["crawl_adaptive_scaling_efficiency"] = round(
             (hi["crawl"]["urls_per_sec"] / lo["crawl"]["urls_per_sec"]) / factor, 3)
