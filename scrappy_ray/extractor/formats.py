@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from ..htmldom.dom import TEXT, Node, build_index, parse_fragment
+from ..htmldom.css import compile_css
+from ..htmldom.dom import TEXT, Node, build_index, index_of, parse_fragment
 from ..support import clean
 
 
@@ -32,12 +33,30 @@ def format_value(node, fmt: str | None, uri: str) -> str:
     return clean("" if node is None else str(node))
 
 
+def _chain_possible(chain, tags: dict) -> bool:
+    # a chain can only match if every tag it names exists in the doc
+    return all(s.tag is None or s.tag in tags for _, s in chain.steps)
+
+
 def _replace_all(doc: Node, css: str, make_text) -> None:
-    # each rewrite pass searches the post-mutation tree: re-index first
-    # (one fast walk) so the search is a tag-list scan, not a tree walk;
-    # the search list is materialized BEFORE any replacement below, so
-    # within-pass semantics are unchanged
-    build_index(doc)
+    # each rewrite pass searches the post-mutation tree. Rewrites only
+    # ever REMOVE elements (matches become TEXT nodes), so the
+    # last-built tag map — even one invalidated by a later mutation —
+    # is a superset of the live tags: a pass whose tags are absent
+    # there cannot match and is skipped without touching the tree
+    # (typical fragments hit 4 of these 18 passes). Re-indexing (one
+    # fast walk, so the search is a tag-list scan not a tree walk)
+    # happens only when an earlier pass actually mutated. The search
+    # list is materialized BEFORE any replacement below, so within-pass
+    # semantics are unchanged.
+    chains = compile_css(css)
+    stale = doc._idx
+    if stale is not None and not any(_chain_possible(c, stale.tags) for c in chains):
+        return
+    if index_of(doc) is None:
+        build_index(doc)
+        if not any(_chain_possible(c, doc._idx.tags) for c in chains):
+            return
     for n in doc.search(css):
         if n.parent is None:  # already detached by an earlier rewrite
             continue

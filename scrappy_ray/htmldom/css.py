@@ -144,6 +144,27 @@ def _idx_tag_nodes(scope, idx, tag: str) -> list:
     return [n for n in cands if lo < n._pre <= hi]
 
 
+def _idx_cands(scope, idx, last) -> list:
+    """Candidate nodes for a chain's last simple step: the tag list
+    when it names a tag, else every element in scope (class-only /
+    ``*`` last steps) — still a flat sorted-list scan."""
+    if last.tag is not None:
+        return _idx_tag_nodes(scope, idx, last.tag)
+    cands = idx.elements
+    if not cands:
+        return []
+    lo, hi = scope._pre, scope._end
+    if lo == 0 and hi >= cands[-1]._pre:
+        return list(cands)
+    return [n for n in cands if lo < n._pre <= hi]
+
+
+def _is_bare_star(c: Chain) -> bool:
+    s = c.steps[0][1]
+    return (len(c.steps) == 1 and s.tag is None
+            and not s.classes and not s.ids and not s.attrs)
+
+
 def css_search(scope, selector: str) -> list:
     """Descendants of ``scope`` (exclusive) matching any group of the
     selector, in document order. Compilation is cached (hot path: the
@@ -152,20 +173,21 @@ def css_search(scope, selector: str) -> list:
 
     chains = compile_css(selector)
     idx = index_of(scope)
-    # index path: every chain's LAST step names a tag — candidates come
-    # from the per-document tag index (interval-filtered), and only the
-    # ancestor chain (if any) is verified per candidate.
-    if idx is not None and all(c.steps[-1][1].tag is not None for c in chains):
+    # index path: candidates for each chain come from the per-document
+    # index — the tag list when the last step names one, the all-elements
+    # list otherwise (class-only / ``*``) — interval-filtered to the
+    # scope; only the full chain match is verified per candidate.
+    if idx is not None:
         if len(chains) == 1:
             c = chains[0]
-            cands = _idx_tag_nodes(scope, idx, c.steps[-1][1].tag)
-            if _is_bare_tag(c):
+            cands = _idx_cands(scope, idx, c.steps[-1][1])
+            if _is_bare_tag(c) or _is_bare_star(c):
                 return cands
             return [n for n in cands if c.matches(n, scope)]
         out = []
         for c in chains:
-            cands = _idx_tag_nodes(scope, idx, c.steps[-1][1].tag)
-            if _is_bare_tag(c):
+            cands = _idx_cands(scope, idx, c.steps[-1][1])
+            if _is_bare_tag(c) or _is_bare_star(c):
                 out.extend(cands)
             else:
                 out.extend(n for n in cands if c.matches(n, scope))

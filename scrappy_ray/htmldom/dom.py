@@ -30,10 +30,11 @@ class _TagIndex:
     ``valid`` and searches fall back to walking (WikiText rewrites
     run on un-indexed ``parse_fragment`` trees anyway)."""
 
-    __slots__ = ("tags", "valid")
+    __slots__ = ("tags", "elements", "valid")
 
     def __init__(self):
         self.tags: dict[str, list] = {}
+        self.elements: list = []  # all elements, document order
         self.valid = True
 
 
@@ -199,6 +200,7 @@ def build_index(root: Node) -> _TagIndex:
     done mutating (mutation invalidates the index)."""
     idx = _TagIndex()
     tags = idx.tags
+    elements = idx.elements
     root._idx = idx
     root._pre = 0
     counter = 0
@@ -214,6 +216,7 @@ def build_index(root: Node) -> _TagIndex:
             counter += 1
             child._pre = counter
             child._idx = idx
+            elements.append(child)
             lst = tags.get(child.name)
             if lst is None:
                 tags[child.name] = [child]
