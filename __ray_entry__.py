@@ -292,6 +292,32 @@ def _q_punct_ratio(sf_dir: str):
     return round_cols(out, ["punct_ratio", "digit_ratio"], 6)
 
 
+def _q_repetition(sf_dir: str):
+    from scrappy_ray.functions.textstats import repetition_stats
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_stats(ds).sort("doc_id")
+    return round_cols(out, ["top_unigram_frac", "top_bigram_frac", "dup_line_frac"], 6)
+
+
+def _q_domain_stats(sf_dir: str):
+    from scrappy_ray.functions.webtext import domain_stats
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = domain_stats(ds).sort("source")
+    return round_cols(out, ["mean_quality"], 6)
+
+
+def _q_domain_filter(sf_dir: str):
+    from scrappy_ray.functions.webtext import domain_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = domain_filter(ds, min_docs=10, min_quality=0.55)
+    return out.select_columns(["doc_id", "source"]).sort("doc_id")
+
+
 def _q_sim_topk(sf_dir: str):
     from scrappy_ray.functions.similarity import topk_cosine
 
@@ -596,6 +622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "token_stats": _q_token_stats,
         "punct_ratio": _q_punct_ratio,
+        "repetition": _q_repetition,
+        "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -621,6 +650,14 @@ def _sql_word_list(words) -> str:
     return "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
 
 
+# the quality composite over the `base` intermediate columns (shared by
+# quality_scores / domain_stats / domain_filter so it cannot drift)
+_QUAL_EXPR = """LEAST(n_tokens_i / 20.0, 1.0) * 0.3
+    + LEAST(punct_i / GREATEST(n_chars_i, 1.0) * 20.0, 1.0) * 0.2
+    + (1.0 - LEAST(digit_i / GREATEST(n_chars_i, 1.0) * 5.0, 1.0)) * 0.2
+    + LEAST(stop_i / GREATEST(n_tokens_i, 1.0) * 3.0, 1.0) * 0.3"""
+
+
 def _lang_quality_sqls() -> dict[str, str]:
     """SQL oracles that re-express the textstats heuristics with DuckDB
     list lambdas — the SAME stopword lists as the Ray kernels (imported,
@@ -631,7 +668,7 @@ def _lang_quality_sqls() -> dict[str, str]:
     toks = "regexp_split_to_array(TRIM(text), '\\s+')"
     ltoks = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
     base = f"""
-      SELECT doc_id,
+      SELECT doc_id, source,
         LENGTH(text) AS n_chars_i,
         LEN({toks}) AS n_tokens_i,
         LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_i,
@@ -663,6 +700,19 @@ def _lang_quality_sqls() -> dict[str, str]:
                          + (1.0 - LEAST(digit_i / GREATEST(n_chars_i, 1.0) * 5.0, 1.0)) * 0.2
                          + LEAST(stop_i / GREATEST(n_tokens_i, 1.0) * 3.0, 1.0) * 0.3, 6) AS quality
             FROM ({base}) ORDER BY doc_id
+        """,
+        "domain_stats": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG({_QUAL_EXPR}), 6) AS mean_quality
+            FROM ({base}) GROUP BY source ORDER BY source
+        """,
+        "domain_filter": f"""
+            SELECT doc_id, source FROM documents
+            WHERE source IN (
+              SELECT source FROM ({base})
+              GROUP BY source
+              HAVING COUNT(*) >= 10 AND AVG({_QUAL_EXPR}) >= 0.55)
+            ORDER BY doc_id
         """,
     }
 
@@ -827,6 +877,27 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g')) AS normalized
             FROM messy ORDER BY doc_id
+        """,
+        "repetition": r"""
+            WITH docs AS (SELECT doc_id, text,
+                                 regexp_split_to_array(trim(text), '\s+') AS toks
+                          FROM documents),
+            ucnt AS (SELECT doc_id, tok, count(*) c FROM
+                       (SELECT doc_id, unnest(toks) AS tok FROM docs) GROUP BY 1, 2),
+            utop AS (SELECT doc_id, max(c) mx, sum(c) tot FROM ucnt GROUP BY 1),
+            bcnt AS (SELECT doc_id, bg, count(*) c FROM
+                       (SELECT doc_id,
+                               unnest(list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                        FROM docs) GROUP BY 1, 2),
+            btop AS (SELECT doc_id, max(c) mx, sum(c) tot FROM bcnt GROUP BY 1)
+            SELECT d.doc_id,
+                   round(utop.mx::DOUBLE / utop.tot, 6) AS top_unigram_frac,
+                   round(coalesce(btop.mx::DOUBLE / btop.tot, 0), 6) AS top_bigram_frac,
+                   round(1.0 - len(list_distinct(str_split(d.text, chr(10))))::DOUBLE
+                           / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
+            FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "token_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,

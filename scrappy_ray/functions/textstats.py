@@ -148,6 +148,92 @@ def lang_id(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(lid, batch_format="pyarrow")
 
 
+def _segment_max_sum(keys: np.ndarray, group_of: np.ndarray):
+    """Per-group (max, sum) of multiplicities of ``keys``; ``group_of``
+    maps each key to its group. Both O(n log n) with no Python loops:
+    unique keys come back sorted, so groups are contiguous and
+    reduceat does the per-group fold."""
+    order = np.argsort(keys, kind="stable")
+    sk, sg = keys[order], group_of[order]
+    uniq_mask = np.empty(len(sk), dtype=bool)
+    uniq_mask[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=uniq_mask[1:])
+    starts = np.flatnonzero(uniq_mask)
+    counts = np.diff(np.r_[starts, len(sk)])
+    groups = sg[starts]
+    gb = np.flatnonzero(np.r_[True, groups[1:] != groups[:-1]])
+    return (
+        groups[gb],
+        np.maximum.reduceat(counts, gb),
+        np.add.reduceat(counts, gb),
+        np.add.reduceat(np.ones(len(counts), np.int64), gb),  # n distinct
+    )
+
+
+def repetition_kernel(text) -> dict:
+    """Gopher-style repetition metrics (Rae et al. '21, public) over a
+    string array: most-frequent-unigram fraction, most-frequent-bigram
+    fraction, duplicate-line fraction. Tokens are whitespace splits of
+    trimmed text (same convention as token_stats); everything is Arrow
+    dictionary-encode + numpy segment reductions — no per-row Python."""
+    text = pc.fill_null(pc.cast(text, pa.string()), "")
+    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
+    lens = np.asarray(pc.list_value_length(tokens), dtype=np.int64)
+    n_docs = len(lens)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    enc = pc.dictionary_encode(pc.list_flatten(tokens))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    vocab = len(enc.dictionary)
+
+    top_uni = np.zeros(n_docs, np.float64)
+    if len(codes):
+        g, mx, tot, _ = _segment_max_sum(doc_idx * vocab + codes, doc_idx)
+        top_uni[g] = mx / tot
+
+    # bigrams: adjacent token pairs within a document (positions whose
+    # successor is in the same doc)
+    top_bi = np.zeros(n_docs, np.float64)
+    if len(codes) > 1:
+        within = doc_idx[1:] == doc_idx[:-1]
+        if within.any():
+            b1, b2 = codes[:-1][within], codes[1:][within]
+            bdoc = doc_idx[:-1][within]
+            _, binv = np.unique(b1 * vocab + b2, return_inverse=True)
+            g, mx, tot, _ = _segment_max_sum(bdoc * len(binv) + binv, bdoc)
+            top_bi[g] = mx / tot
+
+    lines = pc.split_pattern(text, "\n")
+    llens = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+    ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), llens)
+    lenc = pc.dictionary_encode(pc.list_flatten(lines))
+    if isinstance(lenc, pa.ChunkedArray):
+        lenc = lenc.combine_chunks()
+    lcodes = np.asarray(lenc.indices, dtype=np.int64)
+    dup_line = np.zeros(n_docs, np.float64)
+    if len(lcodes):
+        g, _, tot, ndis = _segment_max_sum(ldoc * len(lenc.dictionary) + lcodes, ldoc)
+        dup_line[g] = 1.0 - ndis / tot
+    return {
+        "top_unigram_frac": pa.array(top_uni, pa.float64()),
+        "top_bigram_frac": pa.array(top_bi, pa.float64()),
+        "dup_line_frac": pa.array(dup_line, pa.float64()),
+    }
+
+
+def repetition_stats(ds, text_col="text", id_col="doc_id"):
+    """Per-document repetition metrics for corpus filtering (the
+    Gopher repetition rules): documents dominated by one token / one
+    bigram / duplicated lines are low-quality boilerplate at web scale."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        cols = repetition_kernel(batch.column(text_col))
+        return pa.table({id_col: batch.column(id_col), **cols})
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
 def fingerprint(ds, text_col="text", id_col="doc_id", window: int = 8, keep: int = 8):
     """Winnowing-style document fingerprint (Schleimer et al. '03,
     public): rolling 8-gram hashes, keep the ``keep`` smallest, digest

@@ -139,3 +139,64 @@ def normalize_text(ds, text_col: str = "text", out_col: str | None = None):
         return batch.append_column(target, cleaned)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# -- domain-level filtering ----------------------------------------------
+
+
+def domain_stats(ds, domain_col: str = "source", text_col: str = "text"):
+    """Per-domain corpus stats: doc count + mean quality score.
+
+    Pattern for 100 TB: quality is computed inline in ONE streaming
+    pass whose output is a per-batch PARTIAL aggregate (domain, n,
+    sum_quality) — the wide ``groupby`` only ever sees
+    O(domains × blocks) rows, never O(documents). Host-level quality
+    gating is the standard CC-pipeline domain filter (C4/Gopher-style
+    source filtering); the reference's per-host politeness state
+    (state/politeness.py) is the crawl-time analogue.
+    """
+    from .textstats import quality_kernel
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qual = quality_kernel(batch.column(text_col))["quality"]
+        t = pa.table({domain_col: batch.column(domain_col), "q": qual})
+        return t.group_by(domain_col).aggregate([("q", "sum"), ("q", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby(domain_col).sum(["q_sum", "q_count"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.cast(batch.column("sum(q_count)"), pa.int64())
+        mean = pc.divide(batch.column("sum(q_sum)"),
+                         pc.cast(n, pa.float64()))
+        return pa.table({
+            domain_col: batch.column(domain_col),
+            "n_docs": n,
+            "mean_quality": mean,
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def domain_filter(ds, min_docs: int = 1, min_quality: float = 0.0,
+                  domain_col: str = "source", text_col: str = "text"):
+    """Keep only documents from domains passing count + mean-quality
+    thresholds. The keep-set is the SMALL side (one row per domain):
+    materialized once on the driver and broadcast into the filter via
+    closure capture — a broadcast semi-join, never a shuffle of the
+    documents table."""
+    import pyarrow.compute as pc
+
+    stats = domain_stats(ds, domain_col=domain_col, text_col=text_col)
+    keep_tbl = stats.filter(
+        lambda r: r["n_docs"] >= min_docs and r["mean_quality"] >= min_quality
+    ).select_columns([domain_col]).take_all()
+    keep = pa.array(sorted(r[domain_col] for r in keep_tbl), pa.string())
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(pc.cast(batch.column(domain_col), pa.string()),
+                                     value_set=keep))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -398,3 +398,67 @@ def test_normalize_text_nfc_and_whitespace():
     assert got[0] == "café noir"  # composed + collapsed + trimmed
     assert got[1] == "plain"
     assert got[2] is None
+
+
+def test_repetition_kernel_hand_computed():
+    import pyarrow as pa
+
+    from scrappy_ray.functions.textstats import repetition_kernel
+
+    out = repetition_kernel(
+        pa.array(
+            [
+                "a a a b",                # top unigram a: 3/4; bigrams: aa,aa,ab -> 2/3
+                "x y x y",                # top uni 2/4; bigrams xy,yx,xy -> 2/3
+                "only",                   # 1 token: uni 1/1, no bigrams -> 0
+                "l1\nl2\nl1\nl3",        # \s+ splits on \n too: tokens
+                                          # [l1,l2,l1,l3] -> uni 2/4,
+                                          # bigrams all distinct -> 1/3;
+                                          # 4 lines, 3 distinct -> dup 1/4
+                "",                       # '' -> one empty token, one line
+            ]
+        )
+    )
+    uni = [round(v, 6) for v in out["top_unigram_frac"].to_pylist()]
+    bi = [round(v, 6) for v in out["top_bigram_frac"].to_pylist()]
+    dup = [round(v, 6) for v in out["dup_line_frac"].to_pylist()]
+    assert uni == [0.75, 0.5, 1.0, 0.5, 1.0]
+    assert bi == [round(2 / 3, 6), round(2 / 3, 6), 0.0, round(1 / 3, 6), 0.0]
+    assert dup == [0.0, 0.0, 0.0, 0.25, 0.0]
+
+
+def test_repetition_bigrams_never_cross_documents():
+    import pyarrow as pa
+
+    from scrappy_ray.functions.textstats import repetition_kernel
+
+    # if bigrams leaked across docs, 'b a' at the boundary would tie the
+    # second doc's counts differently
+    out = repetition_kernel(pa.array(["a b", "a c a c"]))
+    assert out["top_bigram_frac"].to_pylist()[1] == pytest.approx(2 / 3)
+
+
+def test_domain_filter_broadcast_semijoin(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import domain_filter, domain_stats
+
+    rows = []
+    # good.test: 3 stopword-rich punctuated docs; bad.test: digit soup
+    for i in range(3):
+        rows.append({"doc_id": i, "source": "good.test",
+                     "text": "the cat and the dog are in the house, they have all of it."})
+    for i in range(3, 6):
+        rows.append({"doc_id": i, "source": "bad.test",
+                     "text": "9 3 4 1 5 9 2 6"})
+    rows.append({"doc_id": 6, "source": "tiny.test",
+                 "text": "the cat and the dog are in the house, they have all of it."})
+    ds = ray.data.from_items(rows)
+
+    stats = {r["source"]: r for r in domain_stats(ds).take_all()}
+    assert stats["good.test"]["n_docs"] == 3
+    assert stats["good.test"]["mean_quality"] > stats["bad.test"]["mean_quality"]
+
+    kept = domain_filter(ds, min_docs=2, min_quality=0.5)
+    got = sorted(r["doc_id"] for r in kept.take_all())
+    assert got == [0, 1, 2]  # bad.test fails quality, tiny.test fails count
