@@ -301,6 +301,13 @@ def _q_repetition(sf_dir: str):
     return round_cols(out, ["top_unigram_frac", "top_bigram_frac", "dup_line_frac"], 6)
 
 
+def _q_chunk_docs(sf_dir: str):
+    from scrappy_ray.functions.textstats import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=16, overlap=4).sort(["doc_id", "chunk_id"])
+
+
 def _q_domain_stats(sf_dir: str):
     from scrappy_ray.functions.webtext import domain_stats
     from scrappy_ray.pipelines.relational import round_cols
@@ -623,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "punct_ratio": _q_punct_ratio,
         "repetition": _q_repetition,
+        "chunk_docs": _q_chunk_docs,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -898,6 +906,20 @@ def _oracle_sql_static() -> dict[str, str]:
                            / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "chunk_docs": r"""
+            WITH docs AS (SELECT doc_id,
+                                 regexp_split_to_array(trim(text), '\s+') AS toks
+                          FROM documents),
+            ck AS (SELECT doc_id, toks,
+                     unnest(range(0, CASE WHEN len(toks) <= 16 THEN 1
+                                          ELSE CAST(ceil((len(toks) - 16) / 12.0) AS BIGINT) + 1
+                                     END)) AS chunk_id
+                   FROM docs)
+            SELECT doc_id, chunk_id,
+                   array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk_text,
+                   len(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16]) AS n_tokens
+            FROM ck ORDER BY doc_id, chunk_id
         """,
         "token_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,

@@ -261,3 +261,63 @@ def fingerprint(ds, text_col="text", id_col="doc_id", window: int = 8, keep: int
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def chunk_documents(ds, text_col="text", id_col="doc_id",
+                    chunk_tokens: int = 128, overlap: int = 16):
+    """Split documents into fixed-size token windows for training-data
+    prep: chunk k covers tokens [k*stride, k*stride + chunk_tokens)
+    with stride = chunk_tokens - overlap; a document emits
+    ceil((n - chunk_tokens)/stride) + 1 chunks (one when n <= chunk),
+    the last possibly short. Vectorized: the only Python loop is over
+    CHUNK INDEX (bounded by the longest doc in the batch / stride);
+    each iteration is whole-batch Arrow list_slice + binary_join."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        lens = np.asarray(pc.list_value_length(tokens), dtype=np.int64)
+        ids = batch.column(id_col)
+        n_chunks = np.where(
+            lens <= chunk_tokens, 1,
+            ((lens - chunk_tokens + stride - 1) // stride) + 1,
+        )
+        ids_parts, cid_parts, text_parts, ntok_parts, pos_parts = [], [], [], [], []
+        for k in range(int(n_chunks.max(initial=0))):
+            mask = n_chunks > k
+            pos = np.flatnonzero(mask)
+            sub = tokens.take(pa.array(pos, pa.int64()))
+            sl = pc.list_slice(sub, start=k * stride, stop=k * stride + chunk_tokens)
+            ids_parts.append(ids.take(pa.array(pos, pa.int64())))
+            cid_parts.append(np.full(len(pos), k, np.int64))
+            text_parts.append(pc.binary_join(sl, " "))
+            ntok_parts.append(np.asarray(pc.list_value_length(sl), np.int64))
+            pos_parts.append(pos)
+        if not ids_parts:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        cid = np.concatenate(cid_parts)
+        # restore (document, chunk) order within the batch
+        order = np.lexsort((cid, np.concatenate(pos_parts)))
+        take = pa.array(order, pa.int64())
+        out_ids = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in ids_parts]
+        ).take(take)
+        out_text = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in text_parts]
+        ).take(take)
+        return pa.table({
+            id_col: out_ids,
+            "chunk_id": pa.array(cid[order], pa.int64()),
+            "chunk_text": out_text,
+            "n_tokens": pa.array(np.concatenate(ntok_parts)[order], pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

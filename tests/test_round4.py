@@ -462,3 +462,42 @@ def test_domain_filter_broadcast_semijoin(ray_session):
     kept = domain_filter(ds, min_docs=2, min_quality=0.5)
     got = sorted(r["doc_id"] for r in kept.take_all())
     assert got == [0, 1, 2]  # bad.test fails quality, tiny.test fails count
+
+
+def test_chunk_documents_windows(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from scrappy_ray.functions.textstats import chunk_documents
+
+    tbl = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [" ".join(f"t{i}" for i in range(10)), "a b c", ""],
+    })
+    out = chunk_documents(ray.data.from_arrow(tbl), chunk_tokens=4, overlap=1).take_all()
+    got = [(r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in out]
+    assert got == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),   # stride 3: overlapping token t3
+        (1, 2, "t6 t7 t8 t9", 4),
+        (2, 0, "a b c", 3),          # short doc: one (possibly short) chunk
+        (3, 0, "", 1),               # '' splits to one empty token (SQL parity)
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(tbl), chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_exact_boundary(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from scrappy_ray.functions.textstats import chunk_documents
+
+    # n == chunk_tokens -> exactly one chunk, no degenerate tail
+    tbl = pa.table({"doc_id": [1], "text": ["a b c d"]})
+    out = chunk_documents(ray.data.from_arrow(tbl), chunk_tokens=4, overlap=2).take_all()
+    assert len(out) == 1 and out[0]["n_tokens"] == 4
+    # n == chunk_tokens + 1 -> second chunk holds the overlap + tail
+    tbl = pa.table({"doc_id": [1], "text": ["a b c d e"]})
+    out = chunk_documents(ray.data.from_arrow(tbl), chunk_tokens=4, overlap=2).take_all()
+    assert [(r["chunk_id"], r["chunk_text"]) for r in out] == [(0, "a b c d"), (1, "c d e")]
