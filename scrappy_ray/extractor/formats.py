@@ -14,13 +14,48 @@ from __future__ import annotations
 from urllib.parse import urljoin
 
 from ..htmldom.css import compile_css
-from ..htmldom.dom import TEXT, Node, build_index, index_of, parse_fragment
-from ..support import clean
+from ..htmldom.dom import DOCUMENT, TEXT, Node, build_index, index_of, parse_fragment
+from ..htmldom.serialize import _esc_text
+from ..support import _NBSP, clean
+
+
+def _clone_for_reparse(el: Node) -> Node:
+    """parse_fragment(clean(el.to_html())) for an ELEMENT node without
+    the serialize + re-parse round trip (it was ~35% of extraction CPU).
+    The round trip's observable effects, reproduced directly:
+    - clean(): NBSP→space in every text node and attribute value (the
+      UTF-8//IGNORE leg is a no-op on str; strip() is a no-op because an
+      element's serialization starts '<' and ends '>');
+    - bare attributes (value None) re-parse as "";
+    - script/style content re-parses in CDATA mode, so the serializer's
+      &/</> escaping is NOT undone there — apply it;
+    - a fresh un-indexed root DOCUMENT wrapper, like parse_fragment.
+    Adjacent text nodes (comment-split) merge in a real round trip but
+    are indistinguishable to the rewrites (element search + .text)."""
+    root = Node(DOCUMENT)
+    root.append(_clone_rec(el, False))
+    return root
+
+
+def _clone_rec(n: Node, in_cdata: bool) -> Node:
+    if n.is_text():
+        data = _esc_text(n.data) if in_cdata else n.data
+        return Node(TEXT, data=data.replace(_NBSP, " "))
+    new = Node(
+        n.name,
+        {k: ("" if v is None else v.replace(_NBSP, " ")) for k, v in n.attrs.items()},
+    )
+    cdata = in_cdata or n.name in ("script", "style")
+    for c in n.children:
+        new.append(_clone_rec(c, cdata))
+    return new
 
 
 def format_value(node, fmt: str | None, uri: str) -> str:
     if fmt == "wikitext":
         # the reference always re-serializes + re-parses (formats.rb:7)
+        if isinstance(node, Node) and not node.is_text() and node.name != DOCUMENT:
+            return _wikitext(_clone_for_reparse(node), uri)
         src = node.to_html() if isinstance(node, Node) else str(node or "")
         return _wikitext(parse_fragment(clean(src)), uri)
     if fmt == "html":

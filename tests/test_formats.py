@@ -42,3 +42,31 @@ def test_wikitext_table():
     n = node_of("<div><table><tr><td>c</td></tr></table></div>", "div")
     out = format_value(n, "wikitext", "http://u.test/")
     assert out == "<table><tr><td>c</td></tr></table>"
+
+
+def test_clone_for_reparse_equals_roundtrip():
+    """_clone_for_reparse must be observationally identical to the
+    serialize+clean+re-parse it replaces, including the tricky legs:
+    NBSP in text and attrs, bare attributes, script CDATA content,
+    entity-bearing text."""
+    from scrappy_ray.extractor.formats import _clone_for_reparse, _wikitext
+    from scrappy_ray.htmldom.dom import parse_fragment
+    from scrappy_ray.support import clean
+
+    cases = [
+        '<div><a href="/x">link</a> and <b>bold\xa0text</b></div>',
+        '<div><script>if (a < b && c > d) { go("&amp;"); }</script>tail</div>',
+        '<ul><li>one<ul><li>two</li></ul></li></ul>',
+        '<p data-x>bare attr</p>',
+        '<td>cell\xa0</td>',
+        '<div>&lt;escaped&gt; &amp; entities</div>',
+        '<pre>  spaced  </pre>',
+        '<h2> Head\xa0line </h2>',
+        '<table><tr><td>a</td><td>b</td></tr></table>',
+    ]
+    uri = "http://e.test/base/page"
+    for src in cases:
+        el = parse_fragment(src).children[0]
+        via_clone = _wikitext(_clone_for_reparse(el), uri)
+        via_roundtrip = _wikitext(parse_fragment(clean(el.to_html())), uri)
+        assert via_clone == via_roundtrip, src

@@ -165,3 +165,18 @@ def test_css_scoped_index_search_equals_walk(html, selector):
     doc._idx.valid = False
     walked = [n.path for n in css_search(scope, selector)]
     assert indexed == walked
+
+
+@given(st.text(alphabet="<>ab c=\"'/!-&;\xa0liuptdh12", max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_clone_for_reparse_matches_roundtrip_on_hostile_html(s):
+    """Property: for ANY parsed element, the wikitext clone path equals
+    the serialize+clean+re-parse path it replaces."""
+    from scrappy_ray.extractor.formats import _clone_for_reparse, _wikitext
+    from scrappy_ray.support import clean
+
+    doc = parse_fragment(s)
+    for el in list(doc.element_descendants())[:5]:
+        via_clone = _wikitext(_clone_for_reparse(el), "http://p.test/a/b")
+        via_rt = _wikitext(parse_fragment(clean(to_html(el))), "http://p.test/a/b")
+        assert via_clone == via_rt
