@@ -16,6 +16,7 @@ Results are in document order (preorder DFS), deduplicated.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 
 from .dom import TEXT as _TEXT
 
@@ -132,31 +133,40 @@ def _is_bare_tag(c: Chain) -> bool:
             and not s.classes and not s.ids and not s.attrs)
 
 
-def _idx_tag_nodes(scope, idx, tag: str) -> list:
-    """Strict descendants of ``scope`` named ``tag``, from the
-    document index — one sorted-list scan, no tree walk."""
-    cands = idx.tags.get(tag)
-    if not cands:
-        return []
+def _pre_of(n) -> int:
+    return n._pre
+
+
+def _interval(cands: list, scope) -> list:
+    """Nodes of sorted-by-_pre ``cands`` strictly inside ``scope``:
+    two bisects + one slice (O(log n + hits)), no list scan."""
     lo, hi = scope._pre, scope._end
     if lo == 0 and hi >= cands[-1]._pre:  # scope is the whole document
         return list(cands)
-    return [n for n in cands if lo < n._pre <= hi]
+    i = bisect_right(cands, lo, key=_pre_of)
+    j = bisect_right(cands, hi, lo=i, key=_pre_of)
+    return cands[i:j]
+
+
+def _idx_tag_nodes(scope, idx, tag: str) -> list:
+    """Strict descendants of ``scope`` named ``tag``, from the
+    document index."""
+    cands = idx.tags.get(tag)
+    if not cands:
+        return []
+    return _interval(cands, scope)
 
 
 def _idx_cands(scope, idx, last) -> list:
     """Candidate nodes for a chain's last simple step: the tag list
     when it names a tag, else every element in scope (class-only /
-    ``*`` last steps) — still a flat sorted-list scan."""
+    ``*`` last steps)."""
     if last.tag is not None:
         return _idx_tag_nodes(scope, idx, last.tag)
     cands = idx.elements
     if not cands:
         return []
-    lo, hi = scope._pre, scope._end
-    if lo == 0 and hi >= cands[-1]._pre:
-        return list(cands)
-    return [n for n in cands if lo < n._pre <= hi]
+    return _interval(cands, scope)
 
 
 def _is_bare_star(c: Chain) -> bool:

@@ -9,6 +9,7 @@ underscore, String#clean), /root/reference/lib/scrappy/agent/agent.rb:154-158
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urljoin, urlparse
 
 # Ruby: Iconv('UTF-8//IGNORE') + gsub("\302\240"," ") + strip
@@ -67,14 +68,11 @@ def four_chunk_base(uri: str) -> str:
     return "/".join(uri.split("/")[0:4])
 
 
-def parse_uri(doc_uri: str, rel_uri: str | None) -> str | None:
-    """Resolve a (possibly relative) URI against the doc URI using the
-    reference's quirky base (fragment.rb:127-135). Returns None when a
-    fresh bnode should be minted instead (the reference's ID('*'))."""
-    if rel_uri is None:
-        return None
+@lru_cache(maxsize=8192)
+def _resolve_cached(base: str, rel_uri: str) -> str | None:
+    # keyed on the four-chunk BASE, not the full doc uri, so every page
+    # of a host shares cache entries for its repeated nav/footer links
     try:
-        base = four_chunk_base(doc_uri)
         out = urljoin(base, rel_uri)
         # Ruby URI.merge raises on garbage; urljoin is laxer. Reject
         # results with no scheme/netloc so behavior matches the rescue.
@@ -84,6 +82,15 @@ def parse_uri(doc_uri: str, rel_uri: str | None) -> str | None:
         return out
     except (ValueError, AttributeError):
         return None
+
+
+def parse_uri(doc_uri: str, rel_uri: str | None) -> str | None:
+    """Resolve a (possibly relative) URI against the doc URI using the
+    reference's quirky base (fragment.rb:127-135). Returns None when a
+    fresh bnode should be minted instead (the reference's ID('*'))."""
+    if rel_uri is None:
+        return None
+    return _resolve_cached(four_chunk_base(doc_uri), rel_uri)
 
 
 def host_of(url: str) -> str:
