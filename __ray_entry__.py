@@ -308,6 +308,16 @@ def _q_chunk_docs(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=16, overlap=4).sort(["doc_id", "chunk_id"])
 
 
+def _q_perplexity(sf_dir: str):
+    from scrappy_ray.functions.lm import perplexity_scores
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = perplexity_scores(ds).sort("doc_id")
+    out = round_cols(out, ["avg_logprob"], 6)
+    return round_cols(out, ["ppl"], 4)
+
+
 def _q_domain_stats(sf_dir: str):
     from scrappy_ray.functions.webtext import domain_stats
     from scrappy_ray.pipelines.relational import round_cols
@@ -631,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "punct_ratio": _q_punct_ratio,
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
+        "perplexity": _q_perplexity,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -906,6 +917,27 @@ def _oracle_sql_static() -> dict[str, str]:
                            / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "perplexity": r"""
+            WITH docs AS (SELECT doc_id,
+                                 regexp_split_to_array(trim(text), '\s+') AS toks
+                          FROM documents),
+            c1 AS (SELECT w, count(*) c FROM
+                     (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+            v AS (SELECT count(*) n FROM c1),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                          unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+                   FROM docs),
+            c12 AS (SELECT w1, w2, count(*) c FROM bg GROUP BY w1, w2),
+            scored AS (SELECT bg.doc_id,
+                              ln((c12.c + 1.0) / (c1.c + (SELECT n FROM v))) AS lp
+                       FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+                               JOIN c1 ON bg.w1 = c1.w)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logprob,
+                   round(exp(-avg(lp)), 4) AS ppl
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "chunk_docs": r"""
             WITH docs AS (SELECT doc_id,

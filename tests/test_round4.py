@@ -501,3 +501,57 @@ def test_chunk_documents_exact_boundary(ray_session):
     tbl = pa.table({"doc_id": [1], "text": ["a b c d e"]})
     out = chunk_documents(ray.data.from_arrow(tbl), chunk_tokens=4, overlap=2).take_all()
     assert [(r["chunk_id"], r["chunk_text"]) for r in out] == [(0, "a b c d"), (1, "c d e")]
+
+
+def test_perplexity_hand_computed(ray_session):
+    import math
+
+    import ray.data
+
+    from scrappy_ray.functions.lm import perplexity_scores
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["a b a b", "a x"],
+    }))
+    out = {r["doc_id"]: r for r in perplexity_scores(ds).take_all()}
+    # c1: a=3 b=2 x=1, V=3; c12: ab=2 ba=1 ax=1
+    lp0 = (math.log((2 + 1) / (3 + 3)) + math.log((1 + 1) / (2 + 3))
+           + math.log((2 + 1) / (3 + 3))) / 3
+    lp1 = math.log((1 + 1) / (3 + 3))
+    assert out[0]["n_bigrams"] == 3 and out[1]["n_bigrams"] == 1
+    assert out[0]["avg_logprob"] == pytest.approx(lp0)
+    assert out[1]["avg_logprob"] == pytest.approx(lp1)
+    assert out[0]["ppl"] == pytest.approx(math.exp(-lp0))
+
+
+def test_perplexity_min_count_prunes_rare_bigrams(ray_session):
+    import math
+
+    import ray.data
+
+    from scrappy_ray.functions.lm import perplexity_scores
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["a b a b a b", "a x"],
+    }))
+    out = {r["doc_id"]: r for r in perplexity_scores(ds, min_count=2).take_all()}
+    # 'a x' occurs once -> pruned from the model -> scores as unseen
+    # (c12=0) while c1/V stay exact: lp = ln(1/(c1_a + V))
+    assert out[1]["avg_logprob"] == pytest.approx(math.log(1 / (4 + 3)))
+    # frequent bigram 'a b' (3x) survives pruning
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+def test_perplexity_single_token_docs_dropped(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.lm import perplexity_scores
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["only", "two tokens"],
+    }))
+    got = [r["doc_id"] for r in perplexity_scores(ds).take_all()]
+    assert got == [1]
