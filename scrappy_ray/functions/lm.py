@@ -69,13 +69,24 @@ def bigram_counts(ds, text_col: str = "text"):
     return uni, bi
 
 
-def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
-                      min_count: int = 1):
-    """(id, n_bigrams, avg_logprob, ppl) per document under the
-    self-trained add-one bigram model. ``min_count`` > 1 prunes rare
-    bigrams from the broadcast model (their lookups then miss and score
-    as unseen) — the scale knob; 1 = exact (oracle) mode. V (the
-    smoothing denominator) is always the full vocabulary size."""
+class BigramModel:
+    """The broadcast payload: sorted vocab + aligned unigram counts +
+    sorted int64 bigram keys/counts. A handful of flat arrays — cheap
+    to serialize into the object store once per task graph."""
+
+    __slots__ = ("vocab", "c1", "bkeys", "bcounts", "V")
+
+    def __init__(self, vocab, c1, bkeys, bcounts):
+        self.vocab, self.c1, self.bkeys, self.bcounts = vocab, c1, bkeys, bcounts
+        self.V = len(vocab)
+
+
+def build_bigram_model(ds, text_col: str = "text", min_count: int = 1) -> BigramModel:
+    """Count pass + driver-side model assembly. ``min_count`` > 1
+    prunes rare bigrams from the broadcast model (their lookups then
+    miss and score as unseen) — the scale knob; 1 = exact (oracle)
+    mode. V (the smoothing denominator) is always the full vocabulary
+    size."""
     uni_ds, bi_ds = bigram_counts(ds, text_col)
     import ray
 
@@ -105,46 +116,60 @@ def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
                     dtype=np.int64)
     bkeys = i1 * V + i2
     korder = np.argsort(bkeys)
-    bkeys = bkeys[korder]
-    bcounts = bc[korder].astype(np.float64)
+    return BigramModel(vocab, c1, bkeys[korder], bc[korder].astype(np.float64))
 
-    def score(batch: pa.Table) -> pa.Table:
-        tokens = _tokens_of(batch.column(text_col))
-        lens = np.asarray(pc.list_value_length(tokens), dtype=np.int64)
-        flat = pc.list_flatten(tokens)
-        codes = np.asarray(
-            pc.fill_null(pc.index_in(flat, value_set=vocab), -1).cast(pa.int64()),
-            dtype=np.int64,
-        )
-        n_docs = len(lens)
+
+def bigram_logprob_kernel(model: BigramModel, batch_text):
+    """Per-document (n_bigrams, avg_logprob, ppl) numpy arrays ALIGNED
+    with the batch (NaN avg/ppl where a doc has no bigrams)."""
+    tokens = _tokens_of(batch_text)
+    lens = np.asarray(pc.list_value_length(tokens), dtype=np.int64)
+    n_docs = len(lens)
+    flat = pc.list_flatten(tokens)
+    codes = np.asarray(
+        pc.fill_null(pc.index_in(flat, value_set=model.vocab), -1).cast(pa.int64()),
+        dtype=np.int64,
+    )
+    n_bi = np.zeros(n_docs, np.int64)
+    avg = np.full(n_docs, np.nan)
+    if len(codes) >= 2:
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        ids = batch.column(id_col)
-        if len(codes) < 2:
-            return pa.table({id_col: ids.slice(0, 0),
-                             "n_bigrams": pa.array([], pa.int64()),
-                             "avg_logprob": pa.array([], pa.float64()),
-                             "ppl": pa.array([], pa.float64())})
         within = doc_idx[1:] == doc_idx[:-1]
         a, b = codes[:-1][within], codes[1:][within]
         bdoc = doc_idx[:-1][within]
+        V, bkeys = model.V, model.bkeys
         # unseen tokens (possible only under min_count pruning or
         # scoring a different corpus) smooth as count 0
         known = (a >= 0) & (b >= 0)
         key = np.where(known, a * V + b, -1)
         pos = np.clip(np.searchsorted(bkeys, key), 0, max(len(bkeys) - 1, 0))
         c12 = np.where((len(bkeys) > 0) & (bkeys[pos] == key) & known,
-                       bcounts[pos] if len(bkeys) else 0.0, 0.0)
-        c1v = np.where(a >= 0, c1[np.maximum(a, 0)], 0.0)
+                       model.bcounts[pos] if len(bkeys) else 0.0, 0.0)
+        c1v = np.where(a >= 0, model.c1[np.maximum(a, 0)], 0.0)
         lp = np.log((c12 + 1.0) / (c1v + V))
         n_bi = np.bincount(bdoc, minlength=n_docs)
         sums = np.bincount(bdoc, weights=lp, minlength=n_docs)
         has = n_bi > 0
-        avg = sums[has] / n_bi[has]
+        avg[has] = sums[has] / n_bi[has]
+    return n_bi, avg, np.exp(-avg)
+
+
+def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                      min_count: int = 1):
+    """(id, n_bigrams, avg_logprob, ppl) per document under the
+    self-trained add-one bigram model; documents without bigrams are
+    dropped (matching the SQL oracle's inner join)."""
+    model = build_bigram_model(ds, text_col, min_count)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_bi, avg, ppl = bigram_logprob_kernel(model, batch.column(text_col))
+        has = n_bi > 0
+        take = pa.array(np.flatnonzero(has), pa.int64())
         return pa.table({
-            id_col: ids.take(pa.array(np.flatnonzero(has), pa.int64())),
+            id_col: batch.column(id_col).take(take),
             "n_bigrams": pa.array(n_bi[has], pa.int64()),
-            "avg_logprob": pa.array(avg, pa.float64()),
-            "ppl": pa.array(np.exp(-avg), pa.float64()),
+            "avg_logprob": pa.array(avg[has], pa.float64()),
+            "ppl": pa.array(ppl[has], pa.float64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")

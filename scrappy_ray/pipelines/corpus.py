@@ -42,10 +42,29 @@ def clean_corpus(
     lsh_max_bucket: int = 200,
     distributed_cc: bool | None = None,
     cc_endpoint_threshold: int = 5_000_000,
+    max_top_bigram_frac: float | None = None,
+    max_dup_line_frac: float | None = None,
+    max_ppl: float | None = None,
+    ppl_min_count: int = 1,
+    domain_col: str | None = None,
+    min_domain_docs: int = 1,
+    min_domain_quality: float = 0.0,
 ):
     """Returns (kept_docs_ds, stats_table). ``kept_docs_ds`` streams the
     surviving (id, text) rows; ``stats_table`` is a one-row funnel
-    summary (input → after each stage) plus total kept tokens."""
+    summary (input → after each stage) plus total kept tokens.
+
+    Optional gates (all default OFF, preserving the golden output):
+    - ``max_top_bigram_frac`` / ``max_dup_line_frac``: Gopher repetition
+      rules, computed inline in the SAME single filter pass;
+    - ``max_ppl``: CCNet perplexity under a bigram LM self-trained on
+      the deduped corpus (adds one count pass; the model broadcasts
+      into the same filter pass; ``ppl_min_count`` prunes the model);
+    - ``domain_col`` + ``min_domain_docs``/``min_domain_quality``: drop
+      documents from failing domains (adds one partial-aggregate pass;
+      the passing-domain set broadcasts into the same filter pass).
+    Per-gate rejection counts are surfaced in the stats row via the
+    cluster counters — no silent drops."""
     import ray.data  # noqa: F401  (Dataset ops below)
 
     from ..functions.counters import get_counters
@@ -79,18 +98,84 @@ def clean_corpus(
     ).materialize()
     n_neardup = deduped.count()
 
-    # 3+4. language + quality filter — both metrics derive purely from
-    # the text column, so this is ONE streaming map_batches over the
-    # deduped corpus: no id gather to the driver, no broadcast set, no
-    # second pass. At 100 TB this stage is embarrassingly parallel.
+    # 3+4(+gates). language + quality (+ repetition + perplexity +
+    # domain) filter — every metric derives from the text column (plus
+    # broadcast small sides for ppl/domain), so this stays ONE streaming
+    # map_batches over the deduped corpus: no id gather to the driver,
+    # no second scan. At 100 TB this stage is embarrassingly parallel;
+    # the optional model/keep-set builds each add one bounded pass.
     keep_set = pa.array(list(keep_langs), pa.string())
 
+    ppl_model = None
+    if max_ppl is not None:
+        from ..functions.lm import build_bigram_model
+
+        ppl_model = build_bigram_model(deduped, text_col=text_col,
+                                       min_count=ppl_min_count)
+
+    domain_keep = None
+    if domain_col is not None:
+        from ..functions.webtext import domain_stats
+
+        stats_rows = domain_stats(
+            deduped, domain_col=domain_col, text_col=text_col
+        ).take_all()
+        domain_keep = pa.array(
+            sorted(
+                r[domain_col]
+                for r in stats_rows
+                if r["n_docs"] >= min_domain_docs
+                and r["mean_quality"] >= min_domain_quality
+            ),
+            pa.string(),
+        )
+
     def lang_quality_filter(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.counters import incr
+
         text = batch.column(text_col)
-        lang_ok = pc.is_in(lang_kernel(text)["lang_pred"], value_set=keep_set)
-        q_ok = pc.greater_equal(quality_kernel(text)["quality"], min_quality)
-        mask = pc.and_(pc.fill_null(lang_ok, False), pc.fill_null(q_ok, False))
-        return batch.filter(mask)
+        lang_ok = pc.fill_null(
+            pc.is_in(lang_kernel(text)["lang_pred"], value_set=keep_set), False
+        )
+        q_ok = pc.fill_null(
+            pc.greater_equal(quality_kernel(text)["quality"], min_quality), False
+        )
+        incr("corpus_rej_lang", len(text) - pc.sum(lang_ok).as_py())
+        incr("corpus_rej_quality", len(text) - pc.sum(q_ok).as_py())
+        mask = np.asarray(pc.and_(lang_ok, q_ok))
+        if max_top_bigram_frac is not None or max_dup_line_frac is not None:
+            from ..functions.textstats import repetition_kernel
+
+            rep = repetition_kernel(text)
+            if max_top_bigram_frac is not None:
+                ok = np.asarray(rep["top_bigram_frac"]) <= max_top_bigram_frac
+                incr("corpus_rej_repetition", int((~ok).sum()))
+                mask &= ok
+            if max_dup_line_frac is not None:
+                ok = np.asarray(rep["dup_line_frac"]) <= max_dup_line_frac
+                incr("corpus_rej_dup_lines", int((~ok).sum()))
+                mask &= ok
+        if ppl_model is not None:
+            from ..functions.lm import bigram_logprob_kernel
+
+            _, _, ppl = bigram_logprob_kernel(ppl_model, text)
+            # NaN (no bigrams — degenerate doc) fails the gate
+            ok = np.nan_to_num(ppl, nan=np.inf) <= max_ppl
+            incr("corpus_rej_ppl", int((~ok).sum()))
+            mask &= ok
+        if domain_keep is not None:
+            ok = np.asarray(
+                pc.fill_null(
+                    pc.is_in(pc.cast(batch.column(domain_col), pa.string()),
+                             value_set=domain_keep),
+                    False,
+                )
+            )
+            incr("corpus_rej_domain", int((~ok).sum()))
+            mask &= ok
+        return batch.filter(pa.array(mask))
 
     kept = deduped.map_batches(lang_quality_filter, batch_format="pyarrow").materialize()
     n_kept = kept.count()
@@ -110,6 +195,10 @@ def clean_corpus(
     c1 = get_counters()
     trunc_buckets = c1.get("lsh_buckets_truncated", 0) - c0.get("lsh_buckets_truncated", 0)
     trunc_ids = c1.get("lsh_ids_truncated", 0) - c0.get("lsh_ids_truncated", 0)
+
+    def _delta(key: str) -> int:
+        return c1.get(key, 0) - c0.get(key, 0)
+
     stats = pa.table(
         {
             "n_input": pa.array([n_input], pa.int64()),
@@ -119,6 +208,14 @@ def clean_corpus(
             "total_tokens": pa.array([int(totals["total_tokens"] or 0)], pa.int64()),
             "lsh_buckets_truncated": pa.array([trunc_buckets], pa.int64()),
             "lsh_ids_truncated": pa.array([trunc_ids], pa.int64()),
+            # per-gate rejection counts (a doc failing several gates
+            # counts in each; gates that are OFF report 0)
+            "rej_lang": pa.array([_delta("corpus_rej_lang")], pa.int64()),
+            "rej_quality": pa.array([_delta("corpus_rej_quality")], pa.int64()),
+            "rej_repetition": pa.array([_delta("corpus_rej_repetition")], pa.int64()),
+            "rej_dup_lines": pa.array([_delta("corpus_rej_dup_lines")], pa.int64()),
+            "rej_ppl": pa.array([_delta("corpus_rej_ppl")], pa.int64()),
+            "rej_domain": pa.array([_delta("corpus_rej_domain")], pa.int64()),
         }
     )
     return kept, stats

@@ -54,3 +54,46 @@ def test_clean_corpus_funnel(ray_session):
     )
     assert sorted(r["doc_id"] for r in kept_d.take_all()) == kept_ids
     assert stats_d.to_pylist()[0] == s
+
+
+def test_clean_corpus_optional_gates(ray_session):
+    """Repetition / perplexity / domain gates: off by default (golden
+    preserved elsewhere); when on, each drops its targeted docs and the
+    stats row reports per-gate rejection counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrappy_ray.functions.counters import reset_counters
+    from scrappy_ray.pipelines.corpus import clean_corpus
+
+    reset_counters()
+    goods = [
+        "the cat and the dog are in the house, they have all of it today.",
+        "a bird was on the roof and it had one song for this morning here.",
+        "they were at the lake by the hill, and the water was not warm.",
+        "this is an old book from the shelf that he had not read before.",
+    ]
+    rows = []
+    for i, good in enumerate(goods):
+        rows.append({"doc_id": i, "source": "good.test", "text": good})
+    # repetitive doc: one bigram dominates
+    rows.append({"doc_id": 10, "source": "good.test",
+                 "text": "the cat " * 30 + "is on it and they have all of this."})
+    # domain-gated doc: fine text, lonely domain
+    rows.append({"doc_id": 20, "source": "tiny.test",
+                 "text": "we can see the small town from here and it is a nice view."})
+    ds = ray.data.from_items(rows)
+
+    kept, stats = clean_corpus(
+        ds, keep_langs=("en", "und"), min_quality=0.0,
+        max_top_bigram_frac=0.4,  # planted doc scores 0.441
+        max_ppl=1e9,                 # pass-all ppl gate (counters still exercise)
+        domain_col="source", min_domain_docs=2,
+    )
+    got = sorted(r["doc_id"] for r in kept.take_all())
+    assert got == [0, 1, 2, 3]  # 10 fails repetition, 20 fails domain
+    s = stats.to_pylist()[0]
+    assert s["rej_repetition"] >= 1
+    assert s["rej_domain"] >= 1
+    assert s["rej_ppl"] == 0
+    assert s["n_kept"] == 4
