@@ -180,3 +180,36 @@ def test_clone_for_reparse_matches_roundtrip_on_hostile_html(s):
         via_clone = _wikitext(_clone_for_reparse(el), "http://p.test/a/b")
         via_rt = _wikitext(parse_fragment(clean(to_html(el))), "http://p.test/a/b")
         assert via_clone == via_rt
+
+
+@given(st.lists(st.text(alphabet="abcx", min_size=1, max_size=4), min_size=1, max_size=60),
+       st.integers(min_value=2, max_value=10), st.integers(min_value=0, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_chunk_documents_reconstruction(tokens, chunk_tokens, overlap):
+    """Property: dropping each chunk's first `overlap` tokens (after
+    chunk 0) and concatenating reconstructs the exact token stream, and
+    every chunk except the last has exactly chunk_tokens tokens."""
+    import ray
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import pyarrow as pa
+    import ray.data
+
+    from scrappy_ray.functions.textstats import chunk_documents
+
+    text = " ".join(tokens)
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": [text]}))
+    out = chunk_documents(ds, chunk_tokens=chunk_tokens, overlap=overlap).take_all()
+    out.sort(key=lambda r: r["chunk_id"])
+    rebuilt: list[str] = []
+    for r in out:
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] != "" else [""]
+        assert len(toks) == r["n_tokens"]
+        rebuilt.extend(toks if r["chunk_id"] == 0 else toks[overlap:])
+        if r is not out[-1]:
+            assert r["n_tokens"] == chunk_tokens
+    assert rebuilt == text.split(" ") if text else True
