@@ -318,6 +318,24 @@ def _q_perplexity(sf_dir: str):
     return round_cols(out, ["ppl"], 4)
 
 
+def _q_hash_sample(sf_dir: str):
+    from scrappy_ray.functions.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return hash_sample(ds, rate=0.25, salt=7).sort("doc_id")
+
+
+def _q_stratified_sample(sf_dir: str):
+    from scrappy_ray.functions.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = stratified_sample(
+        ds, {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        strat_col="source", salt=3, default_rate=0.05,
+    )
+    return out.sort("doc_id")
+
+
 def _q_domain_stats(sf_dir: str):
     from scrappy_ray.functions.webtext import domain_stats
     from scrappy_ray.pipelines.relational import round_cols
@@ -642,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
         "perplexity": _q_perplexity,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -667,6 +687,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _sql_word_list(words) -> str:
     return "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+def _SAMPLING_SQLS() -> dict[str, str]:
+    """Sampling oracles share the Knuth hash + integer thresholds with
+    the Ray kernels (imported, not copied, so they cannot drift)."""
+    from scrappy_ray.functions.sampling import KNUTH, threshold_for
+
+    h = f"((CAST(doc_id AS HUGEINT) + {{salt}}) * {KNUTH}) % 4294967296"
+    return {
+        "hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE {h.format(salt=7)} < {threshold_for(0.25)}
+            ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {h.format(salt=3)} <
+              CASE source
+                WHEN 'src0' THEN {threshold_for(1.0)}
+                WHEN 'src1' THEN {threshold_for(0.5)}
+                WHEN 'src2' THEN {threshold_for(0.1)}
+                ELSE {threshold_for(0.05)}
+              END
+            ORDER BY doc_id
+        """,
+    }
 
 
 # the quality composite over the `base` intermediate columns (shared by
@@ -918,6 +964,8 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
         """,
+        "hash_sample": _SAMPLING_SQLS()["hash_sample"],
+        "stratified_sample": _SAMPLING_SQLS()["stratified_sample"],
         "perplexity": r"""
             WITH docs AS (SELECT doc_id,
                                  regexp_split_to_array(trim(text), '\s+') AS toks

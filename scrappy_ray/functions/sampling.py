@@ -1,0 +1,85 @@
+"""Deterministic sampling operators for training-data mixing.
+
+Sampling at 100 TB must be (a) a streaming filter — no shuffle, no
+global state, (b) reproducible across runs and resumes, (c) exactly
+re-expressible in SQL for the oracle. All three fall out of hashing
+the document id with a Knuth multiplicative hash (public, TAOCP §6.4)
+instead of drawing randoms:
+
+    keep  ⇔  ((id + salt) * 2654435761) mod 2^32  <  rate * 2^32
+
+(the salt is added BEFORE the multiply: an additive-after-multiply salt
+only shifts every hash by ``salt``, leaving near-identical keep sets;
+pre-multiply salting shifts the window by ``salt * K mod 2^32`` —
+~0.618 * 2^32 per unit — so different salts give decorrelated subsets)
+
+The uint64 wraparound on the numpy side equals the exact arithmetic on
+the SQL side because 2^32 divides 2^64. ``salt`` decorrelates
+independent samples of the same table (two different salts give two
+independent-looking subsets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KNUTH = 2654435761  # 2^32 / phi, Knuth's multiplicative constant
+_MOD = np.uint64(1) << np.uint64(32)
+
+
+def _hash_bucket(ids: np.ndarray, salt: int) -> np.ndarray:
+    """((id + salt) * K) mod 2^32 as uint64 — non-negative ids only.
+    The uint64 wraparound matches SQL HUGEINT arithmetic exactly
+    because 2^32 divides 2^64 (see module docstring)."""
+    h = (ids.astype(np.uint64) + np.uint64(salt)) * np.uint64(KNUTH)
+    return h % _MOD
+
+
+def threshold_for(rate: float) -> int:
+    """The integer keep-threshold for a [0,1] rate (floor, so both the
+    numpy filter and the SQL oracle compare against the same int)."""
+    return int(rate * (1 << 32))
+
+
+def hash_sample(ds, rate: float, id_col: str = "doc_id", salt: int = 0):
+    """Deterministic Bernoulli(rate) sample keyed on the id column —
+    one vectorized streaming filter, stable across runs/resumes."""
+    thr = np.uint64(threshold_for(rate))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column(id_col), pa.int64()), dtype=np.int64)
+        return batch.filter(pa.array(_hash_bucket(ids, salt) < thr))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def stratified_sample(ds, rates: dict[str, float], strat_col: str = "source",
+                      id_col: str = "doc_id", salt: int = 0,
+                      default_rate: float = 0.0):
+    """Per-stratum deterministic sampling — THE data-mixing primitive
+    (e.g. keep 100% of wiki, 10% of CC, 0% of the rest). The rate
+    table is the broadcast small side (one entry per stratum); rows
+    filter in one streaming pass with a vectorized threshold lookup."""
+    strata = pa.array(sorted(rates), pa.string())
+    thrs = np.array(
+        [threshold_for(rates[s]) for s in sorted(rates)] + [threshold_for(default_rate)],
+        dtype=np.uint64,
+    )
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column(id_col), pa.int64()), dtype=np.int64)
+        # stratum -> threshold: one index_in kernel + one fancy-index
+        # (missing strata map to the default-rate slot)
+        idx = np.asarray(
+            pc.fill_null(
+                pc.index_in(pc.cast(batch.column(strat_col), pa.string()),
+                            value_set=strata),
+                len(thrs) - 1,
+            ).cast(pa.int64()),
+            dtype=np.int64,
+        )
+        return batch.filter(pa.array(_hash_bucket(ids, salt) < thrs[idx]))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

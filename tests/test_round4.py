@@ -555,3 +555,43 @@ def test_perplexity_single_token_docs_dropped(ray_session):
     }))
     got = [r["doc_id"] for r in perplexity_scores(ds).take_all()]
     assert got == [1]
+
+
+def test_hash_sample_deterministic_and_salted(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sampling import hash_sample
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(2000))}))
+    a = sorted(r["doc_id"] for r in hash_sample(ds, 0.3, salt=1).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(ds, 0.3, salt=1).take_all())
+    c = sorted(r["doc_id"] for r in hash_sample(ds, 0.3, salt=2).take_all())
+    assert a == b                      # reproducible across runs
+    assert a != c                      # salts decorrelate
+    assert 0.25 < len(a) / 2000 < 0.35  # rate roughly honored
+    # nesting property: a rate-0.1 sample with the same salt is a
+    # subset of the rate-0.3 sample (thresholds nest)
+    d = set(r["doc_id"] for r in hash_sample(ds, 0.1, salt=1).take_all())
+    assert d <= set(a)
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sampling import stratified_sample
+
+    n = 900
+    tbl = pa.table({
+        "doc_id": list(range(n)),
+        "source": [("wiki", "cc", "junk")[i % 3] for i in range(n)],
+    })
+    out = stratified_sample(
+        ray.data.from_arrow(tbl), {"wiki": 1.0, "cc": 0.5},
+        strat_col="source", salt=9, default_rate=0.0,
+    ).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("wiki", ())) == n // 3       # rate 1.0 keeps all
+    assert "junk" not in by_src                        # default 0.0 drops all
+    assert 0.35 < len(by_src.get("cc", ())) / (n // 3) < 0.65
