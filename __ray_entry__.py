@@ -318,6 +318,22 @@ def _q_perplexity(sf_dir: str):
     return round_cols(out, ["ppl"], 4)
 
 
+def _q_top_ngrams(sf_dir: str):
+    from scrappy_ray.functions.lm import bigram_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    _, bi = bigram_counts(ds)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["w1", "w2", "c"])
+
+    # top-20 corpus bigrams: the all-to-all already reduced to distinct
+    # n-grams; the sort is over that (small) table only
+    return (bi.map_batches(shape, batch_format="pyarrow")
+              .sort(["c", "w1", "w2"], descending=[True, False, False])
+              .limit(20))
+
+
 def _q_hash_sample(sf_dir: str):
     from scrappy_ray.functions.sampling import hash_sample
 
@@ -565,6 +581,16 @@ def _q_normalize_text(sf_dir: str):
 # ----------------------------------------------------------------- crawl
 
 
+def _q_main_content(sf_dir: str):
+    import ray.data
+
+    from scrappy_ray.functions.boilerplate import extract_main_content
+    from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for
+
+    ds = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return extract_main_content(ds).sort("url")
+
+
 def _q_extract_triples(sf_dir: str):
     from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for, triples_table
 
@@ -660,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
         "perplexity": _q_perplexity,
+        "top_ngrams": _q_top_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "domain_stats": _q_domain_stats,
@@ -678,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode": _q_mm_decode,
         "extract_triples": _q_extract_triples,
         "extract_text": _q_extract_text,
+        "main_content": _q_main_content,
         "serialize_roundtrip": _q_serialize_roundtrip,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_politeness": _q_crawl_politeness,
@@ -800,6 +828,7 @@ _GOLDEN_ORACLES = {
     "mm_decode": "ORDER BY id",
     "extract_triples": "ORDER BY url, s, p, o, lit",
     "extract_text": "ORDER BY url",
+    "main_content": "ORDER BY url",
     "serialize_roundtrip": "ORDER BY s, p, o, lit",
     "crawl_bfs": "ORDER BY seq",
     "crawl_politeness": "ORDER BY round, seq",
@@ -963,6 +992,15 @@ def _oracle_sql_static() -> dict[str, str]:
                            / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "top_ngrams": r"""
+            WITH docs AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+                          FROM documents),
+            bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                          unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+                   FROM docs)
+            SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+            ORDER BY c DESC, w1, w2 LIMIT 20
         """,
         "hash_sample": _SAMPLING_SQLS()["hash_sample"],
         "stratified_sample": _SAMPLING_SQLS()["stratified_sample"],

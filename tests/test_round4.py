@@ -595,3 +595,47 @@ def test_stratified_sample_rates(ray_session):
     assert len(by_src.get("wiki", ())) == n // 3       # rate 1.0 keeps all
     assert "junk" not in by_src                        # default 0.0 drops all
     assert 0.35 < len(by_src.get("cc", ())) / (n // 3) < 0.65
+
+
+def test_main_content_drops_boilerplate():
+    from scrappy_ray.functions.boilerplate import main_content
+
+    html = (
+        '<html><body>'
+        '<div class="nav"><a href="/a">home</a> <a href="/b">about this page</a></div>'
+        '<h1>A headline with substance</h1>'
+        '<p>This paragraph is the real article body with plenty of text '
+        'and <a href="/x">one link</a> inside it.</p>'
+        '<ul><li>a list item with enough words to pass the length gate</li>'
+        '<li>tiny</li></ul>'
+        '<div class="footer"><a href="/c">contact</a> <a href="/d">terms of service</a></div>'
+        '</body></html>'
+    )
+    out = main_content(html)
+    assert "real article body" in out
+    assert "A headline with substance" in out
+    assert "list item with enough words" in out
+    assert "home" not in out            # nav link list: high link density
+    assert "terms of service" not in out
+    assert "tiny" not in out            # below min_chars
+
+
+def test_main_content_nested_blocks_merge():
+    from scrappy_ray.functions.boilerplate import main_content
+
+    # inner li must not duplicate text already carried by the outer li
+    html = ('<ul><li>outer item text here with sub list'
+            '<ul><li>inner item text that is long enough</li></ul></li></ul>')
+    out = main_content(html)
+    assert out.count("inner item text") == 1
+
+
+def test_main_content_link_density_boundary():
+    from scrappy_ray.functions.boilerplate import main_content
+
+    # a block that is ALL link text is dropped even if long
+    html = '<p><a href="/x">this entire paragraph is one long anchor text</a></p>'
+    assert main_content(html) == ""
+    # same text unlinked is kept
+    assert "entire paragraph" in main_content(
+        "<p>this entire paragraph is one long anchor text</p>")
