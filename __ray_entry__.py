@@ -318,6 +318,34 @@ def _q_perplexity(sf_dir: str):
     return round_cols(out, ["ppl"], 4)
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.dedup import paragraph_dedup
+
+    # synthesize multi-paragraph docs with planted corpus-wide dups:
+    # doc i = own text + "\n" + doc (i+1)%N's text (same construction
+    # in the SQL oracle)
+    tbl = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = tbl.num_rows
+    ids = np.asarray(tbl.column("doc_id"))
+    order = np.argsort(ids)
+    texts = np.asarray(tbl.column("text").to_pylist(), dtype=object)[order]
+    nxt = {int(ids[order][i]): texts[(i + 1) % n] for i in range(n)}
+
+    def inject(batch: pa.Table) -> pa.Table:
+        own = pc.cast(batch.column("text"), pa.string()).to_pylist()
+        did = batch.column("doc_id").to_pylist()
+        merged = [f"{t}\n{nxt[i]}" for i, t in zip(did, own)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(merged, pa.string())})
+
+    import ray.data
+
+    ds = ray.data.from_arrow(tbl).map_batches(inject, batch_format="pyarrow")
+    return paragraph_dedup(ds).sort("doc_id")
+
+
 def _q_top_ngrams(sf_dir: str):
     from scrappy_ray.functions.lm import bigram_counts
 
@@ -686,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
         "perplexity": _q_perplexity,
+        "paragraph_dedup": _q_paragraph_dedup,
         "top_ngrams": _q_top_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
@@ -992,6 +1021,25 @@ def _oracle_sql_static() -> dict[str, str]:
                            / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "paragraph_dedup": r"""
+            WITH n AS (SELECT count(*) c FROM documents),
+            multi AS (
+              SELECT a.doc_id, a.text || chr(10) || b.text AS text
+              FROM documents a
+              JOIN documents b ON b.doc_id = (a.doc_id + 1) % (SELECT c FROM n)),
+            paras AS (
+              SELECT doc_id,
+                     unnest(str_split(text, chr(10))) AS para,
+                     unnest(range(1, len(str_split(text, chr(10))) + 1)) AS idx
+              FROM multi),
+            firsts AS (SELECT para, min(doc_id * 1000000 + idx) AS k
+                       FROM paras GROUP BY para)
+            SELECT p.doc_id,
+                   string_agg(p.para, chr(10) ORDER BY p.idx) AS text_deduped
+            FROM paras p
+            JOIN firsts f ON p.para = f.para AND p.doc_id * 1000000 + p.idx = f.k
+            GROUP BY p.doc_id ORDER BY p.doc_id
         """,
         "top_ngrams": r"""
             WITH docs AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks

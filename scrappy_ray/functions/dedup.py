@@ -657,3 +657,71 @@ def _drop_ids(ds, drop: set, id_col: str):
         return batch.filter(pc.invert(pc.fill_null(mask, False)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# -- paragraph-level exact dedup -----------------------------------------
+
+# k = doc_id * _PARA_STRIDE + paragraph_index: a single sortable
+# first-occurrence key (documents ordered by id, paragraphs by position
+# within the document). Bounds paragraphs-per-document; documented in
+# paragraph_dedup.
+_PARA_STRIDE = 1_000_000
+
+
+def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = "\n", num_partitions: int = 8):
+    """Corpus-wide paragraph-level exact dedup (the practical variant
+    of Lee et al. '21 substring dedup, public): every paragraph keeps
+    only its FIRST occurrence — ordered by (doc id, position) — across
+    the whole corpus, and each document is reassembled from its
+    surviving paragraphs (documents left with none are dropped).
+
+    Dataflow: explode (vectorized split + ordinality) → ``groupby(para)
+    .min(k)`` (the one shuffle, over distinct paragraphs) → distributed
+    hash join back on the paragraph → ``map_groups`` reassembly per
+    document. No driver-side state at any point; requires fewer than
+    ``_PARA_STRIDE`` paragraphs per document."""
+    import ray.data  # noqa: F401
+
+    from ..common import drop_empty_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        paras = pc.split_pattern(text, sep)
+        if isinstance(paras, pa.ChunkedArray):
+            paras = paras.combine_chunks()
+        lens = np.asarray(pc.list_value_length(paras), dtype=np.int64)
+        ids = np.asarray(pc.cast(batch.column(id_col), pa.int64()), dtype=np.int64)
+        doc = np.repeat(ids, lens)
+        # 1-based position within each document
+        idx = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        ) + 1
+        return pa.table({
+            "para": pc.list_flatten(paras),
+            id_col: pa.array(doc, pa.int64()),
+            "idx": pa.array(idx, pa.int64()),
+            "k": pa.array(doc * _PARA_STRIDE + idx, pa.int64()),
+        })
+
+    paras = ds.map_batches(explode, batch_format="pyarrow")
+    firsts = paras.groupby("para").min("k")
+    kept = drop_empty_blocks(paras).join(
+        drop_empty_blocks(firsts), "inner", num_partitions,
+        on=("para",), right_suffix="_f",
+    )
+
+    def only_first(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("k"), batch.column("min(k)")))
+
+    kept = kept.map_batches(only_first, batch_format="pyarrow")
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("idx"))
+        joined = sep.join(group.column("para").take(order).to_pylist())
+        return pa.table({
+            id_col: group.column(id_col).slice(0, 1),
+            "text_deduped": pa.array([joined], pa.string()),
+        })
+
+    return kept.groupby(id_col).map_groups(reassemble, batch_format="pyarrow")

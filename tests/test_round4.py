@@ -639,3 +639,33 @@ def test_main_content_link_density_boundary():
     # same text unlinked is kept
     assert "entire paragraph" in main_content(
         "<p>this entire paragraph is one long anchor text</p>")
+
+
+def test_paragraph_dedup_first_occurrence(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.dedup import paragraph_dedup
+
+    tbl = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha\nbeta", "beta\ngamma", "gamma\nalpha\ndelta", "alpha"],
+    })
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in paragraph_dedup(ray.data.from_arrow(tbl)).take_all()}
+    assert out == {
+        0: "alpha\nbeta",   # first occurrences of both
+        1: "gamma",         # beta already seen in doc 0
+        2: "delta",         # gamma (doc 1), alpha (doc 0) dropped
+        # doc 3 vanishes: its only paragraph is a dup
+    }
+
+
+def test_paragraph_dedup_preserves_order_and_internal_dups(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.dedup import paragraph_dedup
+
+    # a paragraph repeated WITHIN one doc keeps only its first position
+    tbl = pa.table({"doc_id": [5], "text": ["x\ny\nx\nz"]})
+    out = paragraph_dedup(ray.data.from_arrow(tbl)).take_all()
+    assert out[0]["text_deduped"] == "x\ny\nz"
