@@ -318,6 +318,61 @@ def _q_perplexity(sf_dir: str):
     return round_cols(out, ["ppl"], 4)
 
 
+def _q_asof_join(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    from scrappy_ray.pipelines.relational import asof_join, round_cols
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "t_us": pc.cast(batch.column("ts"), pa.int64()),
+        })
+
+    left = events.map_batches(prep_left, batch_format="pyarrow")
+
+    # pre-aggregate orders per (cust, day): makes the right side unique
+    # on (key, time) so the as-of match is deterministic
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    ragg = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Count(on="o_orderkey", alias_name="n_orders"),
+        Max(on="o_orderkey", alias_name="max_orderkey"),
+        Sum(on="o_totalprice", alias_name="sum_price"),
+    )
+    ragg = round_cols(ragg, ["sum_price"], 4)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        # Ray's aggregate path can degrade the timestamp key to second
+        # precision — normalize to us before the epoch cast
+        d_us = pc.cast(pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+                       pa.int64())
+        return pa.table({
+            "user_id": batch.column("o_custkey"),
+            "rt_us": d_us,
+            "order_ts_us": d_us,
+            "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+            "max_orderkey": batch.column("max_orderkey"),
+            "sum_price": batch.column("sum_price"),
+        })
+
+    right = ragg.map_batches(prep_right, batch_format="pyarrow")
+    out = asof_join(left, right, by="user_id", left_on="t_us", right_on="rt_us",
+                    left_cols=["event_id"],
+                    right_cols=["order_ts_us", "n_orders", "max_orderkey", "sum_price"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        names = {"order_ts_us_r": "order_ts_us", "n_orders_r": "n_orders",
+                 "max_orderkey_r": "max_orderkey", "sum_price_r": "sum_price"}
+        return batch.rename_columns([names.get(c, c) for c in batch.column_names])
+
+    return out.map_batches(final, batch_format="pyarrow").sort("event_id")
+
+
 def _q_paragraph_dedup(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -714,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
         "perplexity": _q_perplexity,
+        "asof_join": _q_asof_join,
         "paragraph_dedup": _q_paragraph_dedup,
         "top_ngrams": _q_top_ngrams,
         "hash_sample": _q_hash_sample,
@@ -1021,6 +1077,20 @@ def _oracle_sql_static() -> dict[str, str]:
                            / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "asof_join": """
+            WITH r AS (SELECT o_custkey AS user_id,
+                              epoch_us(o_orderdate) AS rt_us,
+                              count(*) AS n_orders,
+                              max(o_orderkey) AS max_orderkey,
+                              round(sum(o_totalprice), 4) AS sum_price
+                       FROM orders GROUP BY 1, 2),
+            e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events)
+            SELECT e.event_id, e.user_id, e.t_us,
+                   r.rt_us AS order_ts_us, r.n_orders, r.max_orderkey, r.sum_price
+            FROM e ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND e.t_us >= r.rt_us
+            ORDER BY e.event_id
         """,
         "paragraph_dedup": r"""
             WITH n AS (SELECT count(*) c FROM documents),

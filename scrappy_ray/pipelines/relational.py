@@ -117,3 +117,105 @@ def round_cols(ds_or_table, cols: list[str], digits: int = 4):
     if isinstance(ds_or_table, pa.Table):
         return r(ds_or_table)
     return ds_or_table.map_batches(r, batch_format="pyarrow")
+
+
+def asof_join(left_ds, right_ds, by: str, left_on: str, right_on: str,
+              left_cols: list[str], right_cols: list[str],
+              strict: bool = False):
+    """As-of (backward) join — for each left row, the right row of the
+    same ``by`` key with the greatest ``right_on`` <= ``left_on``
+    (``strict=True``: < instead of <=); unmatched left rows keep nulls.
+    Ray Data has no native as-of join, so this composes one from
+    primitives (SURVEY §2.7 "custom operators" path a):
+
+      both sides -> one aligned (key, _t, _is_l, payload...) schema
+      -> union -> groupby(key).map_groups(sorted-merge)
+
+    The single shuffle is the groupby on ``by``; within a group the
+    match is one vectorized ``np.searchsorted`` of left times into the
+    sorted right times. PARTITIONING ASSUMPTION: one key's rows
+    (both sides) fit in a worker's heap — at 100 TB, salt hot keys or
+    pre-aggregate the right side (the oracle query pre-aggregates
+    orders per (cust, day), which also makes the match deterministic:
+    the right side must be unique on (by, right_on))."""
+    import ray.data  # noqa: F401
+
+    lpay, rpay = list(left_cols), list(right_cols)
+
+    # nulls need concrete types on the side that lacks the column:
+    # probe each side's schema once
+    lschema = left_ds.schema(fetch_if_missing=True)
+    rschema = right_ds.schema(fetch_if_missing=True)
+    ltypes = {c: lschema.base_schema.field(c).type for c in lpay}
+    rtypes = {c: rschema.base_schema.field(c).type for c in rpay}
+
+    def align_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {by: batch.column(by),
+                "_t": pc.cast(batch.column(left_on), pa.int64()),
+                "_is_l": pa.array(np.ones(n, bool))}
+        for c in lpay:
+            cols["l_" + c] = batch.column(c)
+        for c in rpay:
+            cols["r_" + c] = pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    def align_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {by: batch.column(by),
+                "_t": pc.cast(batch.column(right_on), pa.int64()),
+                "_is_l": pa.array(np.zeros(n, bool))}
+        for c in lpay:
+            cols["l_" + c] = pa.nulls(n, ltypes[c])
+        for c in rpay:
+            cols["r_" + c] = batch.column(c)
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(align_left, batch_format="pyarrow").union(
+        right_ds.map_batches(align_right, batch_format="pyarrow")
+    )
+
+    side = "left" if strict else "right"
+
+    def merge(group: pa.Table) -> pa.Table:
+        isl = np.asarray(group.column("_is_l"), dtype=bool)
+        t = np.asarray(group.column("_t"), dtype=np.int64)
+        lidx = np.flatnonzero(isl)
+        if not len(lidx):
+            out_cols = {by: group.column(by).slice(0, 0),
+                        "_t": group.column("_t").slice(0, 0)}
+            for c in lpay:
+                out_cols["l_" + c] = group.column("l_" + c).slice(0, 0)
+            for c in rpay:
+                out_cols["r_" + c] = group.column("r_" + c).slice(0, 0)
+            return pa.table(out_cols)
+        ridx = np.flatnonzero(~isl)
+        if len(ridx):
+            rt = t[ridx]
+            rorder = np.argsort(rt, kind="stable")
+            pos = np.searchsorted(rt[rorder], t[lidx], side=side) - 1
+            matched = pos >= 0
+            take_np = np.where(matched, ridx[rorder][np.maximum(pos, 0)], -1)
+        else:  # key has no right rows: every left row is unmatched
+            matched = np.zeros(len(lidx), dtype=bool)
+            take_np = np.full(len(lidx), -1, np.int64)
+        take_r = pc.if_else(pa.array(matched), pa.array(take_np, pa.int64()),
+                            pa.nulls(len(lidx), pa.int64()))
+        take_l = pa.array(lidx, pa.int64())
+        out_cols = {by: group.column(by).take(take_l),
+                    "_t": group.column("_t").take(take_l)}
+        for c in lpay:
+            out_cols["l_" + c] = group.column("l_" + c).take(take_l)
+        for c in rpay:
+            out_cols["r_" + c] = group.column("r_" + c).take(take_r)
+        return pa.table(out_cols)
+
+    out = unioned.groupby(by).map_groups(merge, batch_format="pyarrow")
+    renames = {by: by, "_t": left_on}
+    renames.update({"l_" + c: c for c in lpay})
+    renames.update({"r_" + c: c + "_r" for c in rpay})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([renames[c] for c in batch.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")

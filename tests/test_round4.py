@@ -669,3 +669,33 @@ def test_paragraph_dedup_preserves_order_and_internal_dups(ray_session):
     tbl = pa.table({"doc_id": [5], "text": ["x\ny\nx\nz"]})
     out = paragraph_dedup(ray.data.from_arrow(tbl)).take_all()
     assert out[0]["text_deduped"] == "x\ny\nz"
+
+
+def test_asof_join_backward_and_strict(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 1, 2, 3], "t": [10, 5, 1, 7, 4],
+        "ev": ["a", "b", "c", "d", "e"],
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 2], "rt": [2, 6, 7], "price": [1.5, 2.5, 9.0],
+    }))
+    out = {(r["k"], r["t"]): r["price_r"]
+           for r in asof_join(left, right, by="k", left_on="t", right_on="rt",
+                              left_cols=["ev"], right_cols=["price"]).take_all()}
+    assert out == {
+        (1, 1): None,   # before any right row
+        (1, 5): 1.5,    # latest rt <= 5 is 2
+        (1, 10): 2.5,   # latest rt <= 10 is 6
+        (2, 7): 9.0,    # equality matches in backward mode
+        (3, 4): None,   # key with no right rows at all
+    }
+    strict = {(r["k"], r["t"]): r["price_r"]
+              for r in asof_join(left, right, by="k", left_on="t", right_on="rt",
+                                 left_cols=["ev"], right_cols=["price"],
+                                 strict=True).take_all()}
+    assert strict[(2, 7)] is None  # strict: rt == t no longer matches
+    assert strict[(1, 5)] == 1.5
