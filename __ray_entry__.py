@@ -318,6 +318,24 @@ def _q_perplexity(sf_dir: str):
     return round_cols(out, ["ppl"], 4)
 
 
+_VALUE_BANDS = [
+    (0.0, 25.0, "tiny"), (25.0, 75.0, "low"),
+    (75.0, 150.0, "mid"), (150.0, 190.0, "high"),
+]  # values >= 190 deliberately fall outside every band (null label)
+
+
+def _q_range_join(sf_dir: str):
+    from scrappy_ray.pipelines.relational import range_join_broadcast
+
+    bands = pa.table({
+        "lo": pa.array([b[0] for b in _VALUE_BANDS], pa.float64()),
+        "hi": pa.array([b[1] for b in _VALUE_BANDS], pa.float64()),
+        "band": pa.array([b[2] for b in _VALUE_BANDS], pa.string()),
+    })
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    return range_join_broadcast(ds, bands, value_col="value").sort("event_id")
+
+
 def _q_asof_join(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Sum
@@ -769,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
         "perplexity": _q_perplexity,
+        "range_join": _q_range_join,
         "asof_join": _q_asof_join,
         "paragraph_dedup": _q_paragraph_dedup,
         "top_ngrams": _q_top_ngrams,
@@ -1077,6 +1096,15 @@ def _oracle_sql_static() -> dict[str, str]:
                            / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "range_join": """
+            WITH bands(lo, hi, band) AS (VALUES
+              (0.0, 25.0, 'tiny'), (25.0, 75.0, 'low'),
+              (75.0, 150.0, 'mid'), (150.0, 190.0, 'high'))
+            SELECT e.event_id, e.value, b.band
+            FROM events e LEFT JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi
+            ORDER BY e.event_id
         """,
         "asof_join": """
             WITH r AS (SELECT o_custkey AS user_id,

@@ -219,3 +219,35 @@ def asof_join(left_ds, right_ds, by: str, left_on: str, right_on: str,
         return batch.rename_columns([renames[c] for c in batch.column_names])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def range_join_broadcast(big_ds, bands: pa.Table, value_col: str,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         band_cols: list[str] | None = None):
+    """Interval (range) join of a big Dataset against a SMALL table of
+    non-overlapping half-open bands [lo, hi) — the ip-to-geo /
+    value-to-bucket shape. Ray Data has no non-equi join; with a small
+    side this is a broadcast + one vectorized ``np.searchsorted`` per
+    batch (never a shuffle). Rows outside every band get nulls.
+    Bands must be non-overlapping; they are sorted by ``lo`` here."""
+    order = pc.sort_indices(bands.column(lo_col))
+    bands = bands.take(order)
+    lo = np.asarray(pc.cast(bands.column(lo_col), pa.float64()))
+    hi = np.asarray(pc.cast(bands.column(hi_col), pa.float64()))
+    cols = band_cols or [c for c in bands.column_names if c not in (lo_col, hi_col)]
+    bands_ref = ray.put(bands.select(cols))
+
+    def join(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(batch.column(value_col), pa.float64()))
+        pos = np.searchsorted(lo, v, side="right") - 1
+        inside = (pos >= 0) & (v < hi[np.maximum(pos, 0)])
+        take = pc.if_else(pa.array(inside),
+                          pa.array(np.maximum(pos, 0), pa.int64()),
+                          pa.nulls(len(v), pa.int64()))
+        small, _ = _small_side(bands_ref, cols[0])
+        out = dict(zip(batch.column_names, batch.columns))
+        for c in cols:
+            out[c] = small.column(c).take(take)
+        return pa.table(out)
+
+    return big_ds.map_batches(join, batch_format="pyarrow")

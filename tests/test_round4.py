@@ -699,3 +699,21 @@ def test_asof_join_backward_and_strict(ray_session):
                                  strict=True).take_all()}
     assert strict[(2, 7)] is None  # strict: rt == t no longer matches
     assert strict[(1, 5)] == 1.5
+
+
+def test_range_join_broadcast(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import range_join_broadcast
+
+    bands = pa.table({
+        "lo": [10.0, 20.0], "hi": [20.0, 30.0], "band": ["a", "b"],
+    })
+    ds = ray.data.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "value": [5.0, 10.0, 19.999, 20.0, 30.0],
+    }))
+    out = {r["id"]: r["band"]
+           for r in range_join_broadcast(ds, bands, value_col="value").take_all()}
+    # half-open [lo, hi): 10 in, 20 starts band b, 30 outside
+    assert out == {1: None, 2: "a", 3: "a", 4: "b", 5: None}
