@@ -318,6 +318,26 @@ def _q_perplexity(sf_dir: str):
     return round_cols(out, ["ppl"], 4)
 
 
+def _q_top_per_group(sf_dir: str):
+    from scrappy_ray.pipelines.relational import top_k_per_group
+
+    # top-3 most valuable events per user, orderkey-tiebroken
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = top_k_per_group(ds, group_col="user_id", key="value", k=3,
+                          descending=True, tiebreak="event_id")
+    return out.sort(["user_id", "value", "event_id"],
+                    descending=[False, True, False])
+
+
+def _q_pivot_events(sf_dir: str):
+    from scrappy_ray.pipelines.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cats = ["click", "view", "purchase", "signup", "error"]
+    return pivot_counts(ds, row_col="user_id", col_col="event_type",
+                        categories=cats).sort("user_id")
+
+
 _VALUE_BANDS = [
     (0.0, 25.0, "tiny"), (25.0, 75.0, "low"),
     (75.0, 150.0, "mid"), (150.0, 190.0, "high"),
@@ -787,6 +807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
         "perplexity": _q_perplexity,
+        "pivot_events": _q_pivot_events,
+        "top_per_group": _q_top_per_group,
         "range_join": _q_range_join,
         "asof_join": _q_asof_join,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1096,6 +1118,24 @@ def _oracle_sql_static() -> dict[str, str]:
                            / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "top_per_group": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) t
+            WHERE rn <= 3
+            ORDER BY user_id, value DESC, event_id
         """,
         "range_join": """
             WITH bands(lo, hi, band) AS (VALUES

@@ -251,3 +251,64 @@ def range_join_broadcast(big_ds, bands: pa.Table, value_col: str,
         return pa.table(out)
 
     return big_ds.map_batches(join, batch_format="pyarrow")
+
+
+def top_k_per_group(ds, group_col: str, key: str, k: int,
+                    descending: bool = True, tiebreak: str | None = None):
+    """Top-k rows PER GROUP (e.g. best-quality docs per domain). Two
+    stages: a per-block partial top-k per group (bounds what the
+    shuffle moves to k rows per (group, block)) then the exact per-group
+    cut in ``groupby().map_groups``. Deterministic when ``tiebreak``
+    makes (key, tiebreak) unique within a group."""
+    keys = [(key, "descending" if descending else "ascending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by([(group_col, "ascending")] + keys)
+        # per-group head(k) within the block: rank rows inside each run
+        g = t.column(group_col)
+        codes = np.asarray(pc.dictionary_encode(g.combine_chunks()
+                           if isinstance(g, pa.ChunkedArray) else g).indices)
+        # positions where a new group starts
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        rank = np.arange(len(codes)) - np.repeat(starts, np.diff(np.r_[starts, len(codes)]))
+        return t.filter(pa.array(rank < k))
+
+    def cut(group: pa.Table) -> pa.Table:
+        return group.sort_by(keys).slice(0, k)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col).map_groups(cut, batch_format="pyarrow"))
+
+
+def pivot_counts(ds, row_col: str, col_col: str, categories: list[str]):
+    """Pivot long→wide: one row per ``row_col`` value, one count column
+    per category of ``col_col`` (e.g. per-user event-type counts).
+    Per-batch partial (row, category) counts bound the shuffle to
+    O(rows × categories × blocks); the category list is a fixed small
+    side so the wide schema is stable. Unlisted categories are ignored."""
+    cats = pa.array(categories, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({row_col: batch.column(row_col),
+                      col_col: pc.cast(batch.column(col_col), pa.string())})
+        g = t.group_by([row_col, col_col]).aggregate([(col_col, "count")])
+        return g.rename_columns([row_col, col_col, "c"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby([row_col, col_col]).sum("c")
+
+    def widen(group: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(group.column(col_col), pa.string()), value_set=cats)
+        idx_np = np.asarray(pc.fill_null(idx, -1).cast(pa.int64()), dtype=np.int64)
+        c = np.asarray(group.column("sum(c)"), dtype=np.int64)
+        row = np.zeros(len(categories), np.int64)
+        valid = idx_np >= 0
+        np.add.at(row, idx_np[valid], c[valid])
+        cols = {row_col: group.column(row_col).slice(0, 1)}
+        for j, cat in enumerate(categories):
+            cols["n_" + cat] = pa.array([int(row[j])], pa.int64())
+        return pa.table(cols)
+
+    return counts.groupby(row_col).map_groups(widen, batch_format="pyarrow")

@@ -717,3 +717,24 @@ def test_range_join_broadcast(ray_session):
            for r in range_join_broadcast(ds, bands, value_col="value").take_all()}
     # half-open [lo, hi): 10 in, 20 starts band b, 30 outside
     assert out == {1: None, 2: "a", 3: "a", 4: "b", 5: None}
+
+
+def test_top_k_per_group_and_pivot(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import pivot_counts, top_k_per_group
+
+    tbl = pa.table({
+        "g": ["a", "a", "a", "b", "b"],
+        "id": [1, 2, 3, 4, 5],
+        "v": [10.0, 30.0, 20.0, 5.0, 5.0],
+    })
+    out = top_k_per_group(ray.data.from_arrow(tbl), group_col="g", key="v",
+                          k=2, tiebreak="id").take_all()
+    got = sorted((r["g"], r["id"]) for r in out)
+    assert got == [("a", 2), ("a", 3), ("b", 4), ("b", 5)]  # tie on v -> lower id first
+
+    ptbl = pa.table({"u": [1, 1, 2], "t": ["x", "y", "x"]})
+    wide = {r["u"]: (r["n_x"], r["n_y"])
+            for r in pivot_counts(ray.data.from_arrow(ptbl), "u", "t", ["x", "y"]).take_all()}
+    assert wide == {1: (1, 1), 2: (1, 0)}
