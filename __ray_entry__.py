@@ -329,6 +329,13 @@ def _q_top_per_group(sf_dir: str):
                     descending=[False, True, False])
 
 
+def _q_value_quantiles(sf_dir: str):
+    from scrappy_ray.pipelines.relational import group_quantiles
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    return group_quantiles(ds, "user_id", "value", [0.5, 0.95]).sort("user_id")
+
+
 def _q_pivot_events(sf_dir: str):
     from scrappy_ray.pipelines.relational import pivot_counts
 
@@ -807,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
         "perplexity": _q_perplexity,
+        "value_quantiles": _q_value_quantiles,
         "pivot_events": _q_pivot_events,
         "top_per_group": _q_top_per_group,
         "range_join": _q_range_join,
@@ -1118,6 +1126,13 @@ def _oracle_sql_static() -> dict[str, str]:
                            / len(str_split(d.text, chr(10))), 6) AS dup_line_frac
             FROM docs d JOIN utop USING (doc_id) LEFT JOIN btop USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "value_quantiles": """
+            SELECT user_id,
+                   round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+                   round(percentile_disc(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95,
+                   count(*) AS n
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "pivot_events": """
             SELECT user_id,

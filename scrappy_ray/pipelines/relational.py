@@ -312,3 +312,27 @@ def pivot_counts(ds, row_col: str, col_col: str, categories: list[str]):
         return pa.table(cols)
 
     return counts.groupby(row_col).map_groups(widen, batch_format="pyarrow")
+
+
+def group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
+                    digits: int = 4):
+    """Exact per-group quantiles (percentile_disc semantics: the
+    smallest value whose cumulative fraction >= q). Exactness needs the
+    group's values together, so this is groupby().map_groups with a
+    vectorized sort per group — the partitioning assumption of every
+    exact-quantile op. For sketch-sized state at 100 TB swap in a
+    t-digest per batch + merge; disc quantiles here stay oracle-exact."""
+
+    def quant(group: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(pc.cast(group.column(value_col), pa.float64())))
+        n = len(v)
+        cols = {group_col: group.column(group_col).slice(0, 1)}
+        for q in qs:
+            i = max(int(np.ceil(q * n)) - 1, 0)
+            cols[f"p{int(q * 100)}"] = pa.array(
+                [round(float(v[i]), digits)], pa.float64()
+            )
+        cols["n"] = pa.array([n], pa.int64())
+        return pa.table(cols)
+
+    return ds.groupby(group_col).map_groups(quant, batch_format="pyarrow")
