@@ -13,7 +13,12 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.001"
-FAST_QUERIES = ["tpch_q1", "dedup_exact", "token_stats", "sessionize", "events_window", "sim_topk"]
+FAST_QUERIES = [
+    "tpch_q1", "dedup_exact", "token_stats", "sessionize", "events_window",
+    "sim_topk", "repetition", "chunk_docs", "hash_sample", "stratified_sample",
+    "range_join", "asof_join", "top_per_group", "pivot_events", "value_quantiles",
+    "top_ngrams", "perplexity", "paragraph_dedup",
+]
 
 
 @pytest.fixture(scope="module")
