@@ -462,6 +462,34 @@ def _q_top_ngrams(sf_dir: str):
               .limit(20))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark 8-gram decontamination: docs with ``doc_id % 5 == 0``
+    act as the synthetic eval suite; every other document is flagged
+    with its benchmark-overlapping-window count. Broadcast hash-set
+    membership — one streaming pass, no shuffle
+    (functions/decontam.py)."""
+    from scrappy_ray.functions.decontam import benchmark_ngram_set, decontaminate
+
+    N = 8
+
+    def _keep(is_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch.column("doc_id")) % 5 == 0
+            return batch.filter(pa.array(m if is_bench else ~m))
+
+        return f
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(_keep(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_keep(False), batch_format="pyarrow")
+    hashes = benchmark_ngram_set(bench, n=N)
+    return (
+        decontaminate(corpus, hashes, n=N, mode="flag")
+        .drop_columns(["text"])
+        .sort("doc_id")
+    )
+
+
 def _q_hash_sample(sf_dir: str):
     from scrappy_ray.functions.sampling import hash_sample
 
@@ -823,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": _q_top_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1205,6 +1234,22 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "hash_sample": _SAMPLING_SQLS()["hash_sample"],
         "stratified_sample": _SAMPLING_SQLS()["stratified_sample"],
+        "decontaminate": r"""
+            WITH bench AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+                           FROM documents WHERE doc_id % 5 = 0),
+            bng AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ng
+                    FROM bench, LATERAL unnest(range(1, len(toks) - 6)) t(i)),
+            docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                     FROM documents WHERE doc_id % 5 <> 0),
+            dng AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS ng
+                    FROM docs, LATERAL unnest(range(1, len(toks) - 6)) t(i)),
+            hits AS (SELECT doc_id, count(*) AS c FROM dng
+                     WHERE ng IN (SELECT ng FROM bng) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(h.c, 0) AS n_hits,
+                   CAST(coalesce(h.c, 0) > 0 AS BIGINT) AS contaminated
+            FROM docs d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "perplexity": r"""
             WITH docs AS (SELECT doc_id,
                                  regexp_split_to_array(trim(text), '\s+') AS toks

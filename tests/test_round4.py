@@ -738,3 +738,56 @@ def test_top_k_per_group_and_pivot(ray_session):
     wide = {r["u"]: (r["n_x"], r["n_y"])
             for r in pivot_counts(ray.data.from_arrow(ptbl), "u", "t", ["x", "y"]).take_all()}
     assert wide == {1: (1, 1), 2: (1, 0)}
+
+
+# ---------------------------------------------------------------- decontam
+
+
+def test_decontaminate_flag_and_filter(ray_session):
+    from scrappy_ray.functions.decontam import benchmark_ngram_set, decontaminate
+
+    bench = _docs([(100, "the quick brown fox jumps over the lazy dog")])
+    # doc 1 contains the bench 3-gram "quick brown fox" twice; doc 2 is
+    # clean; doc 3 is too short for any 3-gram; doc 4 shares tokens but
+    # never a full window
+    corpus = _docs([
+        (1, "a quick brown fox and a quick brown fox again"),
+        (2, "completely unrelated words here"),
+        (3, "quick brown"),
+        (4, "brown quick fox the dog lazy"),
+    ])
+    hashes = benchmark_ngram_set(bench, n=3)
+    flagged = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+               for r in decontaminate(corpus, hashes, n=3, mode="flag").take_all()}
+    assert flagged == {1: (2, 1), 2: (0, 0), 3: (0, 0), 4: (0, 0)}
+
+    kept = sorted(r["doc_id"]
+                  for r in decontaminate(corpus, hashes, n=3, mode="filter").take_all())
+    assert kept == [2, 3, 4]
+
+
+def test_decontaminate_empty_bench_and_bad_mode(ray_session):
+    import numpy as np
+
+    from scrappy_ray.functions.decontam import decontaminate
+
+    corpus = _docs([(1, "some text here okay")])
+    out = decontaminate(corpus, np.empty(0, np.uint64), n=2, mode="flag").take_all()
+    assert out[0]["n_hits"] == 0 and out[0]["contaminated"] == 0
+    with pytest.raises(ValueError):
+        decontaminate(corpus, np.empty(0, np.uint64), mode="drop")
+
+
+def test_benchmark_ngram_set_matches_naive(ray_session):
+    """Distributed partial-unique merge == single-pass unique."""
+    import numpy as np
+
+    from scrappy_ray.functions.decontam import _window_hashes, benchmark_ngram_set
+
+    rows = [(i, f"tok{i % 3} tok{(i + 1) % 4} tok{i % 2} shared phrase tail {i % 5}")
+            for i in range(50)]
+    ds = _docs(rows)
+    got = benchmark_ngram_set(ds, n=3)
+    h, _, _ = _window_hashes(pa.array([r[1] for r in rows]), 3)
+    assert np.array_equal(got, np.unique(h))
+    assert got.dtype == np.uint64 and np.all(np.diff(got.astype(np.float64)) > 0)
