@@ -490,6 +490,16 @@ def _q_decontaminate(sf_dir: str):
     )
 
 
+def _q_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document (DF shuffle O(terms×blocks) +
+    broadcast-DF scoring pass; functions/tfidf.py). Rounded-score
+    ranking keeps the order engine-reproducible."""
+    from scrappy_ray.functions.tfidf import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3, round_digits=ROUND).sort(["doc_id", "rnk"])
+
+
 def _q_hash_sample(sf_dir: str):
     from scrappy_ray.functions.sampling import hash_sample
 
@@ -852,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "tfidf_topk": _q_tfidf,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1249,6 +1260,22 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST(coalesce(h.c, 0) > 0 AS BIGINT) AS contaminated
             FROM docs d LEFT JOIN hits h USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "tfidf_topk": r"""
+            WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                          FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM docs),
+            pairs AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM pairs GROUP BY term),
+            scored AS (SELECT t.doc_id, t.term,
+                              round(t.tf * ln(n.n_docs / d.df), 4) AS score
+                       FROM tf t JOIN df d USING (term), n),
+            ranked AS (SELECT *, row_number() OVER
+                         (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+                       FROM scored)
+            SELECT doc_id, term, score, rnk FROM ranked
+            WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
         "perplexity": r"""
             WITH docs AS (SELECT doc_id,

@@ -17,7 +17,7 @@ FAST_QUERIES = [
     "tpch_q1", "dedup_exact", "token_stats", "sessionize", "events_window",
     "sim_topk", "repetition", "chunk_docs", "hash_sample", "stratified_sample",
     "range_join", "asof_join", "top_per_group", "pivot_events", "value_quantiles",
-    "top_ngrams", "perplexity", "paragraph_dedup", "decontaminate",
+    "top_ngrams", "perplexity", "paragraph_dedup", "decontaminate", "tfidf_topk",
 ]
 
 

@@ -791,3 +791,56 @@ def test_benchmark_ngram_set_matches_naive(ray_session):
     h, _, _ = _window_hashes(pa.array([r[1] for r in rows]), 3)
     assert np.array_equal(got, np.unique(h))
     assert got.dtype == np.uint64 and np.all(np.diff(got.astype(np.float64)) > 0)
+
+
+# ------------------------------------------------------------------ tfidf
+
+
+def test_tfidf_topk_hand_computed(ray_session):
+    import math
+
+    from scrappy_ray.functions.tfidf import tfidf_topk
+
+    # N=4 docs. "rare" appears only in doc 1 (df=1); "the" in all (idf=0).
+    corpus = _docs([
+        (1, "the rare rare word"),
+        (2, "the word word"),
+        (3, "the shared word"),
+        (4, "the shared thing"),
+    ])
+    out = {(r["doc_id"], r["rnk"]): (r["term"], r["score"])
+           for r in tfidf_topk(corpus, k=2).take_all()}
+    # doc1: rare tf=2 df=1 -> 2*ln(4); word tf=1 df=3 -> ln(4/3)
+    assert out[(1, 1)] == ("rare", round(2 * math.log(4), 4))
+    assert out[(1, 2)] == ("word", round(math.log(4 / 3), 4))
+    # doc4: shared (df=2) beats thing? thing df=1 -> ln(4)=1.3863 > shared ln(2)
+    assert out[(4, 1)] == ("thing", round(math.log(4), 4))
+    # "the" (idf=0, score 0.0) ranks below everything nonzero
+    assert out[(2, 1)][0] == "word" and out[(2, 2)] == ("the", 0.0)
+
+
+def test_tfidf_df_spans_blocks(ray_session):
+    """DF must be corpus-global even when docs land in different blocks."""
+    import ray.data
+
+    from scrappy_ray.functions.tfidf import doc_frequencies, tfidf_topk
+
+    rows = [(i, "alpha beta" if i % 2 else "alpha gamma") for i in range(40)]
+    ds = _docs(rows).repartition(8)
+    df = {r["term"]: r["sum(df)"] for r in doc_frequencies(ds).take_all()}
+    assert df == {"alpha": 40, "beta": 20, "gamma": 20}
+    out = tfidf_topk(ds, k=1).take_all()
+    # alpha has idf=0 everywhere; beta/gamma (df=20) win rank 1
+    assert all(r["term"] in ("beta", "gamma") for r in out)
+    assert len(out) == 40
+
+
+def test_tfidf_tie_and_rank_determinism(ray_session):
+    from scrappy_ray.functions.tfidf import tfidf_topk
+
+    # equal tf and df -> identical scores; tie broken by term ascending
+    corpus = _docs([(1, "zzz aaa"), (2, "zzz aaa")])
+    out = [(r["rnk"], r["term"]) for r in sorted(
+        tfidf_topk(corpus, k=2).take_all(), key=lambda r: (r["doc_id"], r["rnk"]))
+        if r["doc_id"] == 1]
+    assert out == [(1, "aaa"), (2, "zzz")]
