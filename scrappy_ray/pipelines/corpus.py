@@ -49,6 +49,8 @@ def clean_corpus(
     domain_col: str | None = None,
     min_domain_docs: int = 1,
     min_domain_quality: float = 0.0,
+    decontam_bench_ds=None,
+    decontam_n: int = 13,
 ):
     """Returns (kept_docs_ds, stats_table). ``kept_docs_ds`` streams the
     surviving (id, text) rows; ``stats_table`` is a one-row funnel
@@ -62,7 +64,11 @@ def clean_corpus(
       into the same filter pass; ``ppl_min_count`` prunes the model);
     - ``domain_col`` + ``min_domain_docs``/``min_domain_quality``: drop
       documents from failing domains (adds one partial-aggregate pass;
-      the passing-domain set broadcasts into the same filter pass).
+      the passing-domain set broadcasts into the same filter pass);
+    - ``decontam_bench_ds``: drop documents sharing any word
+      ``decontam_n``-gram with this benchmark/eval dataset (GPT-3
+      appendix-C rule; the bench hash set builds once and broadcasts
+      into the same filter pass — see functions/decontam.py).
     Per-gate rejection counts are surfaced in the stats row via the
     cluster counters — no silent drops."""
     import ray.data  # noqa: F401  (Dataset ops below)
@@ -112,6 +118,15 @@ def clean_corpus(
 
         ppl_model = build_bigram_model(deduped, text_col=text_col,
                                        min_count=ppl_min_count)
+
+    bench_ref = None
+    if decontam_bench_ds is not None:
+        import ray
+
+        from ..functions.decontam import benchmark_ngram_set
+
+        bench_ref = ray.put(benchmark_ngram_set(
+            decontam_bench_ds, text_col=text_col, n=decontam_n))
 
     domain_keep = None
     if domain_col is not None:
@@ -165,6 +180,20 @@ def clean_corpus(
             ok = np.nan_to_num(ppl, nan=np.inf) <= max_ppl
             incr("corpus_rej_ppl", int((~ok).sum()))
             mask &= ok
+        if bench_ref is not None:
+            import ray
+
+            from ..functions.decontam import _window_hashes
+
+            bench = ray.get(bench_ref)
+            wh, w_doc, n_docs = _window_hashes(text, decontam_n)
+            hits = np.zeros(n_docs, bool)
+            if len(bench) and len(wh):
+                pos = np.searchsorted(bench, wh)
+                pos[pos == len(bench)] = 0
+                hits[w_doc[bench[pos] == wh]] = True
+            incr("corpus_rej_contaminated", int(hits.sum()))
+            mask &= ~hits
         if domain_keep is not None:
             ok = np.asarray(
                 pc.fill_null(
@@ -216,6 +245,8 @@ def clean_corpus(
             "rej_dup_lines": pa.array([_delta("corpus_rej_dup_lines")], pa.int64()),
             "rej_ppl": pa.array([_delta("corpus_rej_ppl")], pa.int64()),
             "rej_domain": pa.array([_delta("corpus_rej_domain")], pa.int64()),
+            "rej_contaminated": pa.array(
+                [_delta("corpus_rej_contaminated")], pa.int64()),
         }
     )
     return kept, stats

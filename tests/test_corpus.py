@@ -97,3 +97,35 @@ def test_clean_corpus_optional_gates(ray_session):
     assert s["rej_domain"] >= 1
     assert s["rej_ppl"] == 0
     assert s["n_kept"] == 4
+
+
+def test_clean_corpus_decontam_gate(ray_session):
+    """decontam_bench_ds drops exactly the docs sharing an n-gram with
+    the benchmark set, inside the same streaming filter pass."""
+    import ray.data
+
+    from scrappy_ray.functions.counters import reset_counters
+    from scrappy_ray.pipelines.corpus import clean_corpus
+
+    reset_counters()
+    rows = [
+        {"doc_id": 0, "text": "the cat and the dog are in the house, they have all of it."},
+        {"doc_id": 1, "text": "a bird was on the roof and it had one song for the morning."},
+        # contains the bench 4-gram "we hold these truths"
+        {"doc_id": 2, "text": "and so we hold these truths to be in the text of this day."},
+    ]
+    bench = ray.data.from_items(
+        [{"doc_id": 100, "text": "we hold these truths to be self evident"}])
+    kept, stats = clean_corpus(
+        ray.data.from_items(rows), keep_langs=("en", "und"), min_quality=0.0,
+        decontam_bench_ds=bench, decontam_n=4,
+    )
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 1]
+    s = stats.to_pylist()[0]
+    assert s["rej_contaminated"] == 1
+
+    # gate off: everything survives, counter reports 0
+    kept2, stats2 = clean_corpus(
+        ray.data.from_items(rows), keep_langs=("en", "und"), min_quality=0.0)
+    assert sorted(r["doc_id"] for r in kept2.take_all()) == [0, 1, 2]
+    assert stats2.to_pylist()[0]["rej_contaminated"] == 0
