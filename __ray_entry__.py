@@ -500,6 +500,17 @@ def _q_tfidf(sf_dir: str):
     return tfidf_topk(ds, k=3, round_digits=ROUND).sort(["doc_id", "rnk"])
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type (p=12,
+    ~1.6% std err; deterministic fixed-key hashing → golden-oracled).
+    The shuffle moves O(groups × blocks) 4 KiB register rows, never
+    the data (functions/sketch.py)."""
+    from scrappy_ray.functions.sketch import approx_distinct_by_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_by_group(ds, "event_type", "user_id", p=12).sort("event_type")
+
+
 def _q_hash_sample(sf_dir: str):
     from scrappy_ray.functions.sampling import hash_sample
 
@@ -863,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "tfidf_topk": _q_tfidf,
+        "approx_distinct": _q_approx_distinct,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -991,6 +1003,7 @@ def _lang_quality_sqls() -> dict[str, str]:
 # covered by the pytest suite (simulator parity, planted-dup recovery,
 # byte-exact extraction goldens).
 _GOLDEN_ORACLES = {
+    "approx_distinct": "ORDER BY event_type",
     "fingerprint": "ORDER BY doc_id",
     "dedup_simhash": "ORDER BY id_a, id_b",
     "dedup_minhash": "ORDER BY id_a, id_b",

@@ -1,0 +1,132 @@
+"""Fixed-size streaming sketches — the aggregates a 100 TB pipeline
+uses where exact answers need an all-to-all shuffle it can't afford.
+
+HyperLogLog cardinality (Flajolet, Fusy, Gandouet, Meunier '07, with
+the standard linear-counting small-range correction): each block
+reduces to a 2^p-byte register array in one vectorized pass; merging
+is elementwise max (associative + commutative, so partials combine in
+any order — retry/recompute safe); the driver touches O(blocks · 2^p)
+bytes, never the data. Hashing is the same deterministic 64-bit
+siphash kernel (``pd.util.hash_array``) the engine uses for bucket
+routing, so estimates are reproducible run-to-run and machine-to-
+machine (goldenable).
+
+Standard error ≈ 1.04/√(2^p): p=12 (4 KiB) → ~1.6 %, p=14 → ~0.8 %.
+The 64-bit variant needs no large-range correction at any realistic
+cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash64(values) -> np.ndarray:
+    """Deterministic uint64 hashes of an Arrow array (fixed-key
+    siphash; one C call per batch)."""
+    import pandas as pd
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    np_vals = np.asarray(values.to_pylist(), dtype=object)
+    return pd.util.hash_array(np_vals)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of positive uint64s (6 shift/compare
+    steps — exact, unlike float log2 above 2^53)."""
+    bl = np.zeros(w.shape, np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    return bl + 1
+
+
+def hll_registers(values, p: int = 12) -> np.ndarray:
+    """One vectorized pass: the 2^p uint8 HLL registers of an Arrow
+    array's values. Registers from disjoint data merge with
+    ``np.maximum``."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    reg = np.zeros(1 << p, np.uint8)
+    if len(values) == 0:
+        return reg
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    suffix = h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
+    rho = np.full(len(h), 64 - p + 1, np.int64)  # all-zero suffix case
+    nz = suffix > 0
+    rho[nz] = (64 - p) - _bit_length_u64(suffix[nz]) + 1
+    np.maximum.at(reg, idx, rho.astype(np.uint8))
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> int:
+    """Bias-corrected cardinality estimate from a register array."""
+    m = len(reg)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:  # linear-counting small-range correction
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT col): per-block registers (one row
+    of 2^p bytes each), elementwise-max merge on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = hll_registers(batch.column(col), p)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b.column("reg").to_pylist():
+            np.maximum(merged, np.frombuffer(buf, np.uint8), out=merged)
+    return hll_estimate(merged)
+
+
+def approx_distinct_by_group(ds, group_col: str, col: str, p: int = 10):
+    """Dataset of (group_col, n_approx): per-(block, group) partial
+    registers, then a groupby + per-group max-merge. The shuffle moves
+    O(groups × blocks) fixed-size rows — independent of row count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups, codes = np.unique(
+            np.asarray(batch.column(group_col).to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        vals = batch.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        regs = []
+        for gi in range(len(groups)):
+            regs.append(
+                hll_registers(vals.filter(pa.array(codes == gi)), p).tobytes()
+            )
+        return pa.table({
+            group_col: pa.array(list(groups)),
+            "reg": pa.array(regs, pa.binary()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, np.uint8)
+        for buf in group.column("reg").to_pylist():
+            np.maximum(merged, np.frombuffer(buf, np.uint8), out=merged)
+        return pa.table({
+            group_col: group.column(group_col).slice(0, 1),
+            "n_approx": pa.array([hll_estimate(merged)], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -844,3 +844,39 @@ def test_tfidf_tie_and_rank_determinism(ray_session):
         tfidf_topk(corpus, k=2).take_all(), key=lambda r: (r["doc_id"], r["rnk"]))
         if r["doc_id"] == 1]
     assert out == [(1, "aaa"), (2, "zzz")]
+
+
+# ------------------------------------------------------------------ sketch
+
+
+def test_hll_error_bound_and_partition_invariance(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sketch import approx_distinct
+
+    n = 50_000
+    tbl = pa.table({"u": pa.array([f"user-{i % n}" for i in range(n * 2)], pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    est = approx_distinct(ds, "u", p=12)
+    assert abs(est - n) / n < 0.05  # ~3 sigma at p=12
+    # max-merge makes the estimate independent of block layout
+    assert approx_distinct(ds.repartition(16), "u", p=12) == est
+
+
+def test_hll_by_group_matches_exact_small(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sketch import approx_distinct_by_group, hll_registers
+
+    rows = {"g": [], "u": []}
+    for g, n in (("a", 40), ("b", 7), ("c", 1)):
+        for i in range(n * 3):  # repeats must not inflate
+            rows["g"].append(g)
+            rows["u"].append(f"{g}-{i % n}")
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(4)
+    got = {r["g"]: r["n_approx"]
+           for r in approx_distinct_by_group(ds, "g", "u", p=12).take_all()}
+    # linear-counting regime: exact (no register collisions at these sizes)
+    assert got == {"a": 40, "b": 7, "c": 1}
+    with pytest.raises(ValueError):
+        hll_registers(pa.array(["x"]), p=3)
