@@ -511,6 +511,19 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct_by_group(ds, "event_type", "user_id", p=12).sort("event_type")
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Approximate per-event-type value quantiles from a deterministic
+    mergeable bottom-k-by-hash sample (k=512, ~2% rank err; exact for
+    groups <= k; functions/sketch.py). Layout-independent →
+    golden-oracled."""
+    from scrappy_ray.functions.sketch import approx_quantiles_by_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    return approx_quantiles_by_group(
+        ds, "event_type", "value", "event_id", [0.5, 0.9], k=512, digits=ROUND
+    ).sort("event_type")
+
+
 def _q_hash_sample(sf_dir: str):
     from scrappy_ray.functions.sampling import hash_sample
 
@@ -875,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "tfidf_topk": _q_tfidf,
         "approx_distinct": _q_approx_distinct,
+        "approx_quantiles": _q_approx_quantiles,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1004,6 +1018,7 @@ def _lang_quality_sqls() -> dict[str, str]:
 # byte-exact extraction goldens).
 _GOLDEN_ORACLES = {
     "approx_distinct": "ORDER BY event_type",
+    "approx_quantiles": "ORDER BY event_type",
     "fingerprint": "ORDER BY doc_id",
     "dedup_simhash": "ORDER BY id_a, id_b",
     "dedup_minhash": "ORDER BY id_a, id_b",

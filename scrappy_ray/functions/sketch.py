@@ -130,3 +130,65 @@ def approx_distinct_by_group(ds, group_col: str, col: str, p: int = 10):
         .groupby(group_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def approx_quantiles_by_group(ds, group_col: str, value_col: str, id_col: str,
+                              qs: list[float], k: int = 1024, digits: int = 4):
+    """Approximate per-group quantiles from a deterministic bottom-k
+    sample: each block keeps, per group, the ``k`` rows whose (unique)
+    ``id_col`` hashes smallest; the per-group merge re-takes the
+    bottom k and reads percentile_disc quantiles off the sample.
+
+    Bottom-k by a fixed hash is a uniform row sample that is
+    MERGEABLE (bottom-k of a union == bottom-k of concatenated
+    bottom-k's) and independent of block layout, so results are
+    deterministic and goldenable — the property an order-sensitive
+    t-digest merge can't give under Ray's nondeterministic block
+    arrival. Rank error ~ sqrt(q(1-q)/k) (~1.5 % at k=1024); groups
+    with <= k rows come out exact. The shuffle moves O(groups x
+    blocks x k) rows, independent of group size.
+
+    ``id_col`` must be unique per row (ties at the k-th hash would
+    make the cut nondeterministic otherwise)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash64(batch.column(id_col))
+        gvals = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+        groups, codes = np.unique(gvals, return_inverse=True)
+        vals = batch.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = np.asarray(pc.cast(vals, pa.float64()), dtype=np.float64)
+        keep = np.zeros(len(h), bool)
+        for gi in range(len(groups)):
+            idx = np.flatnonzero(codes == gi)
+            if len(idx) > k:
+                idx = idx[np.argpartition(h[idx], k)[:k]]
+            keep[idx] = True
+        return pa.table({
+            group_col: pa.array(list(gvals[keep])),
+            "h": pa.array(h[keep], pa.uint64()),
+            "v": pa.array(v[keep], pa.float64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        h = np.asarray(group.column("h"))
+        v = np.asarray(group.column("v"))
+        if len(h) > k:
+            sel = np.argpartition(h, k)[:k]
+            v = v[sel]
+        v = np.sort(v)
+        n = len(v)
+        cols = {group_col: group.column(group_col).slice(0, 1)}
+        for q in qs:
+            i = max(int(np.ceil(q * n)) - 1, 0)
+            cols[f"p{int(q * 100)}"] = pa.array(
+                [round(float(v[i]), digits)], pa.float64())
+        cols["n_sample"] = pa.array([n], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -880,3 +880,34 @@ def test_hll_by_group_matches_exact_small(ray_session):
     assert got == {"a": 40, "b": 7, "c": 1}
     with pytest.raises(ValueError):
         hll_registers(pa.array(["x"]), p=3)
+
+
+def test_approx_quantiles_bottomk_sample(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sketch import approx_quantiles_by_group
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    tbl = pa.table({
+        "g": pa.array(["a"] * n + ["tiny"] * 5),
+        "id": pa.array(range(n + 5), pa.int64()),
+        "v": pa.array(list(rng.lognormal(0, 1, n)) + [1.0, 2.0, 3.0, 4.0, 5.0],
+                      pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = {r["g"]: r for r in
+           approx_quantiles_by_group(ds, "g", "v", "id", [0.5, 0.9], k=1024).take_all()}
+    # tiny group (<= k) is exact percentile_disc
+    assert out["tiny"]["p50"] == 3.0 and out["tiny"]["p90"] == 5.0
+    assert out["tiny"]["n_sample"] == 5
+    # big group: rank error within ~3 sigma of sqrt(q(1-q)/k)
+    v = np.sort(np.asarray(tbl.column("v"))[:n])
+    for q in (0.5, 0.9):
+        rank = np.searchsorted(v, out["a"][f"p{int(q*100)}"]) / n
+        assert abs(rank - q) < 3 * np.sqrt(q * (1 - q) / 1024) + 0.005, (q, rank)
+    # mergeable bottom-k -> block-layout independent
+    out2 = {r["g"]: r for r in
+            approx_quantiles_by_group(ds.repartition(16), "g", "v", "id",
+                                      [0.5, 0.9], k=1024).take_all()}
+    assert all(out[g] == out2[g] for g in out)
