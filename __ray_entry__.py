@@ -524,6 +524,18 @@ def _q_approx_quantiles(sf_dir: str):
     ).sort("event_type")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-20 most-ordered parts via two-pass heavy hitters
+    (per-batch Misra–Gries candidate summaries merged by sum, then a
+    broadcast exact recount of candidates only — functions/sketch.py).
+    Exact here by certificate: per-batch distinct part keys ≤ m, so no
+    summary truncates and candidate recall is total."""
+    from scrappy_ray.functions.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    return heavy_hitters(ds, "l_partkey", k=20, m=4096)
+
+
 def _q_hash_sample(sf_dir: str):
     from scrappy_ray.functions.sampling import hash_sample
 
@@ -889,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
+        "heavy_hitters": _q_heavy_hitters,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1261,6 +1274,10 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM paras p
             JOIN firsts f ON p.para = f.para AND p.doc_id * 1000000 + p.idx = f.k
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "heavy_hitters": """
+            SELECT l_partkey, count(*) AS c FROM lineitem
+            GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 20
         """,
         "top_ngrams": r"""
             WITH docs AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks

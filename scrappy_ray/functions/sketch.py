@@ -132,6 +132,114 @@ def approx_distinct_by_group(ds, group_col: str, col: str, p: int = 10):
     )
 
 
+def _mg_reduce(vals: pa.Array, counts: np.ndarray, m: int):
+    """Misra–Gries reduction of an exact histogram to ≤ m entries:
+    subtract the (m+1)-th largest count from every count, keep the
+    still-positive survivors. Survivor counts are LOWER BOUNDS; the
+    undercount per value is ≤ the subtracted amount (returned)."""
+    if len(counts) <= m:
+        return vals, counts, 0
+    kth = int(np.partition(counts, len(counts) - (m + 1))[len(counts) - (m + 1)])
+    keep = counts > kth
+    return vals.filter(pa.array(keep)), counts[keep] - kth, kth
+
+
+def heavy_hitters(ds, col: str, k: int = 20, m: int = 4096,
+                  n_candidates: int | None = None,
+                  batch_size: int = 8192) -> pa.Table:
+    """Global top-``k`` most frequent values of ``col`` by a two-pass
+    sketch-then-recount plan — the shape that works when ``col`` has
+    far more distinct values than fit anywhere (a full groupby-count
+    + sort is an all-to-all over every distinct value; this moves
+    only fixed-size summaries and one tiny candidate recount).
+
+    Pass 1 (candidates): each batch reduces to its exact
+    ``value_counts`` histogram, Misra–Gries-reduced (Misra & Gries
+    '82) to at most ``m`` (value, lower-bound count) rows; summaries
+    merge by summing (Agarwal et al., "Mergeable Summaries", PODS
+    '12), so a small groupby-sum + per-block partial top-C gives the
+    global top-``n_candidates`` (default ``max(4k, 64)``) estimates
+    without the driver ever seeing more than O(blocks × C) rows.
+
+    Pass 2 (recount): the candidate values are broadcast into a
+    second pass that emits exact per-batch counts of candidates only
+    (``pc.is_in`` filter — stays in C); a tiny groupby-sum yields
+    exact global counts, and top-k uses the SQL ``ORDER BY c DESC,
+    col`` tiebreak.
+
+    The recount is exact by construction; only candidate RECALL is
+    approximate. The result is certified exact when no batch
+    truncated (per-batch distinct ≤ m — counter
+    ``hh_mg_truncated_blocks`` stays 0), and in general whenever the
+    true k-th count exceeds the summed per-batch undercount (counter
+    ``hh_mg_max_undercount``). Truncation is never silent — both
+    counters surface through ``functions.counters``.
+    """
+    from . import counters
+
+    C = n_candidates or max(4 * k, 64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column(col).combine_chunks().value_counts()
+        vals = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, counts, undercount = _mg_reduce(vals, counts, m)
+        if undercount:
+            counters.incr("hh_mg_truncated_blocks", 1)
+            counters.incr("hh_mg_max_undercount", undercount)
+        return pa.table({col: vals, "c": pa.array(counts, pa.int64())})
+
+    summaries = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=batch_size)
+    merged = summaries.groupby(col).sum("c")  # → (col, "sum(c)")
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        cc = batch.column("sum(c)").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(cc) <= C:
+            return batch
+        idx = np.argpartition(-cc, C)[:C]
+        return batch.take(pa.array(np.sort(idx)))
+
+    parts = [
+        b for b in merged.map_batches(
+            block_top, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:  # empty input: typed empty result
+        return _empty_hh(ds, col)
+    tops = pa.concat_tables(parts)
+    tops = tops.sort_by([("sum(c)", "descending"), (col, "ascending")]).slice(0, C)
+    cand = tops.column(col).combine_chunks()  # ≤ C values — broadcast side
+
+    def recount(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).combine_chunks()
+        hit = arr.filter(pc.is_in(arr, value_set=cand))
+        if not len(hit):
+            return pa.table({col: arr.slice(0, 0),
+                             "c": pa.array([], pa.int64())})
+        vc = hit.value_counts()
+        return pa.table({col: vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    exact = ds.map_batches(recount, batch_format="pyarrow",
+                           batch_size=batch_size).groupby(col).sum("c")
+    tbls = [b for b in exact.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not tbls:
+        return _empty_hh(ds, col)
+    out = pa.concat_tables(tbls)
+    out = out.select([col, "sum(c)"]).rename_columns([col, "c"])
+    return out.sort_by([("c", "descending"), (col, "ascending")]).slice(0, k)
+
+
+def _empty_hh(ds, col: str) -> pa.Table:
+    try:
+        typ = ds.schema(fetch_if_missing=True).base_schema.field(col).type
+    except Exception:
+        typ = pa.string()
+    return pa.table({col: pa.array([], typ), "c": pa.array([], pa.int64())})
+
+
 def approx_quantiles_by_group(ds, group_col: str, value_col: str, id_col: str,
                               qs: list[float], k: int = 1024, digits: int = 4):
     """Approximate per-group quantiles from a deterministic bottom-k

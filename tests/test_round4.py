@@ -911,3 +911,66 @@ def test_approx_quantiles_bottomk_sample(ray_session):
             approx_quantiles_by_group(ds.repartition(16), "g", "v", "id",
                                       [0.5, 0.9], k=1024).take_all()}
     assert all(out[g] == out2[g] for g in out)
+
+
+def _exact_topk(values, k):
+    from collections import Counter
+
+    c = Counter(values)
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_heavy_hitters_exact_no_truncation(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions import counters
+    from scrappy_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = [f"host-{int(v)}" for v in rng.zipf(1.3, 30_000) if v < 500]
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(vals)})).repartition(8)
+    counters.reset_counters()
+    out = heavy_hitters(ds, "h", k=10, m=4096)
+    got = list(zip(out.column("h").to_pylist(), out.column("c").to_pylist()))
+    assert got == _exact_topk(vals, 10)
+    cnt = counters.get_counters()
+    assert cnt.get("hh_mg_truncated_blocks", 0) == 0  # certificate: exact
+
+
+def test_heavy_hitters_truncation_counted_still_exact_on_skew(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions import counters
+    from scrappy_ray.functions.sketch import heavy_hitters
+
+    # 20 heavy values (1000 each) drowned in 40k singletons; m=64 forces
+    # MG truncation in every batch, but the heavies dwarf the summed
+    # per-batch undercount, so candidate recall — hence top-k — is exact.
+    heavies = [f"hot-{i:02d}" for i in range(20) for _ in range(1000)]
+    noise = [f"cold-{i}" for i in range(40_000)]
+    rng = np.random.default_rng(3)
+    vals = np.asarray(heavies + noise, dtype=object)
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(list(vals))})).repartition(8)
+    counters.reset_counters()
+    out = heavy_hitters(ds, "h", k=20, m=64, batch_size=2048)
+    got = list(zip(out.column("h").to_pylist(), out.column("c").to_pylist()))
+    assert got == _exact_topk(list(vals), 20)
+    cnt = counters.get_counters()
+    assert cnt.get("hh_mg_truncated_blocks", 0) > 0  # cap was hit — and counted
+    assert cnt.get("hh_mg_max_undercount", 0) > 0
+
+
+def test_heavy_hitters_empty_and_int_key(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sketch import heavy_hitters
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    out = heavy_hitters(empty, "x", k=5)
+    assert out.num_rows == 0 and out.column_names == ["x", "c"]
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([7, 7, 7, 3, 3, 9], pa.int64())}))
+    out = heavy_hitters(ds, "x", k=2)
+    assert list(zip(out.column("x").to_pylist(), out.column("c").to_pylist())) == \
+        [(7, 3), (3, 2)]
