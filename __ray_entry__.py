@@ -536,6 +536,35 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "l_partkey", k=20, m=4096)
 
 
+def _q_quality_classify(sf_dir: str):
+    """GPT-3/CCNet-style quality-classifier distillation: weak labels
+    come from the expensive heuristic gate (quality_kernel composite ≥
+    0.55 — the reference side), a hashed-BoW Adagrad logistic model is
+    trained on a deterministic bottom-k-by-hash sample per class, and
+    the broadcast weights score every document in one streaming pass
+    (functions/classifier.py). The tf-normalized features can express
+    the gate's token-fraction terms, so the student genuinely learns
+    it. Deterministic end-to-end (no RNG; layout-independent sample) →
+    golden-oracled."""
+    from scrappy_ray.functions.classifier import quality_classify
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from scrappy_ray.functions.textstats import quality_kernel
+
+        q = np.asarray(quality_kernel(batch.column("text"))["quality"])
+        return batch.append_column(
+            "label", pa.array((q >= 0.55).astype("int64"), pa.int64()))
+
+    ds = ds.map_batches(label, batch_format="pyarrow")
+    out = quality_classify(ds, "label", dim=1 << 14, sample_k=512,
+                           iters=300, threshold=0.5)
+    return out.sort("doc_id")
+
+
 def _q_hash_sample(sf_dir: str):
     from scrappy_ray.functions.sampling import hash_sample
 
@@ -902,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "heavy_hitters": _q_heavy_hitters,
+        "quality_classify": _q_quality_classify,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1032,6 +1062,7 @@ def _lang_quality_sqls() -> dict[str, str]:
 _GOLDEN_ORACLES = {
     "approx_distinct": "ORDER BY event_type",
     "approx_quantiles": "ORDER BY event_type",
+    "quality_classify": "ORDER BY doc_id",
     "fingerprint": "ORDER BY doc_id",
     "dedup_simhash": "ORDER BY id_a, id_b",
     "dedup_minhash": "ORDER BY id_a, id_b",

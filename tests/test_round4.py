@@ -961,6 +961,94 @@ def test_heavy_hitters_truncation_counted_still_exact_on_skew(ray_session):
     assert cnt.get("hh_mg_max_undercount", 0) > 0
 
 
+def _classifier_corpus(n=400):
+    """Separable two-vocabulary corpus: positives speak 'good' words,
+    negatives 'junk' words, both mixed with shared noise."""
+    rng = np.random.default_rng(5)
+    good = [f"good{i}" for i in range(30)]
+    junk = [f"junk{i}" for i in range(30)]
+    noise = [f"word{i}" for i in range(200)]
+    rows = {"doc_id": [], "text": [], "label": []}
+    for i in range(n):
+        pos = i % 2
+        vocab = good if pos else junk
+        toks = list(rng.choice(vocab, 20)) + list(rng.choice(noise, 30))
+        rng.shuffle(toks)
+        rows["doc_id"].append(i)
+        rows["text"].append(" ".join(toks))
+        rows["label"].append(pos)
+    return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                     "text": pa.array(rows["text"], pa.string()),
+                     "label": pa.array(rows["label"], pa.int64())})
+
+
+def test_quality_classifier_learns_and_is_layout_invariant(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.classifier import quality_classify
+
+    tbl = _classifier_corpus()
+    ds = ray.data.from_arrow(tbl)
+    out = pa.concat_tables(list(
+        quality_classify(ds, "label", dim=1 << 12, sample_k=128, iters=300)
+        .sort("doc_id").iter_batches(batch_format="pyarrow")))
+    y = np.asarray(tbl.sort_by("doc_id").column("label"))
+    keep = np.asarray(out.column("keep"))
+    assert (keep == y).mean() > 0.95  # separable vocab → learned
+    # block layout must not change the sample, the weights, or a score
+    out16 = pa.concat_tables(list(
+        quality_classify(ds.repartition(16), "label", dim=1 << 12,
+                         sample_k=128, iters=300)
+        .sort("doc_id").iter_batches(batch_format="pyarrow")))
+    assert out.equals(out16)
+
+
+def test_quality_classifier_pretrained_model_and_lottery(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.classifier import (
+        quality_classify, train_quality_classifier)
+
+    tbl = _classifier_corpus()
+    ds = ray.data.from_arrow(tbl)
+    model = train_quality_classifier(ds, "label", dim=1 << 12,
+                                     sample_k=128, iters=300)
+    # frozen model scores a different corpus without retraining
+    new = pa.table({"doc_id": pa.array([900, 901], pa.int64()),
+                    "text": pa.array(["good1 good2 good3 word1",
+                                      "junk1 junk2 junk3 word1"]),
+                    "label": pa.array([1, 0], pa.int64())})
+    out = pa.concat_tables(list(
+        quality_classify(ray.data.from_arrow(new), "label", model=model,
+                         dim=1 << 12).sort("doc_id")
+        .iter_batches(batch_format="pyarrow")))
+    s = np.asarray(out.column("score"))
+    assert s[0] > 0.5 > s[1]
+    # Pareto lottery: deterministic per id, admits some low scorers
+    lot = pa.concat_tables(list(
+        quality_classify(ds, "label", dim=1 << 12, sample_k=128, iters=300,
+                         keep_mode="lottery").sort("doc_id")
+        .iter_batches(batch_format="pyarrow")))
+    lot2 = pa.concat_tables(list(
+        quality_classify(ds.repartition(16), "label", dim=1 << 12,
+                         sample_k=128, iters=300, keep_mode="lottery")
+        .sort("doc_id").iter_batches(batch_format="pyarrow")))
+    assert lot.equals(lot2)
+    k = np.asarray(lot.column("keep"))
+    sc = np.asarray(lot.column("score"))
+    assert k[sc > 0.9].mean() > k[sc < 0.1].mean()  # monotone in score
+    assert 0 < k.mean() < 1
+
+    with pytest.raises(ValueError):
+        quality_classify(ds, "label", keep_mode="coin-flip")
+    one_class = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b", "c d"]),
+        "label": pa.array([1, 1], pa.int64())}))
+    with pytest.raises(ValueError):
+        train_quality_classifier(one_class, "label", dim=256)
+
+
 def test_heavy_hitters_empty_and_int_key(ray_session):
     import ray.data
 
