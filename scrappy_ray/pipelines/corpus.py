@@ -51,6 +51,12 @@ def clean_corpus(
     min_domain_quality: float = 0.0,
     decontam_bench_ds=None,
     decontam_n: int = 13,
+    min_classifier_score: float | None = None,
+    quality_model=None,
+    classifier_label_quality: float = 0.55,
+    classifier_dim: int = 1 << 14,
+    classifier_sample_k: int = 512,
+    classifier_iters: int = 300,
 ):
     """Returns (kept_docs_ds, stats_table). ``kept_docs_ds`` streams the
     surviving (id, text) rows; ``stats_table`` is a one-row funnel
@@ -68,7 +74,14 @@ def clean_corpus(
     - ``decontam_bench_ds``: drop documents sharing any word
       ``decontam_n``-gram with this benchmark/eval dataset (GPT-3
       appendix-C rule; the bench hash set builds once and broadcasts
-      into the same filter pass — see functions/decontam.py).
+      into the same filter pass — see functions/decontam.py);
+    - ``min_classifier_score``: GPT-3/CCNet-style learned quality gate
+      (functions/classifier.py). Pass a pre-trained ``quality_model``
+      to score under a frozen classifier; otherwise one is distilled
+      from the heuristic gate (teacher label = composite quality ≥
+      ``classifier_label_quality``) on a deterministic sample of the
+      deduped corpus, then its weights broadcast into the same single
+      filter pass.
     Per-gate rejection counts are surfaced in the stats row via the
     cluster counters — no silent drops."""
     import ray.data  # noqa: F401  (Dataset ops below)
@@ -127,6 +140,25 @@ def clean_corpus(
 
         bench_ref = ray.put(benchmark_ngram_set(
             decontam_bench_ds, text_col=text_col, n=decontam_n))
+
+    clf_model = quality_model
+    if min_classifier_score is not None and clf_model is None:
+        from ..functions.classifier import train_quality_classifier
+
+        def _teacher_label(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            q = np.asarray(quality_kernel(batch.column(text_col))["quality"])
+            return batch.append_column(
+                "_clf_label",
+                pa.array((q >= classifier_label_quality).astype("int64"),
+                         pa.int64()))
+
+        clf_model = train_quality_classifier(
+            deduped.map_batches(_teacher_label, batch_format="pyarrow"),
+            "_clf_label", id_col=id_col, text_col=text_col,
+            dim=classifier_dim, sample_k=classifier_sample_k,
+            iters=classifier_iters)
 
     domain_keep = None
     if domain_col is not None:
@@ -194,6 +226,13 @@ def clean_corpus(
                 hits[w_doc[bench[pos] == wh]] = True
             incr("corpus_rej_contaminated", int(hits.sum()))
             mask &= ~hits
+        if min_classifier_score is not None:
+            from ..functions.classifier import _feature_arrays, _logits
+
+            z = _logits(clf_model, *_feature_arrays(text, clf_model.dim))
+            ok = 1.0 / (1.0 + np.exp(-z)) >= min_classifier_score
+            incr("corpus_rej_classifier", int((~ok).sum()))
+            mask &= ok
         if domain_keep is not None:
             ok = np.asarray(
                 pc.fill_null(
@@ -245,6 +284,8 @@ def clean_corpus(
             "rej_dup_lines": pa.array([_delta("corpus_rej_dup_lines")], pa.int64()),
             "rej_ppl": pa.array([_delta("corpus_rej_ppl")], pa.int64()),
             "rej_domain": pa.array([_delta("corpus_rej_domain")], pa.int64()),
+            "rej_classifier": pa.array(
+                [_delta("corpus_rej_classifier")], pa.int64()),
             "rej_contaminated": pa.array(
                 [_delta("corpus_rej_contaminated")], pa.int64()),
         }

@@ -129,3 +129,56 @@ def test_clean_corpus_decontam_gate(ray_session):
         ray.data.from_items(rows), keep_langs=("en", "und"), min_quality=0.0)
     assert sorted(r["doc_id"] for r in kept2.take_all()) == [0, 1, 2]
     assert stats2.to_pylist()[0]["rej_contaminated"] == 0
+
+
+def test_clean_corpus_classifier_gate(ray_session):
+    """min_classifier_score gates on the learned quality classifier:
+    a frozen pre-trained model drops the docs it scores low, inside the
+    same streaming filter pass; the self-distilled branch trains from
+    the heuristic teacher without error."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrappy_ray.functions.classifier import train_quality_classifier
+    from scrappy_ray.functions.counters import reset_counters
+    from scrappy_ray.pipelines.corpus import clean_corpus
+
+    reset_counters()
+    rng = __import__("numpy").random.default_rng(9)
+    train_rows = []
+    for i in range(200):
+        pos = i % 2
+        vocab = [f"good{j}" for j in range(20)] if pos else [f"junk{j}" for j in range(20)]
+        train_rows.append({"doc_id": i, "label": pos,
+                           "text": " ".join(rng.choice(vocab, 25))})
+    model = train_quality_classifier(
+        ray.data.from_items(train_rows), "label", dim=1 << 12,
+        sample_k=128, iters=300)
+
+    rows = [
+        {"doc_id": 0, "text": "good1 good2 good3 good4 good5 good6 good7 good8"},
+        {"doc_id": 1, "text": "good9 good10 good11 good0 good5 good2 good1 good3"},
+        {"doc_id": 2, "text": "junk1 junk2 junk3 junk4 junk5 junk6 junk7 junk8"},
+    ]
+    kept, stats = clean_corpus(
+        ray.data.from_items(rows), keep_langs=("en", "und"), min_quality=0.0,
+        min_classifier_score=0.5, quality_model=model,
+    )
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 1]
+    assert stats.to_pylist()[0]["rej_classifier"] == 1
+
+    # self-distilled branch: teacher labels from the heuristic gate;
+    # a permissive threshold trains the model but rejects nothing
+    mixed = [
+        {"doc_id": 0, "text": "the cat and the dog are in the house, they have all of it."},
+        {"doc_id": 1, "text": "a bird was on the roof and it had one song for the morning."},
+        {"doc_id": 2, "text": "9839 1220 3331 777 4 4 4 12 9 0 2 3"},
+        {"doc_id": 3, "text": "404 500 301 12 9 0 88 77 66 55 44 33"},
+    ]
+    kept3, stats3 = clean_corpus(
+        ray.data.from_items(mixed), keep_langs=("en", "und"), min_quality=0.0,
+        min_classifier_score=1e-6, classifier_label_quality=0.5,
+        classifier_dim=1 << 10, classifier_sample_k=16, classifier_iters=50,
+    )
+    assert sorted(r["doc_id"] for r in kept3.take_all()) == [0, 1, 2, 3]
+    assert stats3.to_pylist()[0]["rej_classifier"] == 0
