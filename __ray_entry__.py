@@ -536,6 +536,19 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "l_partkey", k=20, m=4096)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. '23): k-means cluster the embeddings
+    (layout-independent sampled quantizer), prune near-dups within each
+    cluster only — O(Σ cluster²) pairwise work as one groupby, keeping
+    each dup group's farthest-from-centroid member
+    (functions/semdedup.py). Deterministic → golden-oracled."""
+    from scrappy_ray.functions.semdedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, eps=0.05, n_clusters=8,
+                          sample_size=512).sort("vec_id")
+
+
 def _q_quality_classify(sf_dir: str):
     """GPT-3/CCNet-style quality-classifier distillation: weak labels
     come from the expensive heuristic gate (quality_kernel composite ≥
@@ -932,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "heavy_hitters": _q_heavy_hitters,
         "quality_classify": _q_quality_classify,
+        "semantic_dedup": _q_semantic_dedup,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1063,6 +1077,7 @@ _GOLDEN_ORACLES = {
     "approx_distinct": "ORDER BY event_type",
     "approx_quantiles": "ORDER BY event_type",
     "quality_classify": "ORDER BY doc_id",
+    "semantic_dedup": "ORDER BY vec_id",
     "fingerprint": "ORDER BY doc_id",
     "dedup_simhash": "ORDER BY id_a, id_b",
     "dedup_minhash": "ORDER BY id_a, id_b",

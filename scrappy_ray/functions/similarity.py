@@ -142,6 +142,27 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col
     )
 
 
+def train_kmeans(ds, vec_col="embedding", id_col="vec_id", n_centroids: int = 16,
+                 seed: int = 31, sample_size: int = 2048, iters: int = 8) -> np.ndarray:
+    """Coarse k-means centroids trained on a uniform bottom-k-by-id-hash
+    sample (``sample_vectors`` — block-layout independent, so results
+    are deterministic and goldenable). Lloyd iterations on the sample
+    only; empty clusters keep their previous centroid. Shared by
+    ``ivf_topk`` (the IVF quantizer) and ``semdedup.semantic_dedup``."""
+    sample = sample_vectors(ds, vec_col=vec_col, id_col=id_col,
+                            sample_size=sample_size, seed=seed)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="vec_id",
              n_centroids: int = 16, nprobe: int = 4, seed: int = 31,
              query_ids: list | None = None, sample_size: int = 2048, iters: int = 8):
@@ -158,16 +179,8 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="v
     qids = list(query_ids) if query_ids is not None else list(range(len(q)))
 
     # --- train the coarse quantizer on a uniform sample (tiny) ---
-    sample = sample_vectors(ds, vec_col=vec_col, id_col=id_col, sample_size=sample_size, seed=seed)
-    rng = np.random.RandomState(seed)
-    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
-    for _ in range(iters):
-        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
+    cent = train_kmeans(ds, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids,
+                        seed=seed, sample_size=sample_size, iters=iters)
     cent_ref = ray.put(cent)
 
     def assign_lists(batch: pa.Table) -> pa.Table:

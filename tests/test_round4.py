@@ -1049,6 +1049,75 @@ def test_quality_classifier_pretrained_model_and_lottery(ray_session):
         train_quality_classifier(one_class, "label", dim=256)
 
 
+def _planted_embeddings():
+    """Two well-separated blobs; each blob carries one exact-duplicate
+    trio and otherwise-distinct members."""
+    rng = np.random.default_rng(13)
+    rows = {"vec_id": [], "embedding": []}
+    base = {0: np.r_[np.ones(8), np.zeros(8)], 1: np.r_[np.zeros(8), np.ones(8)]}
+    vid = 0
+    dup_groups = []
+    for blob in (0, 1):
+        dup = (base[blob] + 0.01 * rng.standard_normal(16)).tolist()
+        group = []
+        for _ in range(3):  # exact-duplicate trio
+            rows["vec_id"].append(vid); rows["embedding"].append(dup)
+            group.append(vid); vid += 1
+        dup_groups.append(group)
+        for _ in range(10):  # distinct members (strong noise)
+            v = base[blob] + 0.8 * rng.standard_normal(16)
+            rows["vec_id"].append(vid); rows["embedding"].append(v.tolist())
+            vid += 1
+    tbl = pa.table({"vec_id": pa.array(rows["vec_id"], pa.int64()),
+                    "embedding": pa.array(rows["embedding"],
+                                          pa.list_(pa.float32()))})
+    return tbl, dup_groups
+
+
+def test_semantic_dedup_planted_groups(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.semdedup import semantic_dedup
+
+    tbl, dup_groups = _planted_embeddings()
+    ds = ray.data.from_arrow(tbl)
+    out = pa.concat_tables(list(
+        semantic_dedup(ds, eps=0.05, n_clusters=2, sample_size=64)
+        .sort("vec_id").iter_batches(batch_format="pyarrow")))
+    keep = dict(zip(out.column("vec_id").to_pylist(),
+                    out.column("keep").to_pylist()))
+    for group in dup_groups:  # exactly one survivor per planted trio
+        assert sum(keep[i] for i in group) == 1, group
+    # distinct members (0.8-sigma noise in 16-d: pairwise cos << 0.95)
+    distinct = [i for i in keep if not any(i in g for g in dup_groups)]
+    assert all(keep[i] == 1 for i in distinct)
+    # layout invariance: same clusters, same survivors
+    out16 = pa.concat_tables(list(
+        semantic_dedup(ds.repartition(16), eps=0.05, n_clusters=2,
+                       sample_size=64)
+        .sort("vec_id").iter_batches(batch_format="pyarrow")))
+    assert out.equals(out16)
+
+
+def test_semantic_dedup_cluster_cap_counted(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions import counters
+    from scrappy_ray.functions.semdedup import semantic_dedup
+
+    tbl, _ = _planted_embeddings()
+    ds = ray.data.from_arrow(tbl)
+    counters.reset_counters()
+    out = pa.concat_tables(list(
+        semantic_dedup(ds, eps=0.05, n_clusters=1, sample_size=64,
+                       max_cluster=4)
+        .sort("vec_id").iter_batches(batch_format="pyarrow")))
+    assert out.num_rows == tbl.num_rows  # overflow rows kept, not lost
+    cnt = counters.get_counters()
+    assert cnt.get("semdedup_clusters_truncated", 0) >= 1
+    assert cnt.get("semdedup_ids_unpruned", 0) > 0
+
+
 def test_heavy_hitters_empty_and_int_key(ray_session):
     import ray.data
 
