@@ -536,6 +536,17 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "l_partkey", k=20, m=4096)
 
 
+def _q_heavy_hitters_by_group(sf_dir: str):
+    """Exact top-3 most active users per event type via the per-group
+    two-pass heavy-hitter plan (per-batch per-group Misra–Gries
+    summaries → broadcast candidate recount — functions/sketch.py)."""
+    from scrappy_ray.functions.sketch import heavy_hitters_by_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return heavy_hitters_by_group(ds, "event_type", "user_id",
+                                  k=3).sort(["event_type", "rnk"])
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. '23): k-means cluster the embeddings
     (layout-independent sampled quantizer), prune near-dups within each
@@ -944,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "heavy_hitters": _q_heavy_hitters,
+        "heavy_hitters_by_group": _q_heavy_hitters_by_group,
         "quality_classify": _q_quality_classify,
         "semantic_dedup": _q_semantic_dedup,
         "domain_stats": _q_domain_stats,
@@ -1324,6 +1336,15 @@ def _oracle_sql_static() -> dict[str, str]:
         "heavy_hitters": """
             SELECT l_partkey, count(*) AS c FROM lineitem
             GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 20
+        """,
+        "heavy_hitters_by_group": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS c
+                       FROM events GROUP BY event_type, user_id),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY event_type ORDER BY c DESC, user_id) AS rnk
+                  FROM c)
+            SELECT event_type, user_id, c, rnk FROM r
+            WHERE rnk <= 3 ORDER BY event_type, rnk
         """,
         "top_ngrams": r"""
             WITH docs AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks

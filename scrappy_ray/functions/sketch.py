@@ -232,6 +232,119 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int = 4096,
     return out.sort_by([("c", "descending"), (col, "ascending")]).slice(0, k)
 
 
+def heavy_hitters_by_group(ds, group_col: str, col: str, k: int = 5,
+                           m: int = 4096, batch_size: int = 8192):
+    """Per-group top-``k`` most frequent ``col`` values (e.g. top URLs
+    per domain) — Dataset of (group, value, c, rnk). Same two-pass
+    shape as :func:`heavy_hitters`, applied per group:
+
+    Pass 1: each batch reduces to exact per-(group, value) counts,
+    Misra–Gries-reduced PER GROUP to ≤ m rows (undercount counted via
+    ``hhg_mg_truncated_groups`` / ``hhg_mg_max_undercount``); a
+    groupby-sum merges summaries, and a per-group map_groups takes the
+    top-``4k`` candidate values per group.
+
+    Pass 2: candidates broadcast as one (group, value) hash set; each
+    batch emits exact counts of candidate pairs only, a groupby-sum
+    yields exact totals, and a final per-group cut ranks top-k by
+    (count desc, value asc) — the SQL ``row_number() OVER (PARTITION BY
+    g ORDER BY c DESC, v)`` tiebreak. Exact whenever no batch truncated
+    a group (per-batch distinct values within the group ≤ m), else
+    whenever each true top-k count exceeds the summed undercount."""
+    from . import counters
+
+    C = max(4 * k, 16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (batch.select([group_col, col])
+             .group_by([group_col, col])
+             .aggregate([([], "count_all")])
+             .rename_columns([group_col, col, "c"]))
+        gv = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        counts = t.column("c").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        groups, codes = np.unique(gv, return_inverse=True)
+        keep = np.ones(len(gv), bool)
+        adj = counts.copy()
+        for gi in range(len(groups)):
+            idx = np.flatnonzero(codes == gi)
+            if len(idx) > m:
+                kth = int(np.partition(counts[idx], len(idx) - (m + 1))[len(idx) - (m + 1)])
+                drop = counts[idx] <= kth
+                keep[idx[drop]] = False
+                adj[idx] -= kth
+                counters.incr("hhg_mg_truncated_groups", 1)
+                counters.incr("hhg_mg_max_undercount", kth)
+        take = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({
+            group_col: t.column(group_col).take(take),
+            col: t.column(col).take(take),
+            "c": pa.array(adj[keep], pa.int64()),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size)
+              .groupby([group_col, col]).sum("c"))
+
+    def group_top(group: pa.Table) -> pa.Table:
+        cc = group.column("sum(c)").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(cc) <= C:
+            return group
+        idx = np.argpartition(-cc, C)[:C]
+        return group.take(pa.array(np.sort(idx)))
+
+    cand_tbl = pa.concat_tables(
+        [b for b in merged.groupby(group_col)
+         .map_groups(group_top, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [pa.table({group_col: pa.array([], pa.string()),
+                      col: pa.array([], pa.string()),
+                      "sum(c)": pa.array([], pa.int64())})]
+    )
+    # broadcast side: one uint64 hash per candidate (group, value) pair
+    cand_keys = np.sort(_pair_hash(cand_tbl.column(group_col),
+                                   cand_tbl.column(col)))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        t = (batch.select([group_col, col])
+             .group_by([group_col, col])
+             .aggregate([([], "count_all")])
+             .rename_columns([group_col, col, "c"]))
+        keys = _pair_hash(t.column(group_col), t.column(col))
+        if not len(cand_keys) or not len(keys):
+            return t.slice(0, 0)
+        pos = np.searchsorted(cand_keys, keys)
+        pos[pos == len(cand_keys)] = 0
+        take = pa.array(np.flatnonzero(cand_keys[pos] == keys), pa.int64())
+        return t.take(take)
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow",
+                            batch_size=batch_size)
+             .groupby([group_col, col]).sum("c"))
+
+    def final_cut(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("sum(c)", "descending"), (col, "ascending")]).slice(0, k)
+        return pa.table({
+            group_col: g.column(group_col),
+            col: g.column(col),
+            "c": g.column("sum(c)"),
+            "rnk": pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
+        })
+
+    return exact.groupby(group_col).map_groups(final_cut, batch_format="pyarrow")
+
+
+def _pair_hash(groups, values) -> np.ndarray:
+    """Deterministic uint64 hash of (group, value) string pairs — the
+    broadcast-set key (collision odds ~n²/2^64: negligible at any
+    candidate-set size that fits a broadcast). The join stays in Arrow
+    (one binary_join kernel), then the engine's fixed-key siphash."""
+    if not len(groups):
+        return np.empty(0, np.uint64)
+    joined = pc.binary_join_element_wise(
+        pc.cast(groups, pa.string()), pc.cast(values, pa.string()), "\x1f")
+    return _hash64(joined)
+
+
 def _empty_hh(ds, col: str) -> pa.Table:
     try:
         typ = ds.schema(fetch_if_missing=True).base_schema.field(col).type

@@ -1049,6 +1049,49 @@ def test_quality_classifier_pretrained_model_and_lottery(ray_session):
         train_quality_classifier(one_class, "label", dim=256)
 
 
+def test_heavy_hitters_by_group_exact_and_truncation(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from scrappy_ray.functions import counters
+    from scrappy_ray.functions.sketch import heavy_hitters_by_group
+
+    rng = np.random.default_rng(21)
+    rows = {"g": [], "v": []}
+    exact = {}
+    for g, n_vals, n_rows in (("a", 50, 5000), ("b", 300, 8000)):
+        vals = [f"{g}-v{int(x) % n_vals:03d}" for x in rng.zipf(1.4, n_rows * 2)[:n_rows]]
+        rows["g"] += [g] * len(vals)
+        rows["v"] += vals
+        exact[g] = sorted(Counter(vals).items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(rows["g"]), "v": pa.array(rows["v"])})).repartition(8)
+
+    counters.reset_counters()
+    out = pa.concat_tables(list(
+        heavy_hitters_by_group(ds, "g", "v", k=3)
+        .sort(["g", "rnk"]).iter_batches(batch_format="pyarrow")))
+    got = {}
+    for g, v, c in zip(out.column("g").to_pylist(), out.column("v").to_pylist(),
+                       out.column("c").to_pylist()):
+        got.setdefault(g, []).append((v, c))
+    assert got == exact
+    assert counters.get_counters().get("hhg_mg_truncated_groups", 0) == 0
+
+    # forced truncation: tiny m, heavies still dwarf the undercount
+    counters.reset_counters()
+    out2 = pa.concat_tables(list(
+        heavy_hitters_by_group(ds, "g", "v", k=3, m=16, batch_size=2048)
+        .sort(["g", "rnk"]).iter_batches(batch_format="pyarrow")))
+    got2 = {}
+    for g, v, c in zip(out2.column("g").to_pylist(), out2.column("v").to_pylist(),
+                       out2.column("c").to_pylist()):
+        got2.setdefault(g, []).append((v, c))
+    assert got2 == exact
+    assert counters.get_counters().get("hhg_mg_truncated_groups", 0) > 0
+
+
 def _planted_embeddings():
     """Two well-separated blobs; each blob carries one exact-duplicate
     trio and otherwise-distinct members."""
