@@ -547,6 +547,36 @@ def _q_heavy_hitters_by_group(sf_dir: str):
                                   k=3).sort(["event_type", "rnk"])
 
 
+def _q_substr_dedup(sf_dir: str):
+    """ExactSubstr duplicated-span removal (Lee et al. '21): plant a
+    12-token span from the first document into every doc_id % 5 == 0
+    document, then remove every token covered by a corpus-duplicated
+    10-token window (functions/substr_dedup.py — window-count shuffle
+    + broadcast dup-set + vectorized span-union removal). SQL-oracled
+    exactly: the oracle plants the same span and applies the same rule
+    on token strings."""
+    import ray.data
+
+    from scrappy_ray.functions.substr_dedup import dedup_substrings
+
+    tbl = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    first = tbl.sort_by("doc_id").slice(0, 1)
+    donor = " ".join(first.column("text")[0].as_py().strip().split()[:12])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch.column("doc_id"))
+        texts = batch.column("text").to_pylist()
+        out = [f"{t} {donor}" if i % 5 == 0 else t
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    ds = ray.data.from_arrow(tbl).map_batches(inject, batch_format="pyarrow")
+    return dedup_substrings(ds, n=10).sort("doc_id")
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. '23): k-means cluster the embeddings
     (layout-independent sampled quantizer), prune near-dups within each
@@ -958,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_by_group": _q_heavy_hitters_by_group,
         "quality_classify": _q_quality_classify,
         "semantic_dedup": _q_semantic_dedup,
+        "substr_dedup": _q_substr_dedup,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1336,6 +1367,39 @@ def _oracle_sql_static() -> dict[str, str]:
         "heavy_hitters": """
             SELECT l_partkey, count(*) AS c FROM lineitem
             GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 20
+        """,
+        "substr_dedup": r"""
+            WITH donor AS (
+              SELECT array_to_string(
+                       (regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') AS d
+              FROM documents
+              WHERE doc_id = (SELECT min(doc_id) FROM documents)
+            ),
+            docs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' ' || (SELECT d FROM donor)
+                            ELSE text END), '\s+') AS toks
+              FROM documents
+            ),
+            w AS (SELECT doc_id, i, array_to_string(toks[i:i+9], ' ') AS ng
+                  FROM docs, LATERAL unnest(range(1, len(toks) - 8)) t(i)),
+            dup AS (SELECT ng FROM w GROUP BY ng HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, i FROM w WHERE ng IN (SELECT ng FROM dup)),
+            cov AS (SELECT DISTINCT doc_id, j
+                    FROM hits, LATERAL unnest(range(i, i + 10)) t(j)),
+            tok AS (SELECT doc_id, j, toks[j] AS tk
+                    FROM docs, LATERAL unnest(range(1, len(toks) + 1)) t(j)),
+            kept AS (SELECT t.doc_id, t.j, t.tk
+                     FROM tok t LEFT JOIN cov c
+                       ON t.doc_id = c.doc_id AND t.j = c.j
+                     WHERE c.doc_id IS NULL)
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.tk, ' ' ORDER BY k.j), '') AS text_deduped,
+                   len(any_value(d.toks)) - count(k.tk) AS n_removed
+            FROM docs d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "heavy_hitters_by_group": """
             WITH c AS (SELECT event_type, user_id, count(*) AS c

@@ -35,13 +35,15 @@ from .textstats import _TOKEN_SPLIT
 _MULT = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _window_hashes(texts, n: int):
+def _window_hashes(texts, n: int, return_starts: bool = False):
     """Vectorized word n-gram hashes for a column of texts.
 
     Returns ``(hashes, doc_idx, n_docs)``: one uint64 hash per valid
     in-document window (documents with fewer than ``n`` tokens
     contribute none), plus the row index each window belongs to.
-    """
+    With ``return_starts=True``, appends the 0-based within-document
+    token position of each window (for span-removal consumers —
+    substr_dedup)."""
     import pandas as pd
 
     if isinstance(texts, pa.ChunkedArray):
@@ -60,7 +62,8 @@ def _window_hashes(texts, n: int):
     counts = np.maximum(lengths - n + 1, 0)
     total_windows = int(counts.sum())
     if total_windows == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64), n_docs
+        empty = (np.empty(0, np.uint64), np.empty(0, np.int64), n_docs)
+        return empty + (np.empty(0, np.int64),) if return_starts else empty
 
     # global window fold over the flat token array (Horner, n vector
     # ops), then select only starts whose full window stays inside one
@@ -77,6 +80,8 @@ def _window_hashes(texts, n: int):
         np.cumsum(counts) - counts, counts
     )
     starts = base + within
+    if return_starts:
+        return h[starts], doc_idx, n_docs, within
     return h[starts], doc_idx, n_docs
 
 

@@ -18,7 +18,7 @@ FAST_QUERIES = [
     "sim_topk", "repetition", "chunk_docs", "hash_sample", "stratified_sample",
     "range_join", "asof_join", "top_per_group", "pivot_events", "value_quantiles",
     "top_ngrams", "perplexity", "paragraph_dedup", "decontaminate", "tfidf_topk",
-    "heavy_hitters", "heavy_hitters_by_group",
+    "heavy_hitters", "heavy_hitters_by_group", "substr_dedup",
 ]
 
 

@@ -1092,6 +1092,61 @@ def test_heavy_hitters_by_group_exact_and_truncation(ray_session):
     assert counters.get_counters().get("hhg_mg_truncated_groups", 0) > 0
 
 
+def test_substr_dedup_removes_shared_and_within_doc_spans(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.substr_dedup import dedup_substrings
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d e f g h"},   # shares 'c d e f' with 2
+        {"doc_id": 1, "text": "x y z w q r s t"},   # unique — untouched
+        {"doc_id": 2, "text": "m n c d e f o p"},
+        {"doc_id": 3, "text": "u u u u u u"},       # within-doc repeat
+        {"doc_id": 4, "text": ""},
+    ]
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(ray.data.from_items(rows), n=4)
+           .sort("doc_id").take_all()}
+    assert out[0]["text_deduped"] == "a b g h" and out[0]["n_removed"] == 4
+    assert out[1]["text_deduped"] == "x y z w q r s t" and out[1]["n_removed"] == 0
+    assert out[2]["text_deduped"] == "m n o p"
+    assert out[3]["text_deduped"] == "" and out[3]["n_removed"] == 6
+    assert out[4]["text_deduped"] == "" and out[4]["n_removed"] == 0
+
+
+def test_substr_dedup_layout_invariance_and_precomputed_set(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.substr_dedup import (
+        dedup_substrings, duplicated_window_hashes)
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(60)]
+    texts[7] = texts[3]  # whole-doc duplicate → every window duplicated
+    tbl = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    a = pa.concat_tables(list(dedup_substrings(ds, n=8).sort("doc_id")
+                              .iter_batches(batch_format="pyarrow")))
+    b = pa.concat_tables(list(
+        dedup_substrings(ds.repartition(16), n=8).sort("doc_id")
+        .iter_batches(batch_format="pyarrow")))
+    assert a.equals(b)
+    rem = dict(zip(a.column("doc_id").to_pylist(), a.column("n_removed").to_pylist()))
+    assert rem[3] == 30 and rem[7] == 30  # both copies fully removed
+
+    # frozen dup-set path scores a new split identically
+    dup = duplicated_window_hashes(ds, n=8)
+    c = pa.concat_tables(list(
+        dedup_substrings(ds, n=8, dup_hashes=dup).sort("doc_id")
+        .iter_batches(batch_format="pyarrow")))
+    assert a.equals(c)
+
+    with pytest.raises(ValueError):
+        duplicated_window_hashes(ds, n=8, max_broadcast=1)
+
+
 def _planted_embeddings():
     """Two well-separated blobs; each blob carries one exact-duplicate
     trio and otherwise-distinct members."""
