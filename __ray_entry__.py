@@ -547,6 +547,26 @@ def _q_heavy_hitters_by_group(sf_dir: str):
                                   k=3).sort(["event_type", "rnk"])
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Snapshot-update dedup: drop any document whose exact text is
+    already in the frozen reference slice (doc_id % 4 == 0) — the
+    continuous-crawl shape (functions/dedup.py::incremental_exact_dedup;
+    broadcast ref-hash set under the threshold, left-anti join above)."""
+    from scrappy_ray.functions.dedup import incremental_exact_dedup
+
+    new = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def ref_slice(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch.column("doc_id"))
+        return batch.filter(pa.array(ids % 4 == 0))
+
+    ref = new.map_batches(ref_slice, batch_format="pyarrow")
+    out = incremental_exact_dedup(new, ref)
+    return out.select_columns(["doc_id", "source"]).sort("doc_id")
+
+
 def _q_substr_dedup(sf_dir: str):
     """ExactSubstr duplicated-span removal (Lee et al. '21): plant a
     12-token span from the first document into every doc_id % 5 == 0
@@ -989,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classify": _q_quality_classify,
         "semantic_dedup": _q_semantic_dedup,
         "substr_dedup": _q_substr_dedup,
+        "incremental_dedup": _q_incremental_dedup,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1367,6 +1388,12 @@ def _oracle_sql_static() -> dict[str, str]:
         "heavy_hitters": """
             SELECT l_partkey, count(*) AS c FROM lineitem
             GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 20
+        """,
+        "incremental_dedup": """
+            SELECT doc_id, source FROM documents
+            WHERE md5(text) NOT IN
+              (SELECT md5(text) FROM documents WHERE doc_id % 4 = 0)
+            ORDER BY doc_id
         """,
         "substr_dedup": r"""
             WITH donor AS (

@@ -63,6 +63,59 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", ids_only: bo
     return drop_empty_blocks(joined)
 
 
+def incremental_exact_dedup(new_ds, ref_ds, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            broadcast_threshold: int = 1_000_000,
+                            num_partitions: int = 8):
+    """Drop rows of ``new_ds`` whose exact text already appears in a
+    FROZEN reference corpus — the continuous-crawl / snapshot-update
+    shape (dedup the new crawl against everything already kept, without
+    re-deduping the old corpus). Matching is on md5(text), the same key
+    the ``exact_dedup`` oracle groups on.
+
+    Scale split: the reference side reduces to its DISTINCT md5 set
+    first (hash-aggregate, no per-group Python). Below
+    ``broadcast_threshold`` distinct hashes the set is gathered once
+    and broadcast (``ray.put`` + ``pc.is_in`` per batch — cheaper than
+    shuffling the new corpus); above it, the new corpus is
+    LEFT-ANTI-joined against the reference hash table — no driver
+    state proportional to the reference."""
+    import ray
+
+    from ..common import drop_empty_blocks
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_h", _md5_col(batch.column(text_col).to_pylist()))
+
+    ref_hashes = _distinct(
+        ref_ds.map_batches(add_hash, batch_format="pyarrow")
+        .select_columns(["_h"]), ["_h"]
+    ).materialize()  # consumed twice: count + (broadcast | join)
+    n_ref = ref_hashes.count()
+    hashed_new = new_ds.map_batches(add_hash, batch_format="pyarrow")
+
+    if n_ref > broadcast_threshold:
+        right = ref_hashes.map_batches(
+            lambda b: b.rename_columns(["__ref_h"]), batch_format="pyarrow")
+        return drop_empty_blocks(hashed_new).join(
+            drop_empty_blocks(right), "left_anti", num_partitions,
+            on=("_h",), right_on=("__ref_h",),
+        ).drop_columns(["_h"])
+
+    chunks = [b.column("_h").combine_chunks()
+              for b in ref_hashes.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    ref_set = pa.concat_arrays(chunks) if chunks else pa.array([], pa.string())
+    ref_ref = ray.put(ref_set)
+
+    def drop_seen(batch: pa.Table) -> pa.Table:
+        seen = pc.is_in(batch.column("_h"), value_set=ray.get(ref_ref))
+        return batch.filter(pc.invert(seen)).drop_columns(["_h"])
+
+    return hashed_new.map_batches(drop_seen, batch_format="pyarrow")
+
+
 def _distinct(ds, cols: list[str]):
     """Vectorized distinct on key columns: hash-aggregate count then
     drop — no per-group Python (map_groups would pay per-group call

@@ -1092,6 +1092,34 @@ def test_heavy_hitters_by_group_exact_and_truncation(ray_session):
     assert counters.get_counters().get("hhg_mg_truncated_groups", 0) > 0
 
 
+def test_incremental_exact_dedup_both_paths(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.dedup import incremental_exact_dedup
+
+    ref = ray.data.from_items([
+        {"doc_id": 100, "text": "seen before one"},
+        {"doc_id": 101, "text": "seen before two"},
+        {"doc_id": 102, "text": "seen before two"},  # ref-internal dup: fine
+    ])
+    new = ray.data.from_items([
+        {"doc_id": 0, "text": "seen before one"},    # drop
+        {"doc_id": 1, "text": "fresh text a"},
+        {"doc_id": 2, "text": "seen before two"},    # drop
+        {"doc_id": 3, "text": "fresh text b"},
+    ])
+    kept = sorted(r["doc_id"] for r in
+                  incremental_exact_dedup(new, ref).take_all())
+    assert kept == [1, 3]
+    # forced join path (threshold 0) must agree with the broadcast path
+    kept_join = sorted(r["doc_id"] for r in incremental_exact_dedup(
+        new, ref, broadcast_threshold=0).take_all())
+    assert kept_join == kept
+    # schema: the temp hash column never leaks
+    cols = incremental_exact_dedup(new, ref).schema().names
+    assert "_h" not in cols
+
+
 def test_substr_dedup_removes_shared_and_within_doc_spans(ray_session):
     import ray.data
 
