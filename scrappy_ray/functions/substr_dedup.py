@@ -9,11 +9,21 @@ equivalent for a fixed window length exploits that a duplicated span
 of length ≥ n is exactly a run of duplicated n-token windows:
 
 1. **Count pass** — one streaming ``map_batches`` emits per-batch
-   partial (window-hash, count) pairs (the same vectorized Horner
-   fold over one siphash call as decontam's ``_window_hashes``);
-   ``groupby().sum()`` totals them. This shuffle moves O(distinct
-   windows × blocks) fixed-width rows — the operator's honest cost,
-   the analogue of the paper's suffix-array sort.
+   partial (window-hash, min/max occurrence-key) triples (the same
+   vectorized Horner fold over one siphash call as decontam's
+   ``_window_hashes``), reduced by the engine's EXTERNAL hash shuffle
+   (``stages/shuffle.py`` — Ray 2.49's sort-based groupby measured
+   ~10× slower on exactly this many-small-groups shape; 25 s → ~2 s
+   on the sf0.1 bench corpus). A hash is duplicated iff its global
+   min and max occurrence keys differ — min/max are
+   DUPLICATE-INSENSITIVE, which the spill contract requires (a
+   retried spill task leaves duplicate rows; a count-sum reducer
+   would double-count them and promote singleton windows to
+   "duplicated"). The occurrence key is ``doc_id·2³² + start``
+   (unique while doc ids stay below 2³¹ and documents below 2³²
+   tokens). This shuffle moves O(distinct windows × blocks)
+   fixed-width rows — the operator's honest cost, the analogue of
+   the paper's suffix-array sort.
 2. **Dup set** — hashes with total count ≥ 2. Natural corpora
    duplicate a few percent of windows (the paper's measurement), so
    the set is gathered sorted to the driver and broadcast via
@@ -42,35 +52,63 @@ from .decontam import _window_hashes
 from .textstats import _TOKEN_SPLIT
 
 
-def duplicated_window_hashes(docs_ds, text_col: str = "text", n: int = 50,
-                             max_broadcast: int = 50_000_000) -> np.ndarray:
-    """Sorted uint64 hashes of every word ``n``-gram occurring ≥ 2
-    times in the corpus (within- and cross-document occurrences both
-    count, matching the paper)."""
+def duplicated_window_hashes(docs_ds, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 50,
+                             max_broadcast: int = 50_000_000,
+                             num_buckets: int = 32,
+                             tmp_dir: str | None = None) -> np.ndarray:
+    """Sorted hashes (int64 view) of every word ``n``-gram occurring
+    ≥ 2 times in the corpus (within- and cross-document occurrences
+    both count, matching the paper). Reduced via the external hash
+    shuffle with a duplicate-insensitive min/max-occurrence-key
+    reducer — see the module docstring."""
+    import shutil
+    import tempfile
+
+    from ..stages.shuffle import hash_partition_reduce
 
     def partial(batch: pa.Table) -> pa.Table:
-        wh, _, _ = _window_hashes(batch.column(text_col), n)
-        h, c = np.unique(wh, return_counts=True)
-        # int64 REINTERPRETATION of the uint64 hashes: Ray's groupby
-        # pickles uint64 values past int64 max; equality (the groupby
-        # key) and sorted membership survive the view as long as every
+        wh, doc_idx, _, starts = _window_hashes(
+            batch.column(text_col), n, return_starts=True)
+        # int64 REINTERPRETATION of the uint64 hashes: Arrow/Ray
+        # aggregate paths pickle uint64 values past int64 max; equality
+        # and sorted membership survive the view as long as every
         # consumer uses the same view
-        return pa.table({"h": pa.array(h.view(np.int64), pa.int64()),
-                         "c": pa.array(c, pa.int64())})
+        h = wh.view(np.int64)
+        ids = np.asarray(pc.cast(batch.column(id_col), pa.int64()),
+                         dtype=np.int64)
+        k = ids[doc_idx] * (np.int64(1) << np.int64(32)) + starts
+        t = pa.table({"h": pa.array(h, pa.int64()),
+                      "k": pa.array(k, pa.int64())})
+        return (t.group_by("h").aggregate([("k", "min"), ("k", "max")])
+                .rename_columns(["h", "kmin", "kmax"]))
 
-    merged = (docs_ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("h").sum("c"))
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (t.group_by("h").aggregate([("kmin", "min"), ("kmax", "max")])
+                .rename_columns(["h", "kmin", "kmax"]))
 
-    def dup_only(batch: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(batch.column("sum(c)"), 2)
-        return pa.table({"h": batch.column("h").filter(keep)})
+    own_tmp = tmp_dir is None
+    if own_tmp:
+        tmp_dir = tempfile.mkdtemp(prefix="substr_dedup_")
+    try:
+        merged = hash_partition_reduce(
+            docs_ds.map_batches(partial, batch_format="pyarrow"),
+            ["h"], reduce_fn, tmp_dir, num_buckets=num_buckets,
+            select=["h", "kmin", "kmax"])
 
-    chunks = [
-        np.asarray(b.column("h"))
-        for b in merged.map_batches(dup_only, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
+        def dup_only(batch: pa.Table) -> pa.Table:
+            keep = pc.not_equal(batch.column("kmin"), batch.column("kmax"))
+            return pa.table({"h": batch.column("h").filter(keep)})
+
+        chunks = [
+            np.asarray(b.column("h"))
+            for b in merged.map_batches(dup_only, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+    finally:
+        if own_tmp:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     total = sum(len(c) for c in chunks)
     if total > max_broadcast:
         raise ValueError(
@@ -94,7 +132,8 @@ def dedup_substrings(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 
     if dup_hashes is None:
         dup_hashes = duplicated_window_hashes(
-            docs_ds, text_col=text_col, n=n, max_broadcast=max_broadcast)
+            docs_ds, text_col=text_col, id_col=id_col, n=n,
+            max_broadcast=max_broadcast)
     ref = ray.put(np.asarray(dup_hashes, np.int64))
 
     def remove(batch: pa.Table) -> pa.Table:
