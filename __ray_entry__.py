@@ -817,6 +817,31 @@ def _q_mm_decode(sf_dir: str):
     return decode_images(ray.data.from_arrow(tbl)).sort("id")
 
 
+def _q_audio_decode(sf_dir: str):
+    """Audio column stage with a REAL decoder (stdlib WAV/PCM — no
+    third-party codec needed, unlike the image/video seams): decode
+    deterministic sine-tone WAVs and extract duration/RMS/peak in an
+    actor-pool pass sized for large binaries
+    (functions/multimodal.py::WavAudioDecoder)."""
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import decode_audio, make_fake_wav
+
+    ids = _read_table(sf_dir, "embeddings", columns=["vec_id"]).column("vec_id").to_pylist()[:200]
+    tbl = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [make_fake_wav(100.0 + (i % 20) * 10.0,
+                               n_frames=320 + (i % 5) * 80,
+                               amplitude=0.2 + (i % 4) * 0.2) for i in ids],
+                pa.binary(),
+            ),
+        }
+    )
+    return decode_audio(ray.data.from_arrow(tbl)).sort("id")
+
+
 def _messy_urls_table(batch: pa.Table) -> pa.Table:
     """Deterministic messy URL per document (shared by the Ray query
     and — as the same string expression — the SQL oracle): uppercase
@@ -1024,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "corpus_clean": _q_corpus_clean,
         "mm_decode": _q_mm_decode,
+        "audio_decode": _q_audio_decode,
         "extract_triples": _q_extract_triples,
         "extract_text": _q_extract_text,
         "main_content": _q_main_content,
@@ -1151,6 +1177,7 @@ _GOLDEN_ORACLES = {
     "ann_lsh": "ORDER BY query_id, rank",
     "ann_ivf": "ORDER BY query_id, rank",
     "mm_decode": "ORDER BY id",
+    "audio_decode": "ORDER BY id",
     "extract_triples": "ORDER BY url, s, p, o, lit",
     "extract_text": "ORDER BY url",
     "main_content": "ORDER BY url",

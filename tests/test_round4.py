@@ -1092,6 +1092,34 @@ def test_heavy_hitters_by_group_exact_and_truncation(ray_session):
     assert counters.get_counters().get("hhg_mg_truncated_groups", 0) > 0
 
 
+def test_audio_decode_real_wav(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import decode_audio, make_fake_wav
+
+    tbl = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([
+            make_fake_wav(200.0, n_frames=800, sample_rate=8000, amplitude=0.5),
+            make_fake_wav(50.0, n_frames=400, sample_rate=4000,
+                          amplitude=0.9, n_channels=2),
+            b"not a wav",
+        ], pa.binary()),
+    })
+    out = {r["id"]: r for r in
+           decode_audio(ray.data.from_arrow(tbl)).sort("id").take_all()}
+    assert out[0]["sample_rate"] == 8000 and out[0]["n_frames"] == 800
+    assert out[0]["duration_s"] == 0.1 and out[0]["ok"]
+    # sine RMS ≈ amplitude/√2, peak ≈ amplitude (16-bit quantization)
+    assert abs(out[0]["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(out[0]["peak"] - 0.5) < 1e-3
+    assert out[1]["n_channels"] == 2 and out[1]["duration_s"] == 0.1
+    assert abs(out[1]["rms"] - 0.9 / np.sqrt(2)) < 1e-3
+    # undecodable payload: ok=False row, never silently dropped
+    assert out[2]["ok"] is False and out[2]["rms"] is None
+    assert len(out) == 3
+
+
 def test_incremental_exact_dedup_both_paths(ray_session):
     import ray.data
 
