@@ -547,6 +547,17 @@ def _q_heavy_hitters_by_group(sf_dir: str):
                                   k=3).sort(["event_type", "rnk"])
 
 
+def _q_compression_ratio(sf_dir: str):
+    """zlib information-density signal per document (boilerplate is
+    highly compressible, base64 junk is not —
+    functions/textstats.py::compression_stats). Deterministic for a
+    fixed zlib build → golden-oracled."""
+    from scrappy_ray.functions.textstats import compression_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return compression_stats(ds).sort("doc_id")
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Snapshot-update dedup: drop any document whose exact text is
     already in the frozen reference slice (doc_id % 4 == 0) — the
@@ -1035,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "substr_dedup": _q_substr_dedup,
         "incremental_dedup": _q_incremental_dedup,
+        "compression_ratio": _q_compression_ratio,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1178,6 +1190,7 @@ _GOLDEN_ORACLES = {
     "ann_ivf": "ORDER BY query_id, rank",
     "mm_decode": "ORDER BY id",
     "audio_decode": "ORDER BY id",
+    "compression_ratio": "ORDER BY doc_id",
     "extract_triples": "ORDER BY url, s, p, o, lit",
     "extract_text": "ORDER BY url",
     "main_content": "ORDER BY url",

@@ -234,6 +234,38 @@ def repetition_stats(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
+def compression_stats(ds, text_col="text", id_col="doc_id", level: int = 6,
+                      digits: int = 6):
+    """Per-document zlib compression ratio — the cheap
+    information-density quality signal web-corpus pipelines use
+    alongside the Gopher rules (highly compressible text is template
+    boilerplate or repetition; near-incompressible "text" is often
+    base64/binary junk). DEFLATE at a fixed level via the stdlib
+    (bit-stable for a fixed zlib build — goldenable on the
+    measurement host). Per-row work is the compressor over one
+    payload — bounded, payload-dominated, the same per-item-codec
+    shape as the multimodal decoders."""
+    import zlib
+
+    def comp(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_bytes, n_comp, ratio = [], [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8", "ignore")
+            c = len(zlib.compress(raw, level))
+            n_bytes.append(len(raw))
+            n_comp.append(c)
+            ratio.append(round(c / max(len(raw), 1), digits))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "n_compressed": pa.array(n_comp, pa.int64()),
+            "compression_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(comp, batch_format="pyarrow")
+
+
 def fingerprint(ds, text_col="text", id_col="doc_id", window: int = 8, keep: int = 8):
     """Winnowing-style document fingerprint (Schleimer et al. '03,
     public): rolling 8-gram hashes, keep the ``keep`` smallest, digest

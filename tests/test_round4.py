@@ -1092,6 +1092,26 @@ def test_heavy_hitters_by_group_exact_and_truncation(ray_session):
     assert counters.get_counters().get("hhg_mg_truncated_groups", 0) > 0
 
 
+def test_compression_stats_orders_quality(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.textstats import compression_stats
+
+    rng = np.random.default_rng(2)
+    rows = [
+        {"doc_id": 0, "text": "buy now " * 200},                     # boilerplate
+        {"doc_id": 1, "text": " ".join(                              # variedtext
+            rng.choice([f"w{i}" for i in range(5000)], 400))},
+        {"doc_id": 2, "text": ""},                                    # empty
+    ]
+    out = {r["doc_id"]: r for r in
+           compression_stats(ray.data.from_items(rows)).sort("doc_id").take_all()}
+    assert out[0]["compression_ratio"] < out[1]["compression_ratio"]
+    assert out[0]["compression_ratio"] < 0.1    # repetition collapses
+    assert out[2]["n_bytes"] == 0 and out[2]["n_compressed"] > 0
+    assert out[1]["n_bytes"] > 0
+
+
 def test_audio_decode_real_wav(ray_session):
     import ray.data
 
