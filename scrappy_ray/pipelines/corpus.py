@@ -51,6 +51,8 @@ def clean_corpus(
     min_domain_quality: float = 0.0,
     decontam_bench_ds=None,
     decontam_n: int = 13,
+    min_compression_ratio: float | None = None,
+    max_compression_ratio: float | None = None,
     min_classifier_score: float | None = None,
     quality_model=None,
     classifier_label_quality: float = 0.55,
@@ -75,6 +77,9 @@ def clean_corpus(
       ``decontam_n``-gram with this benchmark/eval dataset (GPT-3
       appendix-C rule; the bench hash set builds once and broadcasts
       into the same filter pass — see functions/decontam.py);
+    - ``min_compression_ratio`` / ``max_compression_ratio``: zlib
+      information-density bounds (below = template boilerplate, above =
+      base64/binary junk), computed inline in the same filter pass;
     - ``min_classifier_score``: GPT-3/CCNet-style learned quality gate
       (functions/classifier.py). Pass a pre-trained ``quality_model``
       to score under a frozen classifier; otherwise one is distilled
@@ -226,6 +231,21 @@ def clean_corpus(
                 hits[w_doc[bench[pos] == wh]] = True
             incr("corpus_rej_contaminated", int(hits.sum()))
             mask &= ~hits
+        if min_compression_ratio is not None or max_compression_ratio is not None:
+            import zlib
+
+            ratios = np.array([
+                len(zlib.compress((t or "").encode("utf-8", "ignore"), 6))
+                / max(len((t or "").encode("utf-8", "ignore")), 1)
+                for t in text.to_pylist()
+            ])
+            ok = np.ones(len(ratios), bool)
+            if min_compression_ratio is not None:
+                ok &= ratios >= min_compression_ratio
+            if max_compression_ratio is not None:
+                ok &= ratios <= max_compression_ratio
+            incr("corpus_rej_compression", int((~ok).sum()))
+            mask &= ok
         if min_classifier_score is not None:
             from ..functions.classifier import _feature_arrays, _logits
 
@@ -286,6 +306,8 @@ def clean_corpus(
             "rej_domain": pa.array([_delta("corpus_rej_domain")], pa.int64()),
             "rej_classifier": pa.array(
                 [_delta("corpus_rej_classifier")], pa.int64()),
+            "rej_compression": pa.array(
+                [_delta("corpus_rej_compression")], pa.int64()),
             "rej_contaminated": pa.array(
                 [_delta("corpus_rej_contaminated")], pa.int64()),
         }

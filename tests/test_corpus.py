@@ -131,6 +131,27 @@ def test_clean_corpus_decontam_gate(ray_session):
     assert stats2.to_pylist()[0]["rej_contaminated"] == 0
 
 
+def test_clean_corpus_compression_gate(ray_session):
+    """Compression-ratio bounds drop boilerplate (too compressible)
+    inside the same streaming filter pass; counter reports the drops."""
+    import ray.data
+
+    from scrappy_ray.functions.counters import reset_counters
+    from scrappy_ray.pipelines.corpus import clean_corpus
+
+    reset_counters()
+    rows = [
+        {"doc_id": 0, "text": "the cat and the dog are in the house, they have all of it."},
+        {"doc_id": 1, "text": "buy now " * 100},  # boilerplate → ratio ~0.02
+    ]
+    kept, stats = clean_corpus(
+        ray.data.from_items(rows), keep_langs=("en", "und"), min_quality=0.0,
+        min_compression_ratio=0.2,
+    )
+    assert [r["doc_id"] for r in kept.take_all()] == [0]
+    assert stats.to_pylist()[0]["rej_compression"] == 1
+
+
 def test_clean_corpus_classifier_gate(ray_session):
     """min_classifier_score gates on the learned quality classifier:
     a frozen pre-trained model drops the docs it scores low, inside the
