@@ -213,3 +213,33 @@ def test_chunk_documents_reconstruction(tokens, chunk_tokens, overlap):
         if r is not out[-1]:
             assert r["n_tokens"] == chunk_tokens
     assert rebuilt == text.split(" ") if text else True
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_reduce_bounds(values, m):
+    """MG reduction invariants: ≤ m survivors, every survivor count is
+    a lower bound, the undercount per value is ≤ the returned bound,
+    and any value with true count > bound survives."""
+    import numpy as np
+    import pyarrow as pa
+
+    from collections import Counter
+
+    from scrappy_ray.functions.sketch import _mg_reduce
+
+    true = Counter(values)
+    items = pa.array(sorted(true), pa.int64())
+    counts = np.asarray([true[i.as_py()] for i in items], np.int64)
+    vals, red, bound = _mg_reduce(items, counts.copy(), m)
+    assert len(vals) <= m
+    got = dict(zip(vals.to_pylist(), red.tolist()))
+    for v, c in true.items():
+        est = got.get(v, 0)
+        assert est <= c                      # lower bound
+        assert c - est <= bound              # undercount bound
+        if c > bound:
+            assert v in got                  # heavy values survive
