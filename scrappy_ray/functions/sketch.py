@@ -191,6 +191,12 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int = 4096,
 
     summaries = ds.map_batches(partial, batch_format="pyarrow",
                                batch_size=batch_size)
+    # Ray's (sort-based, slower) groupby on purpose, NOT the external
+    # hash shuffle: the spill contract requires duplicate-insensitive
+    # reducers (retried spill tasks leave duplicate rows), and summing
+    # partial counts is not — doubled summaries would inflate candidate
+    # estimates. Ray's lineage makes this exact under retries, and the
+    # input here is already reduced to O(blocks×m) summary rows.
     merged = summaries.groupby(col).sum("c")  # → (col, "sum(c)")
 
     def block_top(batch: pa.Table) -> pa.Table:
