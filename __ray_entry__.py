@@ -547,6 +547,28 @@ def _q_heavy_hitters_by_group(sf_dir: str):
                                   k=3).sort(["event_type", "rnk"])
 
 
+def _q_incremental_near_dedup(sf_dir: str):
+    """Near-dup analogue of incremental_dedup: MinHash-band the new
+    docs and probe a frozen reference band index (doc_id % 4 == 0
+    slice) — flags LSH candidates without touching the reference again
+    (functions/dedup.py::minhash_band_index/incremental_near_dedup).
+    Deterministic (fixed permutation params) → golden-oracled."""
+    from scrappy_ray.functions.dedup import (
+        incremental_near_dedup, minhash_band_index)
+
+    new = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ref_slice(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch.column("doc_id"))
+        return batch.filter(pa.array(ids % 4 == 0))
+
+    ref = new.map_batches(ref_slice, batch_format="pyarrow")
+    idx = minhash_band_index(ref)
+    return incremental_near_dedup(new, idx).sort("doc_id")
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib information-density signal per document (boilerplate is
     highly compressible, base64 junk is not —
@@ -1046,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "substr_dedup": _q_substr_dedup,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_near_dedup": _q_incremental_near_dedup,
         "compression_ratio": _q_compression_ratio,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
@@ -1191,6 +1214,7 @@ _GOLDEN_ORACLES = {
     "mm_decode": "ORDER BY id",
     "audio_decode": "ORDER BY id",
     "compression_ratio": "ORDER BY doc_id",
+    "incremental_near_dedup": "ORDER BY doc_id",
     "extract_triples": "ORDER BY url, s, p, o, lit",
     "extract_text": "ORDER BY url",
     "main_content": "ORDER BY url",

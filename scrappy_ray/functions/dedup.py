@@ -214,6 +214,110 @@ class MinHashBands:
         )
 
 
+_BAND_FOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _band_keys(band: np.ndarray, bhash: np.ndarray) -> np.ndarray:
+    """(band, bhash) folded to one int64 membership key (same fold on
+    index and probe sides; collision odds ~n²/2^64)."""
+    k = bhash.astype(np.uint64) ^ ((band.astype(np.uint64) + np.uint64(1)) * _BAND_FOLD)
+    return k.view(np.int64)
+
+
+def minhash_band_index(ref_ds, text_col="text", id_col="doc_id", num_perm=64,
+                       bands=16, shingle_k=5, concurrency=4) -> np.ndarray:
+    """Sorted int64 band keys of a FROZEN reference corpus — the
+    probe-side index for :func:`incremental_near_dedup`. Size is
+    O(ref docs × bands) int64s (a 10^9-doc reference at 16 bands is
+    ~128 GB — shard the index by key range past broadcast size, the
+    same escape hatch as substr_dedup's dup set)."""
+
+    def keys(batch: pa.Table) -> pa.Table:
+        band = np.asarray(batch.column("band"))
+        bh = np.asarray(batch.column("bhash").combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(np.unique(_band_keys(band, bh)),
+                                       pa.int64())})
+
+    parts = (ref_ds.map_batches(
+        MinHashBands,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                   num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).map_batches(keys, batch_format="pyarrow"))
+    chunks = [np.asarray(b.column("k"))
+              for b in parts.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not chunks:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(chunks))
+
+
+class _NearDupProbe(MinHashBands):
+    """Actor stage: MinHash-band the new docs and probe the broadcast
+    reference index — index fetched ONCE per actor in ``__init__``
+    (zero-copy from the local object store), membership via one
+    vectorized searchsorted per batch."""
+
+    def __init__(self, index_ref, **kwargs):
+        super().__init__(**kwargs)
+        import ray
+
+        self._index = ray.get(index_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = super().__call__(batch)
+        band = np.asarray(rows.column("band"))
+        bh = np.asarray(rows.column("bhash").combine_chunks()
+                        .to_numpy(zero_copy_only=False)) if rows.num_rows else np.empty(0, np.uint64)
+        keys = _band_keys(band, bh)
+        hit = np.zeros(len(keys), bool)
+        if len(self._index) and len(keys):
+            pos = np.searchsorted(self._index, keys)
+            pos[pos == len(self._index)] = 0
+            hit = self._index[pos] == keys
+        ids = batch.column(self.id_col)
+        n = len(ids)
+        rep_ids = np.repeat(np.arange(n, dtype=np.int64), self.bands)
+        n_hits = np.bincount(rep_ids, weights=hit, minlength=n).astype(np.int64)
+        return pa.table({
+            self.id_col: ids,
+            "n_band_hits": pa.array(n_hits, pa.int64()),
+            "near_dup": pa.array((n_hits > 0).astype(np.int64), pa.int64()),
+        })
+
+
+def incremental_near_dedup(new_ds, band_index: np.ndarray, text_col="text",
+                           id_col="doc_id", num_perm=64, bands=16,
+                           shingle_k=5, concurrency=4, mode: str = "flag"):
+    """Flag (or drop, ``mode='filter'``) new documents that share ≥ 1
+    MinHash LSH band with a FROZEN reference corpus
+    (:func:`minhash_band_index`) — the near-dup analogue of
+    :func:`incremental_exact_dedup` for continuous-crawl updates. A
+    band hit is an LSH CANDIDATE at the banding curve's sensitivity
+    (same num_perm/bands trade-off as ``minhash_lsh_pairs``), not an
+    exact-Jaccard verdict — the standard frozen-filter deployment."""
+    import ray
+
+    if mode not in ("flag", "filter"):
+        raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
+    index_ref = ray.put(np.asarray(band_index, np.int64))
+    flagged = new_ds.map_batches(
+        _NearDupProbe,
+        fn_constructor_kwargs=dict(index_ref=index_ref, text_col=text_col,
+                                   id_col=id_col, num_perm=num_perm,
+                                   bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    if mode == "flag":
+        return flagged
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("near_dup"), 0)).select([id_col])
+
+    return flagged.map_batches(keep, batch_format="pyarrow")
+
+
 def _bucket_pairs(group: pa.Table, id_col: str, max_bucket: int = 200) -> pa.Table:
     ids_col = group.column(id_col)
     if isinstance(ids_col, pa.ChunkedArray):

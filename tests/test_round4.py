@@ -1092,6 +1092,35 @@ def test_heavy_hitters_by_group_exact_and_truncation(ray_session):
     assert counters.get_counters().get("hhg_mg_truncated_groups", 0) > 0
 
 
+def test_incremental_near_dedup_flags_copies(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.dedup import (
+        incremental_near_dedup, minhash_band_index)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before the night falls down")
+    ref = ray.data.from_items([{"doc_id": 100, "text": base}])
+    idx = minhash_band_index(ref)
+    assert len(idx) > 0
+    new = ray.data.from_items([
+        {"doc_id": 0, "text": base},                      # exact copy
+        {"doc_id": 1, "text": base.replace("dog", "cat")},  # near copy
+        {"doc_id": 2, "text": "completely different words about spark "
+                              "engines and columnar arrow batch formats"},
+    ])
+    out = {r["doc_id"]: r for r in
+           incremental_near_dedup(new, idx).sort("doc_id").take_all()}
+    assert out[0]["near_dup"] == 1 and out[0]["n_band_hits"] > 0
+    assert out[1]["near_dup"] == 1       # one-word change shares bands
+    assert out[2]["near_dup"] == 0
+    kept = [r["doc_id"] for r in
+            incremental_near_dedup(new, idx, mode="filter").take_all()]
+    assert kept == [2]
+    with pytest.raises(ValueError):
+        incremental_near_dedup(new, idx, mode="nope")
+
+
 def test_compression_stats_orders_quality(ray_session):
     import ray.data
 
