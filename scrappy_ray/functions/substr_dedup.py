@@ -122,12 +122,20 @@ def duplicated_window_hashes(docs_ds, text_col: str = "text",
 
 def dedup_substrings(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                      n: int = 50, dup_hashes: np.ndarray | None = None,
-                     max_broadcast: int = 50_000_000):
+                     max_broadcast: int = 50_000_000,
+                     replace_text: bool = False,
+                     count_key: str | None = None):
     """(id, text_deduped, n_removed) per document: every token covered
     by a corpus-duplicated ``n``-token window is removed, survivors
     re-joined with single spaces. Pass a precomputed ``dup_hashes``
     (from :func:`duplicated_window_hashes`) to skip the count pass —
-    e.g. when deduping several splits against one corpus-wide set."""
+    e.g. when deduping several splits against one corpus-wide set.
+
+    ``replace_text=True`` instead returns the INPUT schema with
+    ``text_col`` rewritten in place (the pipeline-stage mode —
+    clean_corpus uses it so later gates see the deduped text);
+    ``count_key`` additionally fires the per-batch removed-token total
+    into ``functions.counters`` under that key."""
     import ray
 
     if dup_hashes is None:
@@ -182,11 +190,19 @@ def dedup_substrings(docs_ds, text_col: str = "text", id_col: str = "doc_id",
         new_offsets = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
         rebuilt = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()),
                                            kept_flat)
-        joined = pc.binary_join(rebuilt, " ")
+        joined = pc.cast(pc.binary_join(rebuilt, " "), pa.string())
+        n_removed = lengths - kept_per_doc
+        if count_key is not None:
+            from . import counters
+
+            counters.incr(count_key, int(n_removed.sum()))
+        if replace_text:
+            i = batch.column_names.index(text_col)
+            return batch.set_column(i, text_col, joined)
         return pa.table({
             id_col: batch.column(id_col),
-            "text_deduped": pc.cast(joined, pa.string()),
-            "n_removed": pa.array(lengths - kept_per_doc, pa.int64()),
+            "text_deduped": joined,
+            "n_removed": pa.array(n_removed, pa.int64()),
         })
 
     return docs_ds.map_batches(remove, batch_format="pyarrow")

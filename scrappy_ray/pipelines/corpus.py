@@ -51,6 +51,7 @@ def clean_corpus(
     min_domain_quality: float = 0.0,
     decontam_bench_ds=None,
     decontam_n: int = 13,
+    substr_dedup_n: int | None = None,
     min_compression_ratio: float | None = None,
     max_compression_ratio: float | None = None,
     min_classifier_score: float | None = None,
@@ -77,6 +78,12 @@ def clean_corpus(
       ``decontam_n``-gram with this benchmark/eval dataset (GPT-3
       appendix-C rule; the bench hash set builds once and broadcasts
       into the same filter pass — see functions/decontam.py);
+    - ``substr_dedup_n``: ExactSubstr span removal (Lee et al. '21) —
+      after document-level near-dup dedup, every token covered by a
+      corpus-duplicated ``n``-token window is removed from the
+      surviving documents' text (whitespace-normalized rebuild; adds
+      the window-count shuffle + one rewrite pass;
+      ``corpus_substr_tokens_removed`` counts the removals);
     - ``min_compression_ratio`` / ``max_compression_ratio``: zlib
       information-density bounds (below = template boilerplate, above =
       base64/binary junk), computed inline in the same filter pass;
@@ -121,6 +128,18 @@ def clean_corpus(
         kept_exact, verified, id_col=id_col, distributed=distributed_cc
     ).materialize()
     n_neardup = deduped.count()
+
+    # 2b (optional). ExactSubstr span removal over the survivors —
+    # rewrites text_col in place (replace_text mode preserves the full
+    # column layout) so every later gate sees the deduped text; the
+    # removal count surfaces through the cluster counters.
+    if substr_dedup_n is not None:
+        from ..functions.substr_dedup import dedup_substrings
+
+        deduped = dedup_substrings(
+            deduped, text_col=text_col, id_col=id_col, n=substr_dedup_n,
+            replace_text=True, count_key="corpus_substr_tokens_removed",
+        ).materialize()
 
     # 3+4(+gates). language + quality (+ repetition + perplexity +
     # domain) filter — every metric derives from the text column (plus
@@ -308,6 +327,8 @@ def clean_corpus(
                 [_delta("corpus_rej_classifier")], pa.int64()),
             "rej_compression": pa.array(
                 [_delta("corpus_rej_compression")], pa.int64()),
+            "substr_tokens_removed": pa.array(
+                [_delta("corpus_substr_tokens_removed")], pa.int64()),
             "rej_contaminated": pa.array(
                 [_delta("corpus_rej_contaminated")], pa.int64()),
         }

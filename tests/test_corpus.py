@@ -152,6 +152,34 @@ def test_clean_corpus_compression_gate(ray_session):
     assert stats.to_pylist()[0]["rej_compression"] == 1
 
 
+def test_clean_corpus_substr_dedup_stage(ray_session):
+    """substr_dedup_n rewrites surviving docs' text in place: a span
+    duplicated across two documents disappears from both, later gates
+    see the deduped text, and the stats row counts removed tokens."""
+    import ray.data
+
+    from scrappy_ray.functions.counters import reset_counters
+    from scrappy_ray.pipelines.corpus import clean_corpus
+
+    reset_counters()
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token planted span
+    rows = [
+        {"doc_id": 0, "text": f"the cat sat on the mat today {shared} and then it left."},
+        {"doc_id": 1, "text": f"a dog ran over the hill fast {shared} before the rain came."},
+        {"doc_id": 2, "text": "the bird has its own unique song for every single morning here."},
+    ]
+    kept, stats = clean_corpus(
+        ray.data.from_items(rows), keep_langs=("en", "und"), min_quality=0.0,
+        substr_dedup_n=6,
+    )
+    got = {r["doc_id"]: r["text"] for r in kept.take_all()}
+    assert sorted(got) == [0, 1, 2]
+    for d in (0, 1):
+        assert "alpha" not in got[d] and "zeta" not in got[d]
+    assert "unique song" in got[2]
+    assert stats.to_pylist()[0]["substr_tokens_removed"] >= 12
+
+
 def test_clean_corpus_classifier_gate(ray_session):
     """min_classifier_score gates on the learned quality classifier:
     a frozen pre-trained model drops the docs it scores low, inside the
