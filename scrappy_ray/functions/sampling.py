@@ -83,3 +83,29 @@ def stratified_sample(ds, rates: dict[str, float], strat_col: str = "source",
         return batch.filter(pa.array(_hash_bucket(ids, salt) < thrs[idx]))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def deterministic_shuffle(ds, id_col: str = "doc_id", salt: int = 0,
+                          key_col: str = "shuffle_key"):
+    """Deterministic global shuffle for training-data output order.
+
+    Pretraining wants examples in a reproducible pseudo-random order
+    (so a resumed/re-run job writes byte-identical shards), which
+    ``Dataset.random_shuffle`` cannot give. Re-keying every row with
+    the same Knuth hash the samplers use and range-sorting on
+    ``(key, id)`` yields a total order that is (a) decorrelated from
+    the input order, (b) a pure function of ``(id, salt)`` — stable
+    across runs, resumes and block layouts — and (c) executed as Ray
+    Data's distributed range-partitioned sort, i.e. one all-to-all
+    exchange, the same cost as any shuffle. The id tie-break makes the
+    order total even across hash collisions. The key column is kept in
+    the output (callers can drop it) so downstream stages and the SQL
+    oracle can verify placement without re-deriving the hash.
+    """
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column(id_col), pa.int64()), dtype=np.int64)
+        k = _hash_bucket(ids, salt).astype(np.int64)
+        return batch.append_column(key_col, pa.array(k, pa.int64()))
+
+    return ds.map_batches(keyed, batch_format="pyarrow").sort([key_col, id_col])
