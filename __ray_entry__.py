@@ -308,6 +308,26 @@ def _q_chunk_docs(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=16, overlap=4).sort(["doc_id", "chunk_id"])
 
 
+def _q_pack_sequences(sf_dir: str):
+    from scrappy_ray.functions.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_tokens=16, num_buckets=16).sort("seq_id")
+
+
+def _q_shuffle_det(sf_dir: str):
+    import numpy as np
+
+    from scrappy_ray.functions.sampling import deterministic_shuffle
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    # head-100 of the shuffled order, with explicit rank so the check is
+    # order-independent but still verifies the distributed sort's order
+    head = deterministic_shuffle(ds, salt=13).limit(100).to_pandas()
+    head["rank"] = np.arange(len(head), dtype=np.int64)
+    return head[["rank", "doc_id", "shuffle_key"]]
+
+
 def _q_perplexity(sf_dir: str):
     from scrappy_ray.functions.lm import perplexity_scores
     from scrappy_ray.pipelines.relational import round_cols
@@ -980,6 +1000,44 @@ def _q_serialize_roundtrip(sf_dir: str):
     return read_ntriples(td).sort(["s", "p", "o", "lit"])
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC sink → WARC source round trip as an oracle query: the
+    documents table becomes per-block ``.warc.gz`` shards (ISO 28500
+    response records, one gzip member each — the Common Crawl layout),
+    read back by the WARC source and projected to (doc_id, text).
+    Oracled against the documents table itself, so it freezes record
+    framing, HTTP message split, and multi-member gzip handling."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.sources.warc import read_warc, write_warc_datasink
+
+    out_dir = tempfile.mkdtemp(prefix="warc_roundtrip_", dir="/tmp")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pc.binary_join_element_wise(
+                pa.scalar("http://corpus.test/doc/"),
+                pc.cast(batch.column("doc_id"), pa.string()), pa.scalar("")),
+            "payload": pc.cast(
+                pc.fill_null(pc.cast(batch.column("text"), pa.string()), ""),
+                pa.binary()),
+        })
+
+    write_warc_datasink(docs.map_batches(to_payload, batch_format="pyarrow"),
+                        out_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.replace_substring_regex(batch.column("target_uri"), r"^.*/", ""),
+            pa.int64())
+        return pa.table({"doc_id": ids,
+                         "text": pc.cast(batch.column("payload"), pa.string())})
+
+    return read_warc(out_dir).map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_crawl_bfs(sf_dir: str):
     from scrappy_ray.pipelines.crawl_pipeline import crawl_job
 
@@ -1048,6 +1106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "punct_ratio": _q_punct_ratio,
         "repetition": _q_repetition,
         "chunk_docs": _q_chunk_docs,
+        "pack_sequences": _q_pack_sequences,
+        "shuffle_det": _q_shuffle_det,
         "perplexity": _q_perplexity,
         "value_quantiles": _q_value_quantiles,
         "pivot_events": _q_pivot_events,
@@ -1089,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,
         "main_content": _q_main_content,
         "serialize_roundtrip": _q_serialize_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_politeness": _q_crawl_politeness,
         "crawl_priority": _q_crawl_priority,
@@ -1121,6 +1182,13 @@ def _SAMPLING_SQLS() -> dict[str, str]:
                 ELSE {threshold_for(0.05)}
               END
             ORDER BY doc_id
+        """,
+        "shuffle_det": f"""
+            SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) - 1
+                     AS rank,
+                   doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key
+            FROM (SELECT doc_id, {h.format(salt=13)} AS shuffle_key FROM documents)
+            ORDER BY rank LIMIT 100
         """,
     }
 
@@ -1512,6 +1580,10 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "hash_sample": _SAMPLING_SQLS()["hash_sample"],
         "stratified_sample": _SAMPLING_SQLS()["stratified_sample"],
+        "shuffle_det": _SAMPLING_SQLS()["shuffle_det"],
+        "warc_roundtrip": """
+            SELECT doc_id, text FROM documents ORDER BY doc_id
+        """,
         "decontaminate": r"""
             WITH bench AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
                            FROM documents WHERE doc_id % 5 = 0),
@@ -1578,6 +1650,32 @@ def _oracle_sql_static() -> dict[str, str]:
                    array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk_text,
                    len(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16]) AS n_tokens
             FROM ck ORDER BY doc_id, chunk_id
+        """,
+        "pack_sequences": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text) || ' <eod>', '\s+') AS tk
+              FROM documents),
+            cnt AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+            offs AS (
+              SELECT doc_id, tk, n,
+                     CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS s
+              FROM cnt),
+            wins AS (
+              SELECT doc_id, tk, n, s,
+                     unnest(range(s // 16, ((s + n - 1) // 16) + 1)) AS seq_id
+              FROM offs),
+            parts AS (
+              SELECT seq_id, doc_id,
+                     tk[GREATEST(seq_id * 16 - s, 0) + 1 :
+                        LEAST((seq_id + 1) * 16 - s, n)] AS piece
+              FROM wins)
+            SELECT seq_id,
+                   string_agg(array_to_string(piece, ' '), ' ' ORDER BY doc_id) AS text,
+                   CAST(SUM(len(piece)) AS BIGINT) AS n_tokens
+            FROM parts GROUP BY seq_id ORDER BY seq_id
         """,
         "token_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,

@@ -255,7 +255,8 @@ def main():
     for name in ("tpch_q1", "revenue_by_priority", "dedup_exact", "dedup_minhash",
                  "dedup_simhash", "token_stats", "quality_scores", "sim_topk", "sessionize",
                  "corpus_clean", "heavy_hitters", "substr_dedup", "semantic_dedup",
-                 "quality_classify"):
+                 "quality_classify", "pack_sequences", "shuffle_det",
+                 "warc_roundtrip"):
         t = time.perf_counter()
         _consume(E.queries()[name](SF_DIR))
         queries[name] = round(time.perf_counter() - t, 3)

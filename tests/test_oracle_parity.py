@@ -19,7 +19,7 @@ FAST_QUERIES = [
     "range_join", "asof_join", "top_per_group", "pivot_events", "value_quantiles",
     "top_ngrams", "perplexity", "paragraph_dedup", "decontaminate", "tfidf_topk",
     "heavy_hitters", "heavy_hitters_by_group", "substr_dedup",
-    "incremental_dedup",
+    "incremental_dedup", "pack_sequences", "shuffle_det", "warc_roundtrip",
 ]
 
 
