@@ -961,6 +961,157 @@ def _q_normalize_text(sf_dir: str):
     return ds.map_batches(mess_and_norm, batch_format="pyarrow").sort("doc_id")
 
 
+# ------------------------------------------------------------- link graph
+
+
+def _synth_edges(sf_dir: str):
+    """Deterministic link graph over doc_ids — ring (src → src+1 mod N,
+    so every node has out- AND in-degree ≥ 1: the SQL oracle then needs
+    no dangling-mass or missing-node terms) plus 0–3 arithmetic extras
+    per node; DISTINCT to mirror the oracle's edge-set semantics."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.dedup import _distinct
+
+    n = _read_table(sf_dir, "documents", columns=["doc_id"]).num_rows
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("doc_id"), pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        srcs, dsts = [d], [(d + 1) % n]
+        for i in (1, 2, 3):
+            m = (d % 3) >= i
+            srcs.append(d[m])
+            dsts.append((d[m] * 31 + i * 17) % n)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    edges = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    return _distinct(edges, ["src", "dst"])
+
+
+_PR_DAMP, _PR_ITERS, _PR_IROUND = 0.85, 10, 9
+
+
+def _q_pagerank(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.graph import pagerank
+
+    n = _read_table(sf_dir, "documents", columns=["doc_id"]).num_rows
+    nodes = _read(sf_dir, "documents", columns=["doc_id"])
+    ranks = pagerank(
+        _synth_edges(sf_dir),
+        nodes,
+        node_col="doc_id",
+        damping=_PR_DAMP,
+        iters=_PR_ITERS,
+        iter_round=_PR_IROUND,
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # ranks ~1/N don't survive a fixed-digit final round; report the
+        # N-normalized rank (mean 1.0) quantized to 1e-6 — via integer
+        # scaling (round(x·1e6, 0)/1e6), NOT round(x, 6): engines pick
+        # different adjacent doubles for the same unrepresentable
+        # rounded decimal (same failure mode _graph_sqls documents)
+        r = pc.divide(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(batch.column("rank"), pa.scalar(float(n))),
+                    pa.scalar(1e6),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.scalar(1e6),
+        )
+        return pa.table({"node": batch.column("node"), "rank_norm": r})
+
+    return ranks.map_batches(norm, batch_format="pyarrow").sort("node")
+
+
+def _q_graph_degrees(sf_dir: str):
+    from scrappy_ray.functions.graph import degree_table
+
+    return degree_table(_synth_edges(sf_dir)).sort("node")
+
+
+_EDGES_SQL = """
+    nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS c, count(*)::DOUBLE AS n FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT node AS src, (node + 1) % (SELECT c FROM nn) AS dst FROM nodes
+        UNION ALL
+        SELECT node AS src, (node * 31 + i * 17) % (SELECT c FROM nn) AS dst
+        FROM nodes CROSS JOIN generate_series(1, 3) t(i)
+        WHERE i <= node % 3
+      ) WHERE src != dst
+    )"""
+
+
+def _graph_sqls() -> dict[str, str]:
+    """PageRank as unrolled CTEs (one per power iteration) — DuckDB's
+    recursive CTEs disallow referencing the working table inside the
+    aggregate+outer-join step, so the fixed iteration count is unrolled.
+    The arithmetic mirrors functions/graph.py::pagerank quantized mode
+    EXACTLY: ranks are exact integer "units" (multiples of 10^-{ir}),
+    per-edge contributions are rounded to whole units BEFORE the sum
+    (integer sums are order-independent — plain double sums differ in
+    the last ulp between engines/block layouts and flip quantization
+    ties), and every literal is ::DOUBLE (bare `0.85` is a DuckDB
+    DECIMAL: `(1 - 0.85)/n` in exact decimal arithmetic yields a
+    different teleport double than IEEE `(1.0 - 0.85)/n` — a 1-ulp
+    gap that flips ties, measured at sf0.01 node 483)."""
+    scale = f"{10.0 ** _PR_IROUND:.1f}::DOUBLE"
+    damp = f"{_PR_DAMP!r}::DOUBLE"
+    # teleport in units, evaluated with the same op order as the Python
+    # driver: ((1.0 - d) / n) * scale
+    tele = f"((1.0::DOUBLE - {damp}) / (SELECT n FROM nn)) * {scale}"
+    parts = [
+        "WITH " + _EDGES_SQL + ",",
+        "    deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),",
+        "    wedges AS (SELECT e.src, e.dst, 1.0::DOUBLE / d.outdeg AS w"
+        " FROM edges e JOIN deg d ON d.src = e.src),",
+        f"    pr0 AS (SELECT node, round({scale} / (SELECT n FROM nn), 0)"
+        " AS rank FROM nodes),",
+    ]
+    for k in range(_PR_ITERS):
+        parts.append(
+            f"""    pr{k + 1} AS (
+      SELECT n2.node,
+             round({tele}
+                    + {damp} * coalesce(c.contrib, 0.0::DOUBLE), 0) AS rank
+      FROM nodes n2 LEFT JOIN (
+        SELECT e.dst AS node, sum(round(p.rank * e.w, 0)) AS contrib
+        FROM pr{k} p JOIN wedges e ON e.src = p.node
+        GROUP BY e.dst) c ON c.node = n2.node),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, round(((rank / {scale}) * (SELECT n FROM nn))"
+        f" * 1000000.0::DOUBLE, 0) / 1000000.0::DOUBLE AS rank_norm"
+        f" FROM pr{_PR_ITERS} ORDER BY node"
+    )
+    return {
+        "pagerank": "\n".join(parts),
+        "graph_degrees": "WITH "
+        + _EDGES_SQL
+        + """
+    SELECT node, CAST(SUM(out_d) AS BIGINT) AS out_degree,
+           CAST(SUM(in_d) AS BIGINT) AS in_degree
+    FROM (SELECT src AS node, 1 AS out_d, 0 AS in_d FROM edges
+          UNION ALL SELECT dst, 0, 1 FROM edges)
+    GROUP BY node ORDER BY node""",
+    }
+
+
 # ----------------------------------------------------------------- crawl
 
 
@@ -1150,6 +1301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": _q_main_content,
         "serialize_roundtrip": _q_serialize_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "pagerank": _q_pagerank,
+        "graph_degrees": _q_graph_degrees,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_politeness": _q_crawl_politeness,
         "crawl_priority": _q_crawl_priority,
@@ -1305,6 +1458,7 @@ def _golden_oracle_sqls() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     out.update(_lang_quality_sqls())
+    out.update(_graph_sqls())
     out.update(_golden_oracle_sqls())
     return out
 

@@ -1,0 +1,265 @@
+"""Link-graph analytics over distributed edge lists: degrees + PageRank.
+
+Why this lives here: the reference is a web crawler (SURVEY §2.4
+C1–C11, reference `lib/scrappy/agent/agent.rb` crawl loop), and the
+natural companion of a web-scale crawl is link-graph scoring — the
+priority frontier (`crawl/priority.py`) consumes any per-URL score, and
+PageRank over the discovered link graph is the canonical one
+(Page/Brin/Motwani/Winograd 1998, "The PageRank citation ranking").
+
+100 TB design notes
+-------------------
+- Edges are a Dataset of ``(src, dst)`` rows and never leave the
+  cluster. Out-degrees are one groupby-count over src; the weighted
+  edge table ``(src, dst, w=1/outdeg)`` is built by ONE distributed
+  hash join and reused by every power iteration.
+- Each iteration is: hash join (weighted edges ⋈ ranks on src) → a
+  cheap vectorized multiply → union with the zero-contribution node
+  base → one groupby-sum over dst. Two all-to-alls over O(E) rows per
+  iteration — the unavoidable cost of topology-driven propagation —
+  plus O(V) rank rows materialized in the object store between
+  iterations (same order as the crawl seen-set; spillable). Driver
+  state is scalars only (total rank / dangling mass), never a
+  per-node structure.
+- Dangling mass (rank held by zero-out-degree nodes) is redistributed
+  uniformly. The dangler table is found ONCE (left-anti of nodes vs
+  out-degrees); each iteration sums ranks over it — exactly zero work
+  when the graph has no danglers.
+- ``iter_round=k`` runs the iteration on exact integer unit ranks
+  (multiples of 10^-k) with per-edge contributions rounded to whole
+  units, making every groupby-sum order-independent — this is what
+  makes a value-hash SQL oracle possible for an iterative float
+  algorithm (see ``pagerank``'s docstring for the failure modes of
+  plain per-iteration decimal rounding, all measured).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..common import drop_empty_blocks
+
+
+def out_degrees(edges, src: str = "src"):
+    """Per-source out-degree: one groupby-count. Columns: (src, out_degree)."""
+    return edges.groupby(src).aggregate(Count(alias_name="out_degree"))
+
+
+def degree_table(edges, src: str = "src", dst: str = "dst"):
+    """Per-node in/out degree. One union + one groupby (no join): each
+    edge contributes an (node, 1, 0) row for its src and (node, 0, 1)
+    for its dst; missing directions come out as 0, so isolated-in-one-
+    direction nodes appear without a second outer-join pass."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        one = pa.array([1] * n, pa.int64())
+        zero = pa.array([0] * n, pa.int64())
+        s = pa.table({"node": pc.cast(batch.column(src), pa.int64()), "out_d": one, "in_d": zero})
+        d = pa.table({"node": pc.cast(batch.column(dst), pa.int64()), "out_d": zero, "in_d": one})
+        return pa.concat_tables([s, d])
+
+    return (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("out_d", alias_name="out_degree"), Sum("in_d", alias_name="in_degree"))
+    )
+
+
+def weighted_edges(edges, src: str = "src", dst: str = "dst", num_partitions: int = 8):
+    """(src, dst, w=1.0/outdeg(src)) — the join is done ONCE here and the
+    result reused by every PageRank iteration (10 iterations over 100 TB
+    of edges must not pay 10 degree joins)."""
+    deg = out_degrees(edges, src)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        w = pc.divide(pa.scalar(1.0), pc.cast(batch.column("out_degree"), pa.float64()))
+        return pa.table(
+            {
+                "src": pc.cast(batch.column(src), pa.int64()),
+                "dst": pc.cast(batch.column(dst), pa.int64()),
+                "w": w,
+            }
+        )
+
+    joined = drop_empty_blocks(edges).join(
+        drop_empty_blocks(deg), join_type="inner", num_partitions=num_partitions, on=(src,)
+    )
+    return joined.map_batches(weigh, batch_format="pyarrow")
+
+
+def pagerank(
+    edges,
+    nodes=None,
+    *,
+    damping: float = 0.85,
+    iters: int = 10,
+    iter_round: int | None = 9,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    num_partitions: int = 8,
+):
+    """Distributed PageRank power iteration; returns (node, rank) with
+    Σ rank ≈ 1. ``nodes`` is the node universe (Dataset with
+    ``node_col``); when None it is derived as distinct(src ∪ dst) —
+    one extra shuffle, so pass it when the caller already knows it
+    (a crawl knows its URL universe from the seen-set).
+
+    rank'(v) = (1−d)/n + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/n)
+
+    ``iter_round=k`` switches to QUANTIZED iteration for cross-engine /
+    cross-run bit-reproducibility (the SQL-oracle mode): ranks are
+    stored as exact integer multiples of 10^-k ("units") and every edge
+    contribution is rounded to a whole unit BEFORE the groupby-sum.
+    Integer sums below 2^53 are exact and therefore ORDER-INDEPENDENT —
+    plain float sums differ in the last ulp between engines/block
+    layouts, and a 1-ulp difference at a quantization tie (common here:
+    w = 1/2 or 1/4 puts contributions exactly on half-unit boundaries)
+    flips a rank and cascades. Cost: ≤½ unit of mass leak per edge per
+    iteration (10^-9 relative at k=9) — irrelevant to ranking.
+    ``iter_round=None`` is the textbook float iteration.
+    """
+    if nodes is None:
+
+        def both_ends(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    node_col: pa.concat_arrays(
+                        [
+                            pc.cast(batch.column(src), pa.int64()).combine_chunks(),
+                            pc.cast(batch.column(dst), pa.int64()).combine_chunks(),
+                        ]
+                    )
+                }
+            )
+
+        nodes = (
+            edges.map_batches(both_ends, batch_format="pyarrow")
+            .groupby(node_col)
+            .aggregate(Count(alias_name="_c"))
+            .select_columns([node_col])
+        )
+
+    # Zero-contribution base rows: unioned into every iteration's
+    # groupby so nodes with no in-links keep a row (teleport-only rank)
+    # without a per-iteration outer join.
+    def zero_part(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(batch.column(node_col), pa.int64()),
+                "part": pa.array([0.0] * batch.num_rows, pa.float64()),
+            }
+        )
+
+    zeros = nodes.map_batches(zero_part, batch_format="pyarrow").materialize()
+    n = zeros.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
+
+    we = weighted_edges(edges, src, dst, num_partitions).materialize()
+
+    # Dangling mass is computed STRUCTURALLY — the unit-sum of nodes
+    # with outdeg 0, found ONCE up front — never as a float difference
+    # of totals (in quantized mode the per-edge rounding leak would be
+    # indistinguishable from real dangling mass, and in float mode a
+    # noise threshold would be needed). The per-iteration cost is one
+    # join against the (usually tiny or empty) dangler table.
+    danglers = (
+        drop_empty_blocks(zeros)
+        .join(
+            drop_empty_blocks(we.groupby("src").aggregate(Count(alias_name="_d"))),
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("node",),
+            right_on=("src",),
+        )
+        .map_batches(
+            lambda b: b.filter(pc.is_null(b.column("_d"))).select(["node"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    # the filter leaves 0-row (schema-degraded) blocks that break the
+    # per-iteration join's right-side key resolution — drop them once
+    danglers = drop_empty_blocks(danglers)
+    n_danglers = danglers.count()
+
+    quant = iter_round is not None
+    scale = 10.0 ** iter_round if quant else 1.0
+    # the "rank" column holds exact integer UNITS in quantized mode
+    init = scale / n
+    teleport = ((1.0 - damping) / n) * scale
+
+    def seed(batch: pa.Table) -> pa.Table:
+        r = pa.array([init] * batch.num_rows, pa.float64())
+        if quant:
+            r = pc.round(r, ndigits=0, round_mode="half_towards_infinity")
+        return pa.table({"node": batch.column("node"), "rank": r})
+
+    ranks = zeros.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        contrib = drop_empty_blocks(we).join(
+            drop_empty_blocks(ranks),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+
+        def part(batch: pa.Table) -> pa.Table:
+            p = pc.multiply(batch.column("w"), batch.column("rank"))
+            if quant:  # whole units: exact int64-range doubles sum exactly
+                p = pc.round(p, ndigits=0, round_mode="half_towards_infinity")
+            return pa.table({"node": batch.column("dst"), "part": p})
+
+        parts = (
+            contrib.map_batches(part, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("node")
+            .aggregate(Sum("part", alias_name="contrib"))
+            .materialize()
+        )
+        dangling = 0.0
+        if n_danglers:
+            dangling = (
+                drop_empty_blocks(ranks)
+                .join(
+                    danglers,
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("node",),
+                )
+                .sum("rank")
+                or 0.0
+            )
+        bump = teleport + damping * dangling / n
+
+        def update(batch: pa.Table) -> pa.Table:
+            r = pc.add(
+                pa.scalar(bump), pc.multiply(pa.scalar(damping), batch.column("contrib"))
+            )
+            if quant:
+                r = pc.round(r, ndigits=0, round_mode="half_towards_infinity")
+            return pa.table({"node": batch.column("node"), "rank": r})
+
+        ranks = parts.map_batches(update, batch_format="pyarrow").materialize()
+
+    if not quant:
+        return ranks
+
+    def unscale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pc.divide(batch.column("rank"), pa.scalar(scale)),
+            }
+        )
+
+    return ranks.map_batches(unscale, batch_format="pyarrow")
