@@ -106,7 +106,11 @@ def main(argv=None):
             [("s", "ascending"), ("p", "ascending"), ("o", "ascending")]
         ).to_pylist()
     ]
-    sys.stdout.write(serialize(triples, args.format))
+    out = serialize(triples, args.format)
+    if isinstance(out, bytes):  # png — the one binary serializer
+        sys.stdout.buffer.write(out)
+    else:
+        sys.stdout.write(out)
     if args.dump:
         rows = pads.dataset(
             [f for r in res.manifest["rounds"] for f in __import__("glob").glob(

@@ -39,6 +39,8 @@ CONTENT_TYPES = {
     "ejson": "application/json",
     "ntriples": "text/plain",
     "yarf": "text/plain",
+    "dot": "text/vnd.graphviz",
+    "png": "image/png",  # server.rb png content type; rendered by sources/pngraph.py
 }
 
 
@@ -141,7 +143,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(404, {"error": f"url not in pages table: {url}"})
         out = serialize([(s, p, str(o), lit) for s, p, o, lit in triples], fmt)
         callback = q.get("callback")
-        if callback:  # JSONP (server.rb:36)
+        if callback and isinstance(out, str):  # JSONP (server.rb:36) — text formats only
             return self._send(200, f"{callback}({out})", "application/javascript")
         self._send(200, out, CONTENT_TYPES.get(fmt, "text/plain"))
 

@@ -5,10 +5,10 @@ ejson / png (/root/reference/lib/scrappy/agent/agent.rb:11-13 via
 lightrdf). Here: N-Triples (canonical interchange), RDF/XML (the
 interchange format RDF consumers request — with a round-trip parser),
 JSON (s→p→[o]), ejson (RDF/JSON-shaped: expanded URIs + typed object
-terms), YARF-style compact text, and graphviz DOT (the graph source
-behind the reference's png; rendering itself needs graphviz, absent
-here, so ``png`` is a documented stub). Parquet is the canonical sink
-(SURVEY.md §1.5).
+terms), YARF-style compact text, graphviz DOT (the graph source behind
+the reference's png), and ``png`` itself — rasterized by
+``sources/pngraph.py`` (pure stdlib + numpy; graphviz is absent here).
+Parquet is the canonical sink (SURVEY.md §1.5).
 
 ``write_ntriples`` is a partitioned, task-parallel text sink (one .nt
 shard per input block — resumable layout, never one giant file).
@@ -234,12 +234,30 @@ def triples_to_dot(rows, prefixes: dict | None = None) -> str:
     return "\n".join(out) + "\n"
 
 
-def _png_stub(rows):
-    raise NotImplementedError(
-        "png rendering needs graphviz, which is not in this container; "
-        "use -f dot for the same graph's DOT source (pipe through "
-        "`dot -Tpng` where graphviz is available)"
-    )
+def triples_to_png(rows) -> bytes:
+    """Raster of the same graph ``triples_to_dot`` describes (reference
+    agent.rb:12 renders the DOT via graphviz; absent here, so
+    sources/pngraph.py rasterizes it directly — pure stdlib + numpy).
+    Returns PNG bytes; graphs beyond pngraph.MAX_TRIPLES are truncated
+    (an interactive raster, not a corpus sink — use ntriples/parquet
+    for data)."""
+    from .pngraph import MAX_TRIPLES, render_graph_png
+
+    nodes: dict[str, int] = {}
+    labels: list[tuple[str, bool]] = []
+    edges = []
+
+    def node_idx(label: str, lit: bool) -> int:
+        key = ("L:" if lit else "R:") + label
+        if key not in nodes:
+            nodes[key] = len(labels)
+            labels.append((label, lit))
+        return nodes[key]
+
+    for r in list(rows)[:MAX_TRIPLES]:
+        s, p, o, lit = (r["s"], r["p"], r["o"], r["lit"]) if isinstance(r, dict) else r
+        edges.append((node_idx(s, False), node_idx(str(o), bool(lit)), p))
+    return render_graph_png(labels, edges)
 
 
 SERIALIZERS = {
@@ -250,11 +268,11 @@ SERIALIZERS = {
     "rdfxml": lambda rows: triples_to_rdfxml(rows),
     "rdf": lambda rows: triples_to_rdfxml(rows),
     "dot": lambda rows: triples_to_dot(rows),
-    "png": _png_stub,
+    "png": triples_to_png,  # the one serializer returning bytes
 }
 
 
-def serialize(rows, fmt: str = "ntriples") -> str:
+def serialize(rows, fmt: str = "ntriples") -> str | bytes:
     try:
         return SERIALIZERS[fmt](rows)
     except KeyError:
@@ -372,7 +390,8 @@ def dump_per_url(extraction_rows, dump_dir: str, fmt: str = "ntriples") -> list[
             .replace("/", "-").replace(".", "_").replace("?", "+").replace("&", "+")
         ) + f".{fmt}"
         path = os.path.join(dump_dir, name)
-        with open(path, "w") as f:
-            f.write(serialize([(t["s"], t["p"], t["o"], t["lit"]) for t in triples], fmt))
+        out = serialize([(t["s"], t["p"], t["o"], t["lit"]) for t in triples], fmt)
+        with open(path, "wb" if isinstance(out, bytes) else "w") as f:
+            f.write(out)
         written.append(path)
     return written
