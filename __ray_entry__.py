@@ -787,6 +787,18 @@ def _q_lang_id(sf_dir: str):
     return lang_id(ds).select_columns(["doc_id", "lang_pred"]).sort("doc_id")
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """Learned-BPE tokenizer: ONE distributed word-type count trains the
+    merge table (driver work O(word types), Zipf-bounded); encoding is a
+    cached actor-pool pass (functions/bpe.py). Deterministic (exact
+    counts, smallest-pair-key tie-break) → golden-oracled."""
+    from scrappy_ray.functions.bpe import bpe_token_stats, learn_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = learn_bpe(ds, num_merges=200, min_count=2)
+    return bpe_token_stats(ds, merges, concurrency=2).sort("doc_id")
+
+
 def _q_fingerprint(sf_dir: str):
     from scrappy_ray.functions.textstats import fingerprint
 
@@ -1289,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "bpe_tokens": _q_bpe_tokens,
         "quality_scores": _q_quality,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1425,6 +1438,7 @@ _GOLDEN_ORACLES = {
     "quality_classify": "ORDER BY doc_id",
     "semantic_dedup": "ORDER BY vec_id",
     "fingerprint": "ORDER BY doc_id",
+    "bpe_tokens": "ORDER BY doc_id",
     "dedup_simhash": "ORDER BY id_a, id_b",
     "dedup_minhash": "ORDER BY id_a, id_b",
     "dedup_embedding": "ORDER BY id_a, id_b",
