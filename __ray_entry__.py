@@ -163,6 +163,30 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ds, gap_minutes=30).sort("user_id")
 
 
+def _q_rolling_window(sf_dir: str):
+    """Per-user ordered analytic window (trailing moving average,
+    LAG, running sum) — groupby(user).map_groups with vectorized
+    shifted adds (pipelines/relational.py::rolling_window); oracled
+    against DuckDB window functions over the identical frame."""
+    from scrappy_ray.pipelines.relational import rolling_window
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = rolling_window(
+        ds, "user_id", "ts", "value", "event_id", window=4, lag=1, digits=ROUND
+    )
+
+    def nullfree(batch: pa.Table) -> pa.Table:
+        # hash-oracle hygiene: LAG's leading null becomes a sentinel so
+        # the value compare never meets NaN (library semantics keep the
+        # null; only this oracled surface coalesces)
+        import pyarrow.compute as pc
+
+        i = batch.column_names.index("lag_value")
+        return batch.set_column(i, "lag_value", pc.fill_null(batch.column("lag_value"), -1.0))
+
+    return out.map_batches(nullfree, batch_format="pyarrow").sort(["user_id", "event_id"])
+
+
 def _q_events_window(sf_dir: str):
     """Tumbling 6-hour window aggregate — the batch expression of a
     stream window (ray_guide.md 'Streaming-shaped workloads'): window =
@@ -1256,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "distinct_event_types": _q_distinct_event_types,
         "sessionize": _q_sessionize,
+        "rolling_window": _q_rolling_window,
         "events_window": _q_events_window,
         "filter_pushdown": _q_filter_pushdown,
         "mktsegment": _q_mktsegment,
@@ -1526,6 +1551,17 @@ def _oracle_sql_static() -> dict[str, str]:
                      epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
               FROM events
             ) t GROUP BY user_id ORDER BY user_id
+        """,
+        "rolling_window": f"""
+            SELECT user_id, event_id,
+                   ROUND(AVG(value) OVER w, {ROUND}) AS mavg,
+                   COALESCE(LAG(value, 1) OVER w, -1.0) AS lag_value,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), {ROUND}) AS running_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id
         """,
         "events_window": f"""
             SELECT epoch_us(ts) // 21600000000 AS win, event_type,

@@ -336,3 +336,57 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
         return pa.table(cols)
 
     return ds.groupby(group_col).map_groups(quant, batch_format="pyarrow")
+
+
+def rolling_window(ds, key_col: str, order_col: str, value_col: str,
+                   id_col: str, window: int = 4, lag: int = 1,
+                   digits: int = 4):
+    """Per-key ordered window functions — the SQL
+    ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`` moving average,
+    ``LAG(value, lag)`` and the running sum — as
+    ``groupby(key).map_groups`` with vectorized shifted adds per group
+    (the Dataset-API expression of an ordered analytic window; Ray Data
+    has no native one).
+
+    Ordering ties on ``order_col`` break on ``id_col`` so the result is
+    deterministic and matches an oracle that orders the same way. The
+    moving sum is built by adding the ``window`` shifted value arrays in
+    increasing-index order (not a cumsum difference) so the float
+    addition order is the in-frame order an incremental engine uses.
+    Partitioning assumption (same as asof_join/group_quantiles): one
+    key's rows fit one worker — salt hotter keys."""
+    if window < 1 or lag < 1:
+        raise ValueError("window and lag must be >= 1")
+
+    def win(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(order_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(order)
+        v = np.asarray(pc.cast(g.column(value_col), pa.float64()))
+        n = len(v)
+        # moving sum over the trailing frame, shifted adds oldest-first
+        msum = np.zeros(n, np.float64)
+        for s in range(window - 1, -1, -1):
+            msum[s:] += v[: n - s] if s else v
+        cnt = np.minimum(np.arange(n) + 1, window)
+        mavg = msum / cnt
+        lagv = np.full(n, np.nan)
+        if n > lag:
+            lagv[lag:] = v[: n - lag]
+        run = np.cumsum(v)
+        return round_cols(
+            pa.table(
+                {
+                    key_col: g.column(key_col),
+                    id_col: g.column(id_col),
+                    "mavg": pa.array(mavg, pa.float64()),
+                    "lag_value": pa.array(lagv, pa.float64(), mask=np.isnan(lagv)),
+                    "running_sum": pa.array(run, pa.float64()),
+                }
+            ),
+            ["mavg", "running_sum"],
+            digits,
+        )
+
+    return ds.groupby(key_col).map_groups(win, batch_format="pyarrow")

@@ -410,3 +410,33 @@ def test_ivf_balanced_lists_on_sorted_layout():
         b1 = brute[(brute.query_id == q) & (brute["rank"] == 1)]["neighbor_id"].tolist()
         hits += bool(b1 and b1[0] in ivf[ivf.query_id == q]["neighbor_id"].tolist())
     assert hits >= 5
+
+
+def test_rolling_window_semantics(ray_session):
+    import ray.data
+    from scrappy_ray.pipelines.relational import rolling_window
+
+    tbl = pa.table(
+        {
+            "user_id": [1, 1, 1, 1, 1, 2, 2],
+            "ts": [10, 20, 20, 30, 40, 5, 15],  # tie at ts=20
+            "event_id": [100, 102, 101, 103, 104, 200, 201],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0],
+        }
+    )
+    out = (
+        rolling_window(ray.data.from_arrow(tbl), "user_id", "ts", "value",
+                       "event_id", window=3, lag=1)
+        .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    )
+    # user 1 order by (ts, event_id): 100(1.0) 101(3.0) 102(2.0) 103(4.0) 104(5.0)
+    u1 = out[out.user_id == 1].set_index("event_id")
+    assert u1.loc[101, "lag_value"] == 1.0  # tie broken by event_id
+    assert u1.loc[102, "lag_value"] == 3.0
+    assert u1.loc[100, "mavg"] == 1.0
+    assert u1.loc[102, "mavg"] == 2.0           # (1+3+2)/3
+    assert u1.loc[104, "mavg"] == pytest.approx((2 + 4 + 5) / 3, abs=1e-4)
+    assert u1.loc[104, "running_sum"] == 15.0
+    u2 = out[out.user_id == 2].set_index("event_id")
+    assert np.isnan(u2.loc[200, "lag_value"])   # first row: LAG is null
+    assert u2.loc[201, "mavg"] == 15.0          # frame shorter than window
