@@ -316,6 +316,16 @@ def _q_punct_ratio(sf_dir: str):
     return round_cols(out, ["punct_ratio", "digit_ratio"], 6)
 
 
+def _q_gopher_rules(sf_dir: str):
+    """Gopher filter-rule set (Rae et al. '21): per-doc published
+    quality signals + conjunctive keep verdict, one streaming Arrow
+    pass (functions/textstats.py::gopher_stats)."""
+    from scrappy_ray.functions.textstats import gopher_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_stats(ds, digits=ROUND).sort("doc_id")
+
+
 def _q_repetition(sf_dir: str):
     from scrappy_ray.functions.textstats import repetition_stats
     from scrappy_ray.pipelines.relational import round_cols
@@ -1293,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "punct_ratio": _q_punct_ratio,
         "repetition": _q_repetition,
+        "gopher_rules": _q_gopher_rules,
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
         "shuffle_det": _q_shuffle_det,
@@ -1632,6 +1643,40 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g')) AS normalized
             FROM messy ORDER BY doc_id
+        """,
+        "gopher_rules": rf"""
+            WITH docs AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks,
+                     str_split(coalesce(text, ''), chr(10)) AS lines
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(toks) AS n_words,
+                ROUND(list_aggregate(list_transform(toks, w -> len(w)), 'sum')::DOUBLE
+                      / greatest(len(toks), 1), {ROUND}) AS mean_word_len,
+                ROUND(((len(text) - len(replace(text, '#', '')))
+                     + (len(text) - len(replace(text, '…', '')))
+                     + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE
+                      / greatest(len(toks), 1), {ROUND}) AS symbol_ratio,
+                ROUND(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                      / greatest(len(toks), 1), {ROUND}) AS alpha_word_frac,
+                (list_contains(toks, 'the')::INT + list_contains(toks, 'be')::INT
+                 + list_contains(toks, 'to')::INT + list_contains(toks, 'of')::INT
+                 + list_contains(toks, 'and')::INT + list_contains(toks, 'that')::INT
+                 + list_contains(toks, 'have')::INT + list_contains(toks, 'with')::INT
+                )::BIGINT AS n_required_stops,
+                ROUND(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
+                      / greatest(len(lines), 1), {ROUND}) AS bullet_line_frac,
+                ROUND(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE
+                      / greatest(len(lines), 1), {ROUND}) AS ellipsis_line_frac
+              FROM docs)
+            SELECT *,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                    AND n_required_stops >= 2 AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3) AS keep
+            FROM s ORDER BY doc_id
         """,
         "repetition": r"""
             WITH docs AS (SELECT doc_id, text,

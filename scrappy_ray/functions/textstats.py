@@ -353,3 +353,110 @@ def chunk_documents(ds, text_col="text", id_col="doc_id",
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+# the 8 Gopher "required words" (Rae et al. '21 §A1.1.2, public) — a doc
+# must contain >= 2 distinct ones
+_GOPHER_REQ = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_REQ_ARRS = [pa.array([w], pa.string()) for w in _GOPHER_REQ]
+
+
+def gopher_stats(ds, text_col="text", id_col="doc_id", min_words=50,
+                 max_words=100_000, min_mean_wl=3.0, max_mean_wl=10.0,
+                 max_symbol_ratio=0.1, min_alpha_frac=0.8, min_req_stops=2,
+                 max_bullet_frac=0.9, max_ellipsis_frac=0.3, digits=4):
+    """Gopher-style composite quality rules (Rae et al. '21): per-doc
+    signals + one conjunctive ``keep`` verdict, all Arrow/numpy kernels
+    in a single streaming pass (thresholds compare ROUNDED ratios so
+    the verdict is reproducible across engines). Complements
+    ``quality_scores`` (scores) with the published filter-rule set."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _TOKEN_SPLIT)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        n = len(n_words)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        wl = np.asarray(pc.utf8_length(flat), dtype=np.float64)
+        tot_wl = np.bincount(doc_idx, weights=wl, minlength=n)
+        mean_wl = tot_wl / np.maximum(n_words, 1)
+        alpha = np.asarray(
+            pc.match_substring_regex(flat, "[A-Za-z]"), dtype=np.float64
+        )
+        alpha_frac = np.bincount(doc_idx, weights=alpha, minlength=n) / np.maximum(
+            n_words, 1
+        )
+        # distinct required-word presence: 8 equality kernels, each
+        # reduced per doc by a bincount of the hit mask
+        req = np.zeros(n, np.int64)
+        for arr in _GOPHER_REQ_ARRS:
+            hit = np.asarray(pc.is_in(flat, value_set=arr), dtype=np.float64)
+            req += (np.bincount(doc_idx, weights=hit, minlength=n) > 0).astype(np.int64)
+        # symbol-to-word ratio: '#' + ellipsis occurrences per word
+        n_sym = (
+            np.asarray(pc.count_substring(text, "#"), dtype=np.float64)
+            + np.asarray(pc.count_substring(text, "…"), dtype=np.float64)
+            + np.asarray(pc.count_substring(text, "..."), dtype=np.float64)
+        )
+        symbol_ratio = n_sym / np.maximum(n_words, 1)
+        # line-shape rules
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        n_lines = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+        lflat = pc.list_flatten(lines)
+        if isinstance(lflat, pa.ChunkedArray):
+            lflat = lflat.combine_chunks()
+        l_idx = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+        bullet = np.asarray(
+            pc.match_substring_regex(lflat, r"^\s*[-*•]"), dtype=np.float64
+        )
+        ellip = np.asarray(
+            pc.match_substring_regex(lflat, r"(\.\.\.|…)\s*$"), dtype=np.float64
+        )
+        bullet_frac = np.bincount(l_idx, weights=bullet, minlength=n) / np.maximum(
+            n_lines, 1
+        )
+        ellipsis_frac = np.bincount(l_idx, weights=ellip, minlength=n) / np.maximum(
+            n_lines, 1
+        )
+
+        def r(x):  # DuckDB ROUND semantics (half away from zero)
+            return np.asarray(
+                pc.round(pa.array(x, pa.float64()), ndigits=digits,
+                         round_mode="half_towards_infinity"),
+                dtype=np.float64,
+            )
+        mean_wl, alpha_frac = r(mean_wl), r(alpha_frac)
+        symbol_ratio, bullet_frac, ellipsis_frac = (
+            r(symbol_ratio), r(bullet_frac), r(ellipsis_frac),
+        )
+        keep = (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (alpha_frac >= min_alpha_frac)
+            & (req >= min_req_stops)
+            & (bullet_frac <= max_bullet_frac)
+            & (ellipsis_frac <= max_ellipsis_frac)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_words": pa.array(n_words, pa.int64()),
+                "mean_word_len": pa.array(mean_wl, pa.float64()),
+                "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+                "alpha_word_frac": pa.array(alpha_frac, pa.float64()),
+                "n_required_stops": pa.array(req, pa.int64()),
+                "bullet_line_frac": pa.array(bullet_frac, pa.float64()),
+                "ellipsis_line_frac": pa.array(ellipsis_frac, pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

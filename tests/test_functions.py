@@ -440,3 +440,24 @@ def test_rolling_window_semantics(ray_session):
     u2 = out[out.user_id == 2].set_index("event_id")
     assert np.isnan(u2.loc[200, "lag_value"])   # first row: LAG is null
     assert u2.loc[201, "mavg"] == 15.0          # frame shorter than window
+
+
+def test_gopher_stats_rules(ray_session):
+    import ray.data
+    from scrappy_ray.functions.textstats import gopher_stats
+
+    good = "the cat and the dog have fun with all of that " * 6  # 66 words
+    bullets = "- one\n- two\n- three\nplain"
+    symbols = "the of ### and ### that have … with … more #"
+    tbl = pa.table({"doc_id": [1, 2, 3, 4],
+                    "text": [good, bullets, symbols, ""]})
+    out = (gopher_stats(ray.data.from_arrow(tbl), min_words=10)
+           .to_pandas().set_index("doc_id"))
+    assert bool(out.loc[1, "keep"])
+    assert out.loc[1, "n_required_stops"] >= 2
+    assert out.loc[2, "bullet_line_frac"] == 0.75
+    assert not bool(out.loc[2, "keep"])           # too few words
+    assert out.loc[3, "symbol_ratio"] > 0.1       # '#' + ellipsis heavy
+    assert not bool(out.loc[3, "keep"])
+    assert out.loc[4, "n_words"] == 1             # '' splits to ['']
+    assert not bool(out.loc[4, "keep"])

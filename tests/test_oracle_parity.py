@@ -20,7 +20,7 @@ FAST_QUERIES = [
     "top_ngrams", "perplexity", "paragraph_dedup", "decontaminate", "tfidf_topk",
     "heavy_hitters", "heavy_hitters_by_group", "substr_dedup",
     "incremental_dedup", "pack_sequences", "shuffle_det", "warc_roundtrip",
-    "pagerank", "graph_degrees", "rolling_window",
+    "pagerank", "graph_degrees", "rolling_window", "gopher_rules",
 ]
 
 
