@@ -733,6 +733,18 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(ds, rate=0.25, salt=7).sort("doc_id")
 
 
+def _q_mix_corpus(sf_dir: str):
+    """Deterministic epoch-weighted mixing (up-sampling rates > 1):
+    src0 at 2.5 epochs, src1 at 1, src2 at 0.25, everything else
+    dropped — one streaming pass (functions/sampling.py::mix_corpus)."""
+    from scrappy_ray.functions.sampling import mix_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return mix_corpus(
+        ds, {"src0": 2.5, "src1": 1.0, "src2": 0.25}, salt=11
+    ).sort(["doc_id", "epoch"])
+
+
 def _q_stratified_sample(sf_dir: str):
     from scrappy_ray.functions.sampling import stratified_sample
 
@@ -1317,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": _q_top_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "mix_corpus": _q_mix_corpus,
         "decontaminate": _q_decontaminate,
         "tfidf_topk": _q_tfidf,
         "approx_distinct": _q_approx_distinct,
@@ -1384,6 +1397,15 @@ def _SAMPLING_SQLS() -> dict[str, str]:
                 ELSE {threshold_for(0.05)}
               END
             ORDER BY doc_id
+        """,
+        "mix_corpus": f"""
+            SELECT doc_id, source,
+                   CAST(UNNEST(range(CASE source
+                     WHEN 'src0' THEN 2 + (({h.format(salt=11)}) < {threshold_for(0.5)})::INT
+                     WHEN 'src1' THEN 1
+                     WHEN 'src2' THEN 0 + (({h.format(salt=11)}) < {threshold_for(0.25)})::INT
+                     ELSE 0 END)) AS BIGINT) AS epoch
+            FROM documents ORDER BY doc_id, epoch
         """,
         "shuffle_det": f"""
             SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) - 1
@@ -1829,6 +1851,7 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "hash_sample": _SAMPLING_SQLS()["hash_sample"],
         "stratified_sample": _SAMPLING_SQLS()["stratified_sample"],
+        "mix_corpus": _SAMPLING_SQLS()["mix_corpus"],
         "shuffle_det": _SAMPLING_SQLS()["shuffle_det"],
         "warc_roundtrip": """
             SELECT doc_id, text FROM documents ORDER BY doc_id

@@ -109,3 +109,47 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", salt: int = 0,
         return batch.append_column(key_col, pa.array(k, pa.int64()))
 
     return ds.map_batches(keyed, batch_format="pyarrow").sort([key_col, id_col])
+
+
+def mix_corpus(ds, rates: dict[str, float], strat_col: str = "source",
+               id_col: str = "doc_id", salt: int = 0,
+               epoch_col: str = "epoch", default_rate: float = 0.0):
+    """Deterministic corpus mixing with UP-sampling (the Pile/Dolma
+    epoch-weighting primitive): a stratum's rate may exceed 1 — every
+    row emits ``floor(rate)`` full copies plus one more iff its Knuth
+    hash clears the fractional threshold, so a rate of 2.3 yields
+    exactly ~2.3 copies per doc, reproducibly. Copies carry an
+    ``epoch`` index so a downstream ``deterministic_shuffle`` (salted
+    per epoch) decorrelates repeats. One streaming pass — no shuffle,
+    no state, stable across runs/resumes/block layouts; the rate table
+    is O(strata) and closure-broadcast."""
+    strata = sorted(rates)
+
+    def _split(r: float) -> tuple[int, int]:
+        b = int(r)
+        return b, threshold_for(r - b)
+
+    bases, fthrs = zip(*[_split(rates[s]) for s in strata] + [_split(default_rate)])
+    base = np.array(bases, np.int64)
+    fthr = np.array(fthrs, np.uint64)
+    sarr = pa.array(strata, pa.string())
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column(id_col), pa.int64()), dtype=np.int64)
+        idx = np.asarray(
+            pc.fill_null(
+                pc.index_in(pc.cast(batch.column(strat_col), pa.string()),
+                            value_set=sarr),
+                len(base) - 1,
+            ).cast(pa.int64()),
+            dtype=np.int64,
+        )
+        h = _hash_bucket(ids, salt)
+        copies = base[idx] + (h < fthr[idx]).astype(np.int64)
+        ridx = np.repeat(np.arange(len(ids), dtype=np.int64), copies)
+        out = batch.take(pa.array(ridx, pa.int64()))
+        starts = np.concatenate([[0], np.cumsum(copies)[:-1]]).astype(np.int64)
+        epoch = np.arange(int(copies.sum()), dtype=np.int64) - np.repeat(starts, copies)
+        return out.append_column(epoch_col, pa.array(epoch, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -461,3 +461,27 @@ def test_gopher_stats_rules(ray_session):
     assert not bool(out.loc[3, "keep"])
     assert out.loc[4, "n_words"] == 1             # '' splits to ['']
     assert not bool(out.loc[4, "keep"])
+
+
+def test_mix_corpus_upsampling(ray_session):
+    import ray.data
+    from scrappy_ray.functions.sampling import mix_corpus
+
+    tbl = pa.table({"doc_id": list(range(100)),
+                    "source": (["a"] * 40 + ["b"] * 40 + ["c"] * 20)})
+    rates = {"a": 2.0, "b": 0.5}
+    out = (mix_corpus(ray.data.from_arrow(tbl), rates, salt=5)
+           .to_pandas())
+    a = out[out.source == "a"]
+    assert len(a) == 80                            # exactly 2 epochs
+    assert sorted(a[a.doc_id == 0].epoch) == [0, 1]
+    b = out[out.source == "b"]
+    assert 0 < len(b) < 40                         # fractional keep
+    assert (b.epoch == 0).all()
+    assert (out.source != "c").all()               # default rate 0 drops
+    # layout invariance: different block structure, identical output
+    out2 = (mix_corpus(ray.data.from_arrow(tbl).repartition(7), rates, salt=5)
+            .to_pandas())
+    k = ["doc_id", "epoch"]
+    assert out.sort_values(k).reset_index(drop=True).equals(
+        out2.sort_values(k).reset_index(drop=True))
