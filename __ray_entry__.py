@@ -500,6 +500,39 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds).sort("doc_id")
 
 
+def _q_inverted_search(sf_dir: str):
+    """Conjunctive (AND) term retrieval — a pure streaming pass, no
+    index needed for ad-hoc terms (functions/index.py)."""
+    from scrappy_ray.functions.index import search_all_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return search_all_terms(ds, ["join", "scan", "window"]).sort("doc_id")
+
+
+def _q_index_lookup(sf_dir: str):
+    """Inverted-index build (ONE corpus groupby → one postings row per
+    token, distributed) + broadcast point-probe of three terms; the
+    postings list serializes to a comma-joined string so the value
+    hash covers the full posting order."""
+    from scrappy_ray.functions.index import build_inverted_index, lookup_postings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = build_inverted_index(ds)
+    out = lookup_postings(idx, ["hash", "scan", "the"])
+
+    def as_str(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.binary_join(
+            pc.cast(batch.column("postings"), pa.large_list(pa.string())), ","
+        )
+        return pa.table({"token": batch.column("token"),
+                         "df": batch.column("df"),
+                         "postings_str": s})
+
+    return out.map_batches(as_str, batch_format="pyarrow").sort("token")
+
+
 def _q_top_ngrams(sf_dir: str):
     from scrappy_ray.functions.lm import bigram_counts
 
@@ -1327,6 +1360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "paragraph_dedup": _q_paragraph_dedup,
         "top_ngrams": _q_top_ngrams,
+        "inverted_search": _q_inverted_search,
+        "index_lookup": _q_index_lookup,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "mix_corpus": _q_mix_corpus,
@@ -1699,6 +1734,25 @@ def _oracle_sql_static() -> dict[str, str]:
                     AND n_required_stops >= 2 AND bullet_line_frac <= 0.9
                     AND ellipsis_line_frac <= 0.3) AS keep
             FROM s ORDER BY doc_id
+        """,
+        "inverted_search": r"""
+            SELECT doc_id, count(*)::BIGINT AS n_matches FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
+              FROM documents)
+            WHERE tok IN ('join', 'scan', 'window')
+            GROUP BY doc_id HAVING count(DISTINCT tok) = 3
+            ORDER BY doc_id
+        """,
+        "index_lookup": r"""
+            SELECT tok AS token, count(DISTINCT doc_id)::BIGINT AS df,
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings_str
+            FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
+              FROM documents)
+            WHERE tok IN ('hash', 'scan', 'the')
+            GROUP BY tok ORDER BY token
         """,
         "repetition": r"""
             WITH docs AS (SELECT doc_id, text,

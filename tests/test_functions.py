@@ -485,3 +485,32 @@ def test_mix_corpus_upsampling(ray_session):
     k = ["doc_id", "epoch"]
     assert out.sort_values(k).reset_index(drop=True).equals(
         out2.sort_values(k).reset_index(drop=True))
+
+
+def test_inverted_index_and_search(ray_session):
+    import ray.data
+    from scrappy_ray.functions.index import (
+        build_inverted_index, lookup_postings, search_all_terms)
+
+    tbl = pa.table({"doc_id": [3, 1, 2],
+                    "text": ["cat dog cat", "dog fish", "cat bird dog"]})
+    ds = ray.data.from_arrow(tbl)
+    idx = lookup_postings(build_inverted_index(ds), ["cat", "dog", "none"]) \
+        .to_pandas().set_index("token")
+    assert list(idx.loc["cat", "postings"]) == [2, 3]   # sorted, distinct
+    assert idx.loc["dog", "df"] == 3
+    assert "none" not in idx.index
+    hits = search_all_terms(ds, ["cat", "dog"]).to_pandas().set_index("doc_id")
+    assert sorted(hits.index) == [2, 3]
+    assert hits.loc[3, "n_matches"] == 3                # cat x2 + dog
+    with pytest.raises(ValueError):
+        search_all_terms(ds, [])
+
+
+def test_inverted_index_min_df(ray_session):
+    import ray.data
+    from scrappy_ray.functions.index import build_inverted_index
+
+    tbl = pa.table({"doc_id": [1, 2], "text": ["rare common", "common"]})
+    out = build_inverted_index(ray.data.from_arrow(tbl), min_df=2).to_pandas()
+    assert list(out["token"]) == ["common"]
