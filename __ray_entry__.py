@@ -149,6 +149,54 @@ def _q_revenue_by_priority(sf_dir: str):
     return round_cols(out, ["revenue"], ROUND)
 
 
+def _q_orders_per_customer(sf_dir: str):
+    """TPC-H Q13 shape: LEFT OUTER hash join (customers keep their
+    zero-order rows) + two-level aggregation — exercises Ray Data's
+    native distributed left_outer join."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    j = cust.join(orders, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def has_order(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "has": pc.cast(pc.is_valid(batch.column("o_orderkey")), pa.int64()),
+        })
+
+    per_cust = (
+        j.map_batches(has_order, batch_format="pyarrow")
+        .groupby("c_custkey").sum("has")
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_count": batch.column("sum(has)")})
+
+    return (
+        per_cust.map_batches(shape, batch_format="pyarrow")
+        .groupby("c_count").count()
+        .rename_columns(["c_count", "custdist"])
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+def _q_customers_no_urgent(sf_dir: str):
+    """LEFT ANTI join: customers with no URGENT order — Ray Data's
+    native distributed anti join over a filter-pruned right side,
+    oracled vs NOT EXISTS."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).select_columns(["o_custkey"])
+    return cust.join(
+        urgent, join_type="left_anti", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    ).sort("c_custkey")
+
+
 def _q_distinct_event_types(sf_dir: str):
     from scrappy_ray.functions.dedup import _distinct
 
@@ -1280,6 +1328,23 @@ def _q_warc_roundtrip(sf_dir: str):
     return read_warc(out_dir).map_batches(project, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink → source round trip (the standard LLM-corpus
+    interchange format), via Ray Data's native write_json/read_json —
+    per-block shards out, schema-inferred stream back; oracled against
+    the source table so escaping and type round-tripping are frozen."""
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="jsonl_roundtrip_", dir="/tmp")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    docs.write_json(out_dir)
+    return (
+        ray.data.read_json(out_dir)
+        .select_columns(["doc_id", "text", "lang", "source"])
+        .sort("doc_id")
+    )
+
+
 def _q_crawl_bfs(sf_dir: str):
     from scrappy_ray.pipelines.crawl_pipeline import crawl_job
 
@@ -1334,6 +1399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": _q_events_daily,
         "revenue_by_priority": _q_revenue_by_priority,
         "distinct_event_types": _q_distinct_event_types,
+        "orders_per_customer": _q_orders_per_customer,
+        "customers_no_urgent": _q_customers_no_urgent,
         "sessionize": _q_sessionize,
         "rolling_window": _q_rolling_window,
         "events_window": _q_events_window,
@@ -1398,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": _q_main_content,
         "serialize_roundtrip": _q_serialize_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "pagerank": _q_pagerank,
         "graph_degrees": _q_graph_degrees,
         "crawl_bfs": _q_crawl_bfs,
@@ -1609,6 +1677,20 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "orders_per_customer": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "customers_no_urgent": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
         """,
         "sessionize": """
             SELECT user_id,
@@ -1909,6 +1991,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "shuffle_det": _SAMPLING_SQLS()["shuffle_det"],
         "warc_roundtrip": """
             SELECT doc_id, text FROM documents ORDER BY doc_id
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
         """,
         "decontaminate": r"""
             WITH bench AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks

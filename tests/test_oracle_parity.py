@@ -21,7 +21,8 @@ FAST_QUERIES = [
     "heavy_hitters", "heavy_hitters_by_group", "substr_dedup",
     "incremental_dedup", "pack_sequences", "shuffle_det", "warc_roundtrip",
     "pagerank", "graph_degrees", "rolling_window", "gopher_rules",
-    "mix_corpus", "inverted_search", "index_lookup",
+    "mix_corpus", "inverted_search", "index_lookup", "jsonl_roundtrip",
+    "orders_per_customer", "customers_no_urgent",
 ]
 
 
