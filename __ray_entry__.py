@@ -1377,6 +1377,26 @@ def _q_crawl_priority(sf_dir: str):
     return res.schedule_table().sort_by([("round", "ascending"), ("seq", "ascending")])
 
 
+def _q_crawl_hostrank(sf_dir: str):
+    """Authority-driven recrawl (pipelines/rankcrawl.py): host-level
+    PageRank of the previous crawl's link graph → frozen (host, score)
+    parquet → priority crawl whose frontier pops high-authority hosts
+    first. Deterministic (quantized PageRank + deterministic crawl) →
+    golden-oracled."""
+    from scrappy_ray.pipelines.crawl_pipeline import crawl_job, pages_dir_for
+    from scrappy_ray.pipelines.rankcrawl import host_rank_table
+
+    tmp = tempfile.mkdtemp(prefix="crawl_hostrank_", dir="/tmp")
+    scores = os.path.join(tmp, "host_scores.parquet")
+    host_rank_table(pages_dir_for(sf_dir), scores, iters=5)
+    res = crawl_job(
+        sf_dir, os.path.join(tmp, "ckpt"), depth=-1, host_budget=5,
+        frontier_order="priority", priority_fn=f"host_rank:{scores}",
+        round_budget=12,
+    )
+    return res.schedule_table().sort_by([("round", "ascending"), ("seq", "ascending")])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1471,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": _q_crawl_bfs,
         "crawl_politeness": _q_crawl_politeness,
         "crawl_priority": _q_crawl_priority,
+        "crawl_hostrank": _q_crawl_hostrank,
     }
 
 
@@ -1618,6 +1639,7 @@ _GOLDEN_ORACLES = {
     "crawl_bfs": "ORDER BY seq",
     "crawl_politeness": "ORDER BY round, seq",
     "crawl_priority": "ORDER BY round, seq",
+    "crawl_hostrank": "ORDER BY round, seq",
 }
 
 

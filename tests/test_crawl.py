@@ -569,3 +569,79 @@ def test_politeness_fused_mark_matches_simulator(synth_web, synth_pages_dir, tmp
     assert exec_order(res) == sim_exec_order(sup)
     hb = glob.glob(os.path.join(ckpt, "round-*", "frontier", "hb_*"))
     assert hb, "expected host-hash-bucketed frontier dirs (fused mark path)"
+
+
+def test_priority_fn_host_rank_arrow_py_parity(tmp_path):
+    """Table-backed host_rank priority: vectorized == scalar, unknown
+    hosts and unparseable urls score 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrappy_ray.crawl.priority import priority_arrow, priority_py
+
+    p = str(tmp_path / "scores.parquet")
+    pq.write_table(pa.table({"host": ["a.test", "b.test"],
+                             "score": [0.9, 0.2]}), p)
+    fn = f"host_rank:{p}"
+    urls = ["http://a.test/x", "http://b.test/", "http://c.test/y",
+            "not-a-url", "https://a.test/deep/page?q=1"]
+    depths = [1, 2, 3, 4, 5]
+    ua = pa.array(urls, pa.string())
+    da = pa.array(depths, pa.int32())
+    vec = priority_arrow(fn, ua, da).to_pylist()
+    scalar = [priority_py(fn, u, d) for u, d in zip(urls, depths)]
+    assert vec == scalar == [0.9, 0.2, 0.0, 0.0, 0.9]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_host_rank_matches_simulator(synth_web, synth_pages_dir, tmp_path):
+    """host_rank priority frontier: the Ray crawl and the simulator
+    must schedule identically when both read the same frozen
+    (host, score) table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    cfg, kb = synth_web
+    p = str(tmp_path / "scores.parquet")
+    # deliberately invert natural order: the LAST host wins
+    pq.write_table(pa.table({"host": ["site0.test", "site1.test", "site2.test"],
+                             "score": [0.05, 0.1, 0.85]}), p)
+    fn = f"host_rank:{p}"
+    sup = superstep_crawl_sim(
+        lookup_from_config(cfg), kb, seed_urls(cfg), depth=-1,
+        host_budget=4, frontier_order="priority", round_budget=10,
+        priority_fn=fn,
+    )
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=synth_pages_dir,
+            kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            depth=-1,
+            num_buckets=4,
+            extract_concurrency=2,
+            host_budget=4,
+            frontier_order="priority",
+            round_budget=10,
+            priority_fn=fn,
+        )
+    )
+    assert exec_order(res) == sim_exec_sorted(sup)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_rank_table_deterministic(synth_pages_dir, tmp_path):
+    """host-level PageRank scores: valid distribution, deterministic
+    across runs (quantized iteration), hub host ranked first."""
+    from scrappy_ray.pipelines.rankcrawl import host_rank_table
+
+    p1, p2 = str(tmp_path / "s1.parquet"), str(tmp_path / "s2.parquet")
+    t1 = host_rank_table(synth_pages_dir, p1, iters=5)
+    t2 = host_rank_table(synth_pages_dir, p2, iters=5)
+    assert t1.equals(t2)
+    scores = dict(zip(t1["host"].to_pylist(), t1["score"].to_pylist()))
+    assert abs(sum(scores.values()) - 1.0) < 1e-6
+    assert max(scores, key=scores.get) == "site0.test"
