@@ -548,6 +548,49 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds).sort("doc_id")
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Recrawl delta: two synthetic crawl snapshots derived
+    deterministically from documents (drop id%7, mutate id%5, add
+    id%11) diffed by content fingerprint — ONE distributed full_outer
+    join + a vectorized status kernel (functions/webtext.py)."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.dedup import _md5_col
+    from scrappy_ray.functions.webtext import snapshot_diff
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        url = pc.binary_join_element_wise(pa.scalar("http://c.test/"), ids, pa.scalar(""))
+        return pa.table({
+            "url": url,
+            "fingerprint": _md5_col(
+                pc.fill_null(pc.cast(batch.column("text"), pa.string()), "").to_pylist()
+            ),
+        })
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(pc.cast(batch.column("doc_id"), pa.int64()), dtype=np.int64)
+        txt = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "").to_pylist()
+        urls, fps = [], []
+        for i, t in zip(ids.tolist(), txt):  # planted-fixture builder, not a hot path
+            if i % 7 != 0:
+                urls.append(f"http://c.test/{i}")
+                fps.append(t + ("!" if i % 5 == 0 else ""))
+            if i % 11 == 0:
+                urls.append(f"http://c.test/added/{i}")
+                fps.append(f"new:{i}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "fingerprint": _md5_col(fps)})
+
+    old = docs.map_batches(old_side, batch_format="pyarrow")
+    new = docs.map_batches(new_side, batch_format="pyarrow")
+    return snapshot_diff(old, new).sort("url")
+
+
 def _q_inverted_search(sf_dir: str):
     """Conjunctive (AND) term retrieval — a pure streaming pass, no
     index needed for ad-hoc terms (functions/index.py)."""
@@ -1448,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "top_ngrams": _q_top_ngrams,
         "inverted_search": _q_inverted_search,
+        "snapshot_diff": _q_snapshot_diff,
         "index_lookup": _q_index_lookup,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
@@ -1838,6 +1882,26 @@ def _oracle_sql_static() -> dict[str, str]:
                     AND n_required_stops >= 2 AND bullet_line_frac <= 0.9
                     AND ellipsis_line_frac <= 0.3) AS keep
             FROM s ORDER BY doc_id
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT 'http://c.test/' || doc_id AS url,
+                     md5(coalesce(text, '')) AS fp FROM documents),
+            new AS (
+              SELECT 'http://c.test/' || doc_id AS url,
+                     md5(coalesce(text, '') ||
+                         CASE WHEN doc_id % 5 = 0 THEN '!' ELSE '' END) AS fp
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'http://c.test/added/' || doc_id, md5('new:' || doc_id)
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN n.url IS NULL THEN 'removed'
+                        WHEN o.url IS NULL THEN 'added'
+                        WHEN o.fp = n.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL JOIN new n ON o.url = n.url
+            ORDER BY url
         """,
         "inverted_search": r"""
             SELECT doc_id, count(*)::BIGINT AS n_matches FROM (

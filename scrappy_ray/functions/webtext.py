@@ -200,3 +200,47 @@ def domain_filter(ds, min_docs: int = 1, min_quality: float = 0.0,
                                      value_set=keep))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def snapshot_diff(old_ds, new_ds, key_col: str = "url",
+                  fp_col: str = "fingerprint", num_partitions: int = 8):
+    """Crawl snapshot delta: compare two crawls by a per-page content
+    fingerprint and emit (key, status ∈ added|removed|changed|
+    unchanged) — the recrawl scheduler's input (changed/added pages
+    re-enter the frontier first; see pipelines/rankcrawl.py for the
+    authority companion).
+
+    ONE distributed full_outer hash join on the key, then a vectorized
+    status kernel per batch — no driver state at any size; both inputs
+    stream. Fingerprints are caller-supplied (md5/simhash/zlib-ratio —
+    any equality-comparable column) so the diff itself stays
+    content-agnostic."""
+    left = old_ds.select_columns([key_col, fp_col])
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([key_col, fp_col + "_new"])
+
+    right = new_ds.select_columns([key_col, fp_col]).map_batches(
+        rn, batch_format="pyarrow"
+    )
+    j = left.join(right, join_type="full_outer", num_partitions=num_partitions,
+                  on=(key_col,), left_suffix="", right_suffix="_r")
+
+    def status(batch: pa.Table) -> pa.Table:
+        old = batch.column(fp_col)
+        new = batch.column(fp_col + "_new")
+        has_old = pc.is_valid(old)
+        has_new = pc.is_valid(new)
+        same = pc.fill_null(pc.equal(old, new), False)
+        st = pc.if_else(
+            pc.and_not(has_old, has_new),  # only in the old snapshot
+            pa.scalar("removed"),
+            pc.if_else(
+                pc.and_not(has_new, has_old),  # only in the new one
+                pa.scalar("added"),
+                pc.if_else(same, pa.scalar("unchanged"), pa.scalar("changed")),
+            ),
+        )
+        return pa.table({key_col: batch.column(key_col), "status": st})
+
+    return j.map_batches(status, batch_format="pyarrow")

@@ -514,3 +514,16 @@ def test_inverted_index_min_df(ray_session):
     tbl = pa.table({"doc_id": [1, 2], "text": ["rare common", "common"]})
     out = build_inverted_index(ray.data.from_arrow(tbl), min_df=2).to_pandas()
     assert list(out["token"]) == ["common"]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data
+    from scrappy_ray.functions.webtext import snapshot_diff
+
+    old = ray.data.from_arrow(pa.table(
+        {"url": ["a", "b", "c"], "fingerprint": ["1", "2", "3"]}))
+    new = ray.data.from_arrow(pa.table(
+        {"url": ["b", "c", "d"], "fingerprint": ["2", "X", "4"]}))
+    out = snapshot_diff(old, new).to_pandas().set_index("url")["status"]
+    assert out.to_dict() == {"a": "removed", "b": "unchanged",
+                             "c": "changed", "d": "added"}

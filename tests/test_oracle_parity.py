@@ -22,7 +22,7 @@ FAST_QUERIES = [
     "incremental_dedup", "pack_sequences", "shuffle_det", "warc_roundtrip",
     "pagerank", "graph_degrees", "rolling_window", "gopher_rules",
     "mix_corpus", "inverted_search", "index_lookup", "jsonl_roundtrip",
-    "orders_per_customer", "customers_no_urgent",
+    "orders_per_customer", "customers_no_urgent", "snapshot_diff",
 ]
 
 
