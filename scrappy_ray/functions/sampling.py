@@ -153,3 +153,34 @@ def mix_corpus(ds, rates: dict[str, float], strat_col: str = "source",
         return out.append_column(epoch_col, pa.array(epoch, pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def mixture_rates(sizes: dict[str, int], weights: dict[str, float],
+                  temperature: float = 1.0,
+                  target_total: int | None = None) -> dict[str, float]:
+    """Per-source sampling/up-sampling rates realizing a target mixture
+    (the multilingual-LM recipe: p_i ∝ w_i^(1/T), Conneau & Lample '19
+    — T>1 flattens the mix toward uniform, T=1 keeps the raw weights).
+
+    Driver-side pure math over O(sources) numbers — feed the result to
+    ``stratified_sample`` (all rates ≤ 1) or ``mix_corpus`` (rates may
+    exceed 1 when a small high-weight source must repeat for epochs).
+    ``target_total`` defaults to ``sum(sizes)`` (re-mix at corpus
+    size); rates are reproducible floats — quantize upstream only if
+    two engines must agree bit-for-bit."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    srcs = sorted(sizes)
+    if set(weights) - set(sizes):
+        raise ValueError(f"weights for unknown sources: {sorted(set(weights) - set(sizes))}")
+    w = np.array([max(float(weights.get(s, 0.0)), 0.0) for s in srcs], np.float64)
+    n = np.array([max(int(sizes[s]), 0) for s in srcs], np.float64)
+    p = w ** (1.0 / temperature)
+    tot_p = p.sum()
+    if tot_p <= 0:
+        return {s: 0.0 for s in srcs}
+    p /= tot_p
+    total = float(target_total if target_total is not None else n.sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rates = np.where(n > 0, p * total / np.maximum(n, 1e-300), 0.0)
+    return {s: float(r) for s, r in zip(srcs, rates)}

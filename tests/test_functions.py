@@ -527,3 +527,25 @@ def test_snapshot_diff_statuses(ray_session):
     out = snapshot_diff(old, new).to_pandas().set_index("url")["status"]
     assert out.to_dict() == {"a": "removed", "b": "unchanged",
                              "c": "changed", "d": "added"}
+
+
+def test_mixture_rates_temperature():
+    from scrappy_ray.functions.sampling import mixture_rates
+
+    sizes = {"web": 900, "wiki": 100}
+    # T=1: wiki weighted 50/50 against a 9x bigger web -> wiki repeats
+    r1 = mixture_rates(sizes, {"web": 0.5, "wiki": 0.5}, temperature=1.0)
+    assert r1["wiki"] == pytest.approx(5.0)
+    assert r1["web"] == pytest.approx(5 / 9)
+    # expected doc mass preserved
+    assert r1["web"] * 900 + r1["wiki"] * 100 == pytest.approx(1000)
+    # high T flattens p toward uniform: rates inversely track sizes
+    rT = mixture_rates(sizes, {"web": 0.9, "wiki": 0.1}, temperature=1e9)
+    assert rT["web"] == pytest.approx(rT["wiki"] / 9, rel=1e-3)
+    # zero-weight source drops; unknown-weight source errors
+    r0 = mixture_rates(sizes, {"web": 1.0})
+    assert r0["wiki"] == 0.0
+    with pytest.raises(ValueError):
+        mixture_rates(sizes, {"nope": 1.0})
+    with pytest.raises(ValueError):
+        mixture_rates(sizes, {"web": 1.0}, temperature=0)
