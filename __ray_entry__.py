@@ -988,6 +988,23 @@ def _q_quality(sf_dir: str):
     )
 
 
+def _q_quality_buckets(sf_dir: str):
+    """Exact quality-decile assignment (curriculum bucketing) via the
+    low-cardinality histogram trick — the only shuffle is a
+    groupby(quality).count(); cutpoints fold on the driver in
+    O(distinct values) and broadcast into one searchsorted pass
+    (functions/sketch.py::value_buckets)."""
+    from scrappy_ray.functions.sketch import value_buckets
+    from scrappy_ray.functions.textstats import quality_scores
+    from scrappy_ray.pipelines.relational import round_cols
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    q = round_cols(
+        quality_scores(ds).select_columns(["doc_id", "quality"]), ["quality"], 6
+    )
+    return value_buckets(q, "quality", k=10).sort("doc_id")
+
+
 def _q_ann_ivf(sf_dir: str):
     from scrappy_ray.functions.similarity import ivf_topk
 
@@ -1518,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "bpe_tokens": _q_bpe_tokens,
         "quality_scores": _q_quality,
+        "quality_buckets": _q_quality_buckets,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "dedup_components": _q_dedup_components,
@@ -1635,6 +1653,15 @@ def _lang_quality_sqls() -> dict[str, str]:
                          + (1.0 - LEAST(digit_i / GREATEST(n_chars_i, 1.0) * 5.0, 1.0)) * 0.2
                          + LEAST(stop_i / GREATEST(n_tokens_i, 1.0) * 3.0, 1.0) * 0.3, 6) AS quality
             FROM ({base}) ORDER BY doc_id
+        """,
+        "quality_buckets": f"""
+            WITH s AS (SELECT doc_id, ROUND({_QUAL_EXPR}, 6) AS quality FROM ({base})),
+            c AS (SELECT [{", ".join(
+                f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY quality)"
+                for i in range(1, 10))}] AS cuts FROM s)
+            SELECT s.doc_id, s.quality,
+                   CAST(len(list_filter(c.cuts, x -> x < s.quality)) AS BIGINT) AS bucket
+            FROM s, c ORDER BY s.doc_id
         """,
         "domain_stats": f"""
             SELECT source, COUNT(*) AS n_docs,

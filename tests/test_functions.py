@@ -549,3 +549,26 @@ def test_mixture_rates_temperature():
         mixture_rates(sizes, {"nope": 1.0})
     with pytest.raises(ValueError):
         mixture_rates(sizes, {"web": 1.0}, temperature=0)
+
+
+def test_value_buckets_exact_deciles(ray_session):
+    import ray.data
+    from scrappy_ray.functions.sketch import value_buckets
+
+    # 100 distinct values 0..99 -> decile b holds values 10b..10b+9
+    tbl = pa.table({"doc_id": list(range(100)),
+                    "v": [float(i) for i in range(100)]})
+    out = (value_buckets(ray.data.from_arrow(tbl), "v", k=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out["bucket"] == out["doc_id"] // 10).all()
+    # ties land in ONE bucket; layout invariance
+    t2 = pa.table({"doc_id": list(range(90)), "v": [1.0] * 30 + [2.0] * 30 + [3.0] * 30})
+    a = value_buckets(ray.data.from_arrow(t2), "v", k=3).to_pandas()
+    b = value_buckets(ray.data.from_arrow(t2).repartition(7), "v", k=3).to_pandas()
+    assert a.groupby("v")["bucket"].nunique().eq(1).all()
+    k = ["doc_id", "bucket"]
+    assert a.sort_values(k).reset_index(drop=True)[k].equals(
+        b.sort_values(k).reset_index(drop=True)[k])
+    # empty input keeps a typed schema
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert value_buckets(empty, "v").count() == 0
