@@ -1405,6 +1405,26 @@ def _q_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _q_export_roundtrip(sf_dir: str):
+    """Resumable deterministic shard export → read-back round trip
+    (pipelines/export.py): documents spill into hash-routed shard
+    parts, compact into sorted atomic shard files with _DONE markers,
+    and must read back row-identical to the source."""
+    import ray.data
+
+    from scrappy_ray.pipelines.export import export_shards
+
+    out_dir = tempfile.mkdtemp(prefix="export_roundtrip_", dir="/tmp")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    export_shards(docs, out_dir, num_shards=4)
+    import glob as _g
+
+    return (
+        ray.data.read_parquet(sorted(_g.glob(os.path.join(out_dir, "shard-*.parquet"))))
+        .sort("doc_id")
+    )
+
+
 def _q_crawl_bfs(sf_dir: str):
     from scrappy_ray.pipelines.crawl_pipeline import crawl_job
 
@@ -1548,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serialize_roundtrip": _q_serialize_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "export_roundtrip": _q_export_roundtrip,
         "pagerank": _q_pagerank,
         "graph_degrees": _q_graph_degrees,
         "crawl_bfs": _q_crawl_bfs,
@@ -2107,6 +2128,9 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+        """,
+        "export_roundtrip": """
+            SELECT doc_id, text, source FROM documents ORDER BY doc_id
         """,
         "decontaminate": r"""
             WITH bench AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
