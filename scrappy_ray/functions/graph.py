@@ -35,6 +35,7 @@ PageRank over the discovered link graph is the canonical one
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -102,6 +103,8 @@ def pagerank(
     dst: str = "dst",
     node_col: str = "node",
     num_partitions: int = 8,
+    small_graph_threshold: int = 2_000_000,
+    force_distributed: bool = False,
 ):
     """Distributed PageRank power iteration; returns (node, rank) with
     Σ rank ≈ 1. ``nodes`` is the node universe (Dataset with
@@ -122,7 +125,23 @@ def pagerank(
     flips a rank and cascades. Cost: ≤½ unit of mass leak per edge per
     iteration (10^-9 relative at k=9) — irrelevant to ranking.
     ``iter_round=None`` is the textbook float iteration.
+
+    When BOTH node and edge counts fit ``small_graph_threshold`` the
+    iteration runs on driver-side numpy arrays instead of 10×(hash
+    join + groupby) Ray jobs — at toy/bench scale the per-job actor
+    startup dominates by 10×+, and the quantized math makes the two
+    paths BIT-IDENTICAL (whole-unit float64 sums are exact and
+    order-independent; parity-tested). ``force_distributed=True``
+    zeroes the gate — the same pattern as the crawl driver's
+    small-round thresholds.
     """
+    # the edge pipeline is consumed up to three times (node derivation,
+    # the small-graph gate's count, and whichever iteration path runs);
+    # materialize once so a lazy upstream (e.g. an extraction pass)
+    # doesn't re-execute per consumer. Peak object-store residency is
+    # unchanged: edges and the weighted table coexist during the join
+    # either way.
+    edges = edges.materialize()
     if nodes is None:
 
         def both_ends(batch: pa.Table) -> pa.Table:
@@ -161,6 +180,15 @@ def pagerank(
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
         )
+
+    if (
+        not force_distributed
+        and n <= small_graph_threshold
+        and edges.count() <= small_graph_threshold
+    ):
+        # gate BEFORE weighted_edges: the out-degree join is itself a
+        # distributed job the local path replaces with one bincount
+        return _pagerank_local(zeros, edges, src, dst, n, damping, iters, iter_round)
 
     we = weighted_edges(edges, src, dst, num_partitions).materialize()
 
@@ -263,3 +291,50 @@ def pagerank(
         )
 
     return ranks.map_batches(unscale, batch_format="pyarrow")
+
+
+def _pagerank_local(zeros, edges, src: str, dst: str, n: int, damping: float,
+                    iters: int, iter_round: int | None):
+    """Small-graph fast path: the SAME iteration as the distributed
+    loop on driver-side numpy arrays (threshold-gated by the caller).
+    Bit-identical to the distributed path in quantized mode: per-edge
+    contributions round to whole units BEFORE the sum, whole-unit
+    float64 sums are exact (≤ 2^53) hence order-independent, the edge
+    weight is the identical ``1.0 / outdeg`` double, and the bump
+    expression reuses the identical float expression order. All ranks
+    are positive, so half-away-from-zero == floor(x + 0.5)."""
+    ztbl = pa.concat_tables(zeros.iter_batches(batch_format="pyarrow"))
+    nodes = np.sort(
+        np.asarray(pc.cast(ztbl.column("node"), pa.int64()), dtype=np.int64)
+    )
+    etbl = pa.concat_tables(edges.iter_batches(batch_format="pyarrow"))
+    s = np.asarray(pc.cast(etbl.column(src), pa.int64()), dtype=np.int64)
+    d = np.asarray(pc.cast(etbl.column(dst), pa.int64()), dtype=np.int64)
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    outdeg = np.bincount(si, minlength=n).astype(np.float64)
+    w = 1.0 / outdeg[si]  # same double as weighted_edges' 1.0/outdeg
+    dangler = np.ones(n, bool)
+    dangler[si] = False
+
+    quant = iter_round is not None
+    scale = 10.0 ** iter_round if quant else 1.0
+    init = scale / n
+    teleport = ((1.0 - damping) / n) * scale
+
+    def rnd(x):
+        return np.floor(x + 0.5) if quant else x
+
+    r = np.full(n, rnd(np.float64(init)), np.float64)
+    for _ in range(iters):
+        pe = rnd(w * r[si])
+        contrib = np.bincount(di, weights=pe, minlength=n)
+        dangling = float(r[dangler].sum()) if dangler.any() else 0.0
+        bump = teleport + damping * dangling / n
+        r = rnd(bump + damping * contrib)
+
+    out = r / scale if quant else r
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()),
+                  "rank": pa.array(out, pa.float64())})
+    )

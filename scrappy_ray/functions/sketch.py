@@ -436,8 +436,6 @@ def value_buckets(ds, value_col: str, k: int = 10, keep_cols: list[str] | None =
     quantized (a score rounded to d digits has ≤ 10^d + 1 distinct
     values); for genuinely continuous columns use
     ``approx_quantiles_by_group``."""
-    import pandas as pd
-
     hist = ds.groupby(value_col).count().to_pandas()
     if len(hist) == 0:
         import ray.data

@@ -107,3 +107,25 @@ def test_pagerank_layout_invariance():
     shards = [t.slice(0, 17), t.slice(17, 100), t.slice(117)]
     b = pagerank(ray.data.from_arrow(shards), nodes, iters=6).sort("node").take_all()
     assert [r["rank"] for r in a] == [r["rank"] for r in b]
+
+
+def test_pagerank_local_path_bit_identical_to_distributed(ray_session):
+    """The threshold-gated driver-side fast path must reproduce the
+    distributed join+groupby iteration BIT-FOR-BIT in quantized mode
+    (whole-unit sums are exact, hence order- and path-independent)."""
+    import ray.data
+
+    from scrappy_ray.functions.graph import pagerank
+
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 60, 300)
+    dst = rng.randint(0, 60, 300)
+    keep = src != dst
+    edges = pa.table({"src": pa.array(src[keep], pa.int64()),
+                      "dst": pa.array(dst[keep], pa.int64())})
+    ds = ray.data.from_arrow(edges)
+    a = pagerank(ds, iters=6).to_pandas().sort_values("node").reset_index(drop=True)
+    b = (pagerank(ray.data.from_arrow(edges).repartition(5), iters=6,
+                  force_distributed=True)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)  # exact, not approx
