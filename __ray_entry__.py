@@ -1117,6 +1117,34 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds, url_col="url", id_col="doc_id").sort("canonical_url")
 
 
+def _trap_urls_table(batch: pa.Table) -> pa.Table:
+    """Deterministic trap-shaped URL per document (Ray and SQL share
+    the expression): source-derived host, doc_id%8 path segments,
+    query string on doc_id%3 — hosts whose ids skew deep/query-heavy
+    trip the trap verdict."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    src = np.asarray(batch.column("source").to_pylist(), dtype=str)
+    url = np.char.add("http://", np.char.add(src, ".test/"))
+    url = np.char.add(url, np.char.multiply("s/", (ids % 8).astype(int)))
+    url = np.char.add(
+        url, np.where(ids % 3 == 0, np.char.add("?p=", (ids % 20).astype(str)), "")
+    )
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "url": pa.array(url.tolist(), pa.string())})
+
+
+def _q_url_traps(sf_dir: str):
+    """Per-host crawler-trap signals (functions/webtext.py::
+    url_trap_stats): partial per-batch host aggregates → one
+    O(hosts×blocks) groupby → depth/query-ratio verdicts."""
+    from scrappy_ray.functions.webtext import url_trap_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        _trap_urls_table, batch_format="pyarrow"
+    )
+    return url_trap_stats(ds, max_query_ratio=0.4, max_depth=7).sort("host")
+
+
 def _q_pii_scrub(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1510,6 +1538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation": _q_supplier_nation,
         "dedup_exact": _q_dedup_exact,
         "url_dedup": _q_url_dedup,
+        "url_traps": _q_url_traps,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
         "token_stats": _q_token_stats,
@@ -1856,6 +1885,29 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "url_traps": r"""
+            WITH urls AS (
+              SELECT 'http://' || source || '.test/'
+                       || repeat('s/', doc_id % 8)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?p=' || CAST(doc_id % 20 AS VARCHAR)
+                               ELSE '' END AS url
+              FROM documents),
+            p AS (
+              SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS host,
+                     length(regexp_replace(url, '[^/]', '', 'g')) - 2 AS depth,
+                     CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS q,
+                     length(url) AS ulen
+              FROM urls)
+            SELECT host, COUNT(*)::BIGINT AS n_urls,
+                   MAX(depth)::BIGINT AS max_depth,
+                   ROUND(SUM(depth)::DOUBLE / COUNT(*), 4) AS mean_depth,
+                   ROUND(SUM(q)::DOUBLE / COUNT(*), 4) AS query_ratio,
+                   ROUND(SUM(ulen)::DOUBLE / COUNT(*), 4) AS mean_len,
+                   (ROUND(SUM(q)::DOUBLE / COUNT(*), 4) > 0.4
+                    OR MAX(depth) >= 7) AS trap
+            FROM p GROUP BY host ORDER BY host
         """,
         "url_dedup": r"""
             WITH urls AS (

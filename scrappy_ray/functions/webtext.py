@@ -14,6 +14,7 @@ over a crawled pages/documents table.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -244,3 +245,78 @@ def snapshot_diff(old_ds, new_ds, key_col: str = "url",
         return pa.table({key_col: batch.column(key_col), "status": st})
 
     return j.map_batches(status, batch_format="pyarrow")
+
+
+def url_trap_stats(ds, url_col: str = "url", digits: int = 4,
+                   max_query_ratio: float = 0.5, max_depth: int = 7):
+    """Per-host crawler-trap signals (calendar pages, session-id query
+    explosions, infinite path recursion — the classic frontier
+    pathologies): url count, path-depth max/mean, query-string ratio,
+    mean url length, and a ``trap`` verdict a frontier can subtract.
+
+    Depth = count of '/' in the url minus the scheme's two (documented
+    definition shared with the SQL oracle). One streaming pass emits
+    per-batch PARTIAL per-host aggregates (Arrow group_by inside the
+    batch), ONE small groupby reduces them — the shuffle moves
+    O(hosts × blocks) rows, never O(urls)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..crawl.priority import _HOST_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pc.fill_null(pc.cast(batch.column(url_col), pa.string()), "")
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(u, _HOST_RE), "host"), ""
+        )
+        depth = pc.subtract(pc.count_substring(u, "/"), pa.scalar(2))
+        q = pc.cast(pc.match_substring(u, "?"), pa.int64())
+        t = pa.table({
+            "host": host,
+            "n": pa.array(np.ones(len(u), np.int64)),
+            "depth": pc.cast(depth, pa.int64()),
+            "q": q,
+            "ulen": pc.cast(pc.utf8_length(u), pa.int64()),
+        })
+        return (
+            t.group_by("host")
+            .aggregate([("n", "sum"), ("depth", "sum"), ("depth", "max"),
+                        ("q", "sum"), ("ulen", "sum")])
+            .rename_columns(["host", "n", "depth_sum", "depth_max", "q_sum", "len_sum"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n_urls"),
+                   Sum("depth_sum", alias_name="ds_"),
+                   Max("depth_max", alias_name="max_depth"),
+                   Sum("q_sum", alias_name="qs_"),
+                   Sum("len_sum", alias_name="ls_"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = np.asarray(pc.cast(batch.column("n_urls"), pa.float64()))
+
+        def r(x):
+            return np.asarray(
+                pc.round(pa.array(x, pa.float64()), ndigits=digits,
+                         round_mode="half_towards_infinity"),
+                dtype=np.float64,
+            )
+
+        mean_depth = r(np.asarray(pc.cast(batch.column("ds_"), pa.float64())) / n)
+        q_ratio = r(np.asarray(pc.cast(batch.column("qs_"), pa.float64())) / n)
+        mean_len = r(np.asarray(pc.cast(batch.column("ls_"), pa.float64())) / n)
+        mx = np.asarray(pc.cast(batch.column("max_depth"), pa.int64()))
+        trap = (q_ratio > max_query_ratio) | (mx >= max_depth)
+        return pa.table({
+            "host": batch.column("host"),
+            "n_urls": batch.column("n_urls"),
+            "max_depth": batch.column("max_depth"),
+            "mean_depth": pa.array(mean_depth, pa.float64()),
+            "query_ratio": pa.array(q_ratio, pa.float64()),
+            "mean_len": pa.array(mean_len, pa.float64()),
+            "trap": pa.array(trap, pa.bool_()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -572,3 +572,30 @@ def test_value_buckets_exact_deciles(ray_session):
     # empty input keeps a typed schema
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     assert value_buckets(empty, "v").count() == 0
+
+
+def test_url_trap_stats(ray_session):
+    import ray.data
+    from scrappy_ray.functions.webtext import url_trap_stats
+
+    tbl = pa.table({"url": [
+        "http://ok.test/a",              # depth 1
+        "http://ok.test/a/b",            # depth 2
+        "http://deep.test/" + "s/" * 9,  # depth 10 -> trap
+        "http://qq.test/x?p=1",
+        "http://qq.test/y?p=2",
+        "http://qq.test/z",              # query_ratio 2/3 -> trap
+    ]})
+    out = (url_trap_stats(ray.data.from_arrow(tbl), max_query_ratio=0.5,
+                          max_depth=7)
+           .to_pandas().set_index("host"))
+    assert not out.loc["ok.test", "trap"]
+    assert out.loc["ok.test", "max_depth"] == 2
+    assert out.loc["deep.test", "trap"]
+    assert out.loc["qq.test", "trap"]
+    assert out.loc["qq.test", "query_ratio"] == pytest.approx(2 / 3, abs=1e-4)
+    # layout invariance (partial-aggregate combiner is exact)
+    out2 = (url_trap_stats(ray.data.from_arrow(tbl).repartition(5),
+                           max_query_ratio=0.5, max_depth=7)
+            .to_pandas().set_index("host"))
+    assert out.sort_index().equals(out2.sort_index())
