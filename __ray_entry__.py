@@ -1170,6 +1170,33 @@ def _q_pii_scrub(sf_dir: str):
     return ds.map_batches(add_pii_and_scrub, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_span_removal(sf_dir: str):
+    """Dolma-style span attributes (functions/spans.py): a regex
+    tagger emits a standalone (doc_id, start, end, tag) attribute
+    table; the applier folds it per doc, LEFT OUTER joins back and
+    cuts the spans — tag once, re-apply policy cheaply. Oracled
+    against a single-pass regexp_replace deletion."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.spans import apply_span_removal, tag_spans
+    from scrappy_ray.functions.webtext import PII_PATTERNS
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        sid = pc.cast(batch.column("doc_id"), pa.string())
+        messy = pc.binary_join_element_wise(
+            pc.cast(batch.column("text"), pa.string()),
+            pa.scalar(" contact user"), sid,
+            pa.scalar("@example.com for details"), "")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": messy})
+
+    messy = docs.map_batches(inject, batch_format="pyarrow")
+    email_pat = PII_PATTERNS[0][0]
+    spans = tag_spans(messy, email_pat, "email", concurrency=2)
+    return apply_span_removal(messy, spans, tags=["email"]).sort("doc_id")
+
+
 def _q_normalize_text(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1540,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "url_traps": _q_url_traps,
         "pii_scrub": _q_pii_scrub,
+        "span_removal": _q_span_removal,
         "normalize_text": _q_normalize_text,
         "token_stats": _q_token_stats,
         "punct_ratio": _q_punct_ratio,
@@ -1922,6 +1950,18 @@ def _oracle_sql_static() -> dict[str, str]:
                      AS canonical_url,
                    MIN(doc_id) AS doc_id
             FROM urls GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        "span_removal": r"""
+            WITH messy AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com for details' AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g')
+                     AS text
+            FROM messy ORDER BY doc_id
         """,
         "pii_scrub": r"""
             WITH messy AS (

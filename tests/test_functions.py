@@ -599,3 +599,39 @@ def test_url_trap_stats(ray_session):
                            max_query_ratio=0.5, max_depth=7)
             .to_pandas().set_index("host"))
     assert out.sort_index().equals(out2.sort_index())
+
+
+def test_span_tag_and_removal(ray_session):
+    import ray.data
+    from scrappy_ray.functions.spans import apply_span_removal, tag_spans
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["keep AAA mid AAA end", "no match here", "AAAAA overlap"],
+    }))
+    spans = tag_spans(docs, r"AAA", "x", concurrency=2)
+    sdf = spans.to_pandas()
+    assert len(sdf[sdf.doc_id == 1]) == 2
+    assert sdf[sdf.doc_id == 3].iloc[0][["start", "end"]].tolist() == [0, 3]
+    out = (apply_span_removal(docs, spans).to_pandas()
+           .set_index("doc_id")["text"])
+    assert out[1] == "keep  mid  end"
+    assert out[2] == "no match here"     # untagged doc passes through
+    assert out[3] == "AA overlap"        # non-overlapping finditer
+    # the policy knob: applying NO tags is the identity
+    ident = (apply_span_removal(docs, spans, tags=["other"]).to_pandas()
+             .set_index("doc_id")["text"])
+    assert ident[1] == "keep AAA mid AAA end"
+
+
+def test_span_removal_merges_overlaps(ray_session):
+    import ray.data
+    from scrappy_ray.functions.spans import apply_span_removal
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["abcdefgh"]}))
+    spans = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 1, 1], "start": [1, 2, 6], "end": [3, 5, 8],
+        "tag": ["a", "b", "a"],
+    }))
+    out = apply_span_removal(docs, spans).to_pandas()["text"][0]
+    assert out == "af"  # [1,5) merged from overlapping [1,3)+[2,5), then [6,8)

@@ -23,7 +23,7 @@ FAST_QUERIES = [
     "pagerank", "graph_degrees", "rolling_window", "gopher_rules",
     "mix_corpus", "inverted_search", "index_lookup", "jsonl_roundtrip",
     "orders_per_customer", "customers_no_urgent", "snapshot_diff",
-    "quality_buckets", "export_roundtrip", "url_traps",
+    "quality_buckets", "export_roundtrip", "url_traps", "span_removal",
 ]
 
 
