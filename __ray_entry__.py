@@ -1443,6 +1443,41 @@ def _q_warc_roundtrip(sf_dir: str):
     return read_warc(out_dir).map_batches(project, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_sitemap_parse(sf_dir: str):
+    """Sitemap source round trip (sources/sitemap.py): one synthetic
+    <urlset> per source (built by groupby(source) from documents),
+    parsed back distributed; the oracle rebuilds the SAME (url,
+    lastmod) rows straight from documents — the parser must invert the
+    builder exactly."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.sources.sitemap import parse_sitemaps
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def build(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        ids = g.column("doc_id").to_pylist()
+        src = g.column("source")[0].as_py()
+        entries = "".join(
+            f"<url><loc>http://{src}.test/doc/{i}</loc>"
+            f"<lastmod>2026-01-{1 + i % 28:02d}</lastmod></url>"
+            for i in ids
+        )
+        return pa.table({"xml": pa.array(
+            [f'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{entries}</urlset>'],
+            pa.string())})
+
+    sitemaps = docs.groupby("source").map_groups(build, batch_format="pyarrow")
+    out = parse_sitemaps(sitemaps, concurrency=2)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("url"),
+                         "lastmod": batch.column("lastmod")})
+
+    return out.map_batches(shape, batch_format="pyarrow").sort("url")
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink → source round trip (the standard LLM-corpus
     interchange format), via Ray Data's native write_json/read_json —
@@ -1626,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "export_roundtrip": _q_export_roundtrip,
+        "sitemap_parse": _q_sitemap_parse,
         "pagerank": _q_pagerank,
         "graph_degrees": _q_graph_degrees,
         "crawl_bfs": _q_crawl_bfs,
@@ -2223,6 +2259,12 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "export_roundtrip": """
             SELECT doc_id, text, source FROM documents ORDER BY doc_id
+        """,
+        "sitemap_parse": """
+            SELECT 'http://' || source || '.test/doc/' || doc_id AS url,
+                   '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                     AS lastmod
+            FROM documents ORDER BY url
         """,
         "decontaminate": r"""
             WITH bench AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks

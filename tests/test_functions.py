@@ -635,3 +635,24 @@ def test_span_removal_merges_overlaps(ray_session):
     }))
     out = apply_span_removal(docs, spans).to_pandas()["text"][0]
     assert out == "af"  # [1,5) merged from overlapping [1,3)+[2,5), then [6,8)
+
+
+def test_sitemap_parser(ray_session):
+    import ray.data
+    from scrappy_ray.sources.sitemap import parse_sitemaps
+
+    urlset = ('<?xml version="1.0"?><urlset>'
+              "<url><loc> http://a.test/1 </loc><lastmod>2026-01-02</lastmod></url>"
+              "<url><loc>http://a.test/2</loc></url>"          # no lastmod
+              "<url><lastmod>2026-01-03</lastmod></url>"       # no loc: dropped
+              "</urlset>")
+    index = ("<sitemapindex>"
+             "<sitemap><loc>http://a.test/sitemap2.xml</loc></sitemap>"
+             "</sitemapindex>")
+    ds = ray.data.from_arrow(pa.table({"xml": [urlset, index, ""]}))
+    out = parse_sitemaps(ds, concurrency=2).to_pandas().sort_values("url")
+    assert out["url"].tolist() == [
+        "http://a.test/1", "http://a.test/2", "http://a.test/sitemap2.xml"]
+    assert out.set_index("url").loc["http://a.test/1", "lastmod"] == "2026-01-02"
+    assert out.set_index("url").loc["http://a.test/2", "lastmod"] is None
+    assert out.set_index("url").loc["http://a.test/sitemap2.xml", "kind"] == "sitemap"

@@ -24,6 +24,7 @@ FAST_QUERIES = [
     "mix_corpus", "inverted_search", "index_lookup", "jsonl_roundtrip",
     "orders_per_customer", "customers_no_urgent", "snapshot_diff",
     "quality_buckets", "export_roundtrip", "url_traps", "span_removal",
+    "sitemap_parse",
 ]
 
 
