@@ -38,6 +38,10 @@ def main(argv=None):
     sv.add_argument("-p", "--port", type=int, default=3434)  # reference default port, bin/scrappy:47
     g.add_argument("--budget", type=float, default=None, help="per-host items/round")
     g.add_argument("--robots", action="store_true")
+    g.add_argument("--robots-delay-round-s", type=float, default=0.0,
+                   help="honor robots Crawl-delay: per-host rate = "
+                        "min(budget, max(1, S/delay)) for a nominal "
+                        "round of S seconds (0 = ignore Crawl-delay)")
     g.add_argument("--ckpt", default=None, help="checkpoint dir (resume if it exists)")
     g.add_argument("--dump", default=None, help="dump per-url files to this dir (Dumper sink)")
     g.add_argument("--order", default="fifo", choices=["fifo", "priority"],
@@ -95,6 +99,7 @@ def main(argv=None):
             frontier_order=args.order,
             priority_fn=args.priority_fn,
             round_budget=args.round_budget,
+            robots_delay_round_s=args.robots_delay_round_s,
             seen_mode=args.seen_mode,
         )
     )

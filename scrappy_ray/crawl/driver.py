@@ -67,6 +67,12 @@ class CrawlConfig:
     url_only_seen: bool = False
     host_budget: float | None = None  # items per host per round (None = off)
     budget_shards: int = 2
+    # robots Crawl-delay → per-host politeness rate: with a nominal
+    # round duration of S seconds, a host declaring Crawl-delay d gets
+    # rate min(host_budget, max(1, S/d)) items/round. 0 = off (default;
+    # requires robots=True and host_budget to act). Overrides can only
+    # SLOW a host below the global budget, never exceed it.
+    robots_delay_round_s: float = 0.0
     # rounds with ≤ this many frontier/link rows take the driver-side
     # fast path (no shuffle fixed costs); larger rounds use the full
     # Dataset shuffle pipeline. Both paths are semantically identical
@@ -707,6 +713,27 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
         start_round = 0
         ckpt.save_seen_snapshot(cfg.ckpt_dir, -1, seen.snapshot_delta())
 
+    # robots Crawl-delay → per-host rate overrides, pushed once per
+    # newly-seen host (O(hosts) driver set — the host_counts path
+    # already flows hosts through the driver). Idempotent across
+    # resume: re-pushing recomputes identical rates.
+    _rates_pushed: set[str] = set()
+
+    def _push_robots_rates(hosts) -> None:
+        if not (budget and robots and cfg.robots_delay_round_s > 0):
+            return
+        new = [h for h in hosts if h and h not in _rates_pushed]
+        if not new:
+            return
+        _rates_pushed.update(new)
+        delays = robots.crawl_delays(new)
+        rates = {
+            h: min(float(cfg.host_budget), max(1.0, cfg.robots_delay_round_s / d))
+            for h, d in delays.items() if d and d > 0
+        }
+        if rates:
+            budget.set_rates(rates)
+
     rnd = start_round
     while rnd < cfg.max_rounds:
         fdir = ckpt.frontier_dir(cfg.ckpt_dir, rnd)
@@ -741,6 +768,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             # < granted count. One batched grant call per round.
             hosts_np = ft.column("host").combine_chunks().to_numpy(zero_copy_only=False)
             uniq, inv, cnt = np.unique(hosts_np, return_inverse=True, return_counts=True)
+            _push_robots_rates(uniq.tolist())
             grants = budget.grant({h: int(c) for h, c in zip(uniq.tolist(), cnt.tolist())}, rnd)
             order = np.argsort(inv, kind="stable")
             ranks = np.empty(len(inv), np.int64)
@@ -759,6 +787,7 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             # budget shard — then broadcast so the marking stage does
             # zero actor traffic. n_deferred follows arithmetically.
             counts = _host_counts(fdir)
+            _push_robots_rates(counts.keys())
             grants = budget.grant(counts, rnd)
             n_deferred = sum(c - min(c, grants.get(h, 0)) for h, c in counts.items())
             grants_ref = ray.put(grants)

@@ -81,6 +81,7 @@ def superstep_crawl_sim(
     frontier_order: str = "fifo",
     priority_fn: str = "short_url",
     round_budget: int | None = None,
+    robots_delay_round_s: float = 0.0,
 ) -> SimResult:
     """The BFS-superstep semantics of the Ray driver, in-process.
 
@@ -107,6 +108,39 @@ def superstep_crawl_sim(
             robots_cache[host] = parse_robots(body)
         return robots_cache[host].allowed(cu)
 
+    # robots Crawl-delay → per-host token buckets (the driver's
+    # HostBudgetShard semantics, replicated exactly: burst = min(budget,
+    # rate) for overridden hosts, lazy refill by elapsed rounds,
+    # granted = min(wanted, int(tokens))). Active only when the flag is
+    # on — the legacy fixed per-round count stays byte-compatible with
+    # the frozen goldens otherwise.
+    bk_tokens: dict[str, float] = {}
+    bk_round: dict[str, int] = {}
+
+    def host_rate(h: str) -> float | None:
+        """Overridden rate for h, or None (use the plain budget)."""
+        if not (robots and robots_delay_round_s > 0) or host_budget is None:
+            return None
+        if h not in robots_cache:
+            robots_cache[h] = parse_robots(lookup(f"http://{h}/robots.txt"))
+        d = robots_cache[h].crawl_delay
+        if d and d > 0:
+            return min(float(host_budget), max(1.0, robots_delay_round_s / d))
+        return None
+
+    def bucket_quota(h: str, wanted: int, rnd: int) -> int:
+        rate = host_rate(h)
+        r = float(host_budget) if rate is None else rate
+        burst = float(host_budget) if rate is None else min(float(host_budget), rate)
+        last = bk_round.get(h)
+        tok = bk_tokens.get(h, burst)
+        if last is not None and rnd > last:
+            tok = min(burst, tok + r * (rnd - last))
+        granted = min(wanted, int(tok))
+        bk_tokens[h] = tok - granted
+        bk_round[h] = rnd
+        return granted
+
     ready = [{"url": u, "depth": depth, "seq": i} for i, u in enumerate(seeds)]
     seen_pairs = {(it["url"], it["depth"]) for it in ready}
     next_seq = len(ready)
@@ -121,7 +155,22 @@ def superstep_crawl_sim(
         if not ready:
             break
         ready.sort(key=order_key)
-        if host_budget is not None:
+        if host_budget is not None and robots_delay_round_s > 0:
+            wanted: dict[str, int] = {}
+            for it in ready:
+                h = host_of(complete_uri(it["url"]))
+                wanted[h] = wanted.get(h, 0) + 1
+            quota = {h: bucket_quota(h, n, rnd) for h, n in wanted.items()}
+            used = {}
+            execute, deferred = [], []
+            for it in ready:
+                h = host_of(complete_uri(it["url"]))
+                if used.get(h, 0) < quota[h]:
+                    used[h] = used.get(h, 0) + 1
+                    execute.append(it)
+                else:
+                    deferred.append(it)
+        elif host_budget is not None:
             used: dict[str, int] = {}
             execute, deferred = [], []
             for it in ready:

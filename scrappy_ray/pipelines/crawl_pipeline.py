@@ -152,7 +152,8 @@ def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, rob
               max_rounds: int = 100, small_round_threshold: int | None = None,
               seeds: list[str] | None = None, force_distributed: bool = False,
               frontier_order: str = "fifo", priority_fn: str = "short_url",
-              round_budget: int | None = None):
+              round_budget: int | None = None,
+              robots_delay_round_s: float = 0.0):
     """Full crawl over the synthetic web for an sf scale.
 
     ``seeds`` overrides the default one-root-per-host list (a
@@ -193,6 +194,7 @@ def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, rob
             frontier_order=frontier_order,
             priority_fn=priority_fn,
             round_budget=round_budget,
+            robots_delay_round_s=robots_delay_round_s,
             **kw,
         )
     )

@@ -28,16 +28,24 @@ class HostBudgetShard:
         self.burst = burst if burst is not None else rate_per_round
         self.tokens: dict[str, float] = {}
         self.round_of: dict[str, int] = {}
+        # per-host rate overrides (robots Crawl-delay → slower hosts);
+        # an overridden host's burst equals its rate
+        self.rate_of: dict[str, float] = {}
+
+    def set_rates(self, rates: dict[str, float]) -> None:
+        self.rate_of.update(rates)
 
     def grant(self, requests: list[tuple[str, int]], rnd: int) -> list[int]:
         """requests: (host, n_wanted) → n_granted per host. Refills
         lazily by the number of rounds elapsed since last grant."""
         out = []
         for host, wanted in requests:
+            rate = self.rate_of.get(host, self.rate)
+            burst = min(self.burst, rate) if host in self.rate_of else self.burst
             last = self.round_of.get(host)
-            tok = self.tokens.get(host, self.burst)
+            tok = self.tokens.get(host, burst)
             if last is not None and rnd > last:
-                tok = min(self.burst, tok + self.rate * (rnd - last))
+                tok = min(burst, tok + rate * (rnd - last))
             granted = min(wanted, int(tok))
             self.tokens[host] = tok - granted
             self.round_of[host] = rnd
@@ -45,11 +53,13 @@ class HostBudgetShard:
         return out
 
     def state(self) -> dict:
-        return {"tokens": self.tokens, "round_of": self.round_of}
+        return {"tokens": self.tokens, "round_of": self.round_of,
+                "rate_of": self.rate_of}
 
     def restore(self, st: dict) -> None:
         self.tokens = dict(st["tokens"])
         self.round_of = dict(st["round_of"])
+        self.rate_of = dict(st.get("rate_of", {}))  # pre-override snapshots lack it
 
 
 class HostBudgetPool:
@@ -74,6 +84,14 @@ class HostBudgetPool:
             for h, g in zip(hosts, ray.get(futures[s])):
                 out[h] = g
         return out
+
+    def set_rates(self, rates: dict[str, float]) -> None:
+        """Push per-host rate overrides (shard-routed, one RPC per
+        shard touched)."""
+        per_shard: dict[int, dict[str, float]] = {}
+        for h, r in rates.items():
+            per_shard.setdefault(self.shard_of(h, self.num_shards), {})[h] = r
+        ray.get([self.shards[s].set_rates.remote(d) for s, d in per_shard.items()])
 
     def snapshot(self) -> list[dict]:
         return ray.get([s.state.remote() for s in self.shards])

@@ -22,10 +22,11 @@ from ..support import host_of
 
 
 class RobotsRules:
-    __slots__ = ("disallow",)
+    __slots__ = ("disallow", "crawl_delay")
 
-    def __init__(self, disallow: list[str]):
+    def __init__(self, disallow: list[str], crawl_delay: float | None = None):
         self.disallow = disallow
+        self.crawl_delay = crawl_delay
 
     def allowed(self, url: str) -> bool:
         try:
@@ -41,6 +42,7 @@ def parse_robots(body) -> RobotsRules:
     if isinstance(body, bytes):
         body = body.decode("utf-8", "ignore")
     disallow: list[str] = []
+    crawl_delay: float | None = None
     applies = False
     for line in body.splitlines():
         line = line.split("#", 1)[0].strip()
@@ -52,7 +54,12 @@ def parse_robots(body) -> RobotsRules:
             applies = v == "*"
         elif kl == "disallow" and applies:
             disallow.append(v)
-    return RobotsRules(disallow)
+        elif kl == "crawl-delay" and applies:
+            try:
+                crawl_delay = float(v)
+            except ValueError:
+                pass  # non-numeric delay: ignore, per de-facto practice
+    return RobotsRules(disallow, crawl_delay)
 
 
 @ray.remote(num_cpus=0)
@@ -74,6 +81,18 @@ class RobotsShard:
             return RobotsRules([])
         return parse_robots(found[0]["html"])
 
+    def crawl_delays(self, hosts: list[str]) -> list:
+        """Per-host robots Crawl-delay seconds (None when unset) —
+        feeds the politeness pool's per-host rate overrides."""
+        out = []
+        for host in hosts:
+            rules = self.cache.get(host)
+            if rules is None:
+                rules = self._fetch_rules(host)
+                self.cache[host] = rules
+            out.append(rules.crawl_delay)
+        return out
+
     def allowed(self, pairs: list[tuple[str, str]]) -> list[bool]:
         """pairs: (host, url) → allowed mask."""
         out = []
@@ -93,6 +112,22 @@ class RobotsCachePool:
     def __init__(self, store_dir: str, num_buckets: int, num_shards: int = 4):
         self.num_shards = num_shards
         self.shards = [RobotsShard.remote(store_dir, num_buckets) for _ in range(num_shards)]
+
+    def crawl_delays(self, hosts: list[str]) -> dict:
+        """host → robots Crawl-delay seconds (absent hosts omitted)."""
+        from .politeness import HostBudgetPool
+
+        per_shard: dict[int, list[str]] = {}
+        for h in hosts:
+            per_shard.setdefault(HostBudgetPool.shard_of(h, self.num_shards), []).append(h)
+        futures = {s: self.shards[s].crawl_delays.remote(hs)
+                   for s, hs in per_shard.items()}
+        out = {}
+        for s, hs in per_shard.items():
+            for h, d in zip(hs, ray.get(futures[s])):
+                if d is not None:
+                    out[h] = d
+        return out
 
     def allowed(self, urls: list[str]) -> list[bool]:
         from .politeness import HostBudgetPool

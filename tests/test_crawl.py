@@ -645,3 +645,71 @@ def test_host_rank_table_deterministic(synth_pages_dir, tmp_path):
     scores = dict(zip(t1["host"].to_pylist(), t1["score"].to_pylist()))
     assert abs(sum(scores.values()) - 1.0) < 1e-6
     assert max(scores, key=scores.get) == "site0.test"
+
+
+def _delay_web():
+    """Two-host tiny web matching the synth KB's index shape:
+    siteslow.test declares Crawl-delay 30, sitefast.test doesn't.
+    Returns (pages dict url→html, seeds)."""
+    pages = {}
+    for host, delay in (("siteslow.test", "Crawl-delay: 30\n"), ("sitefast.test", "")):
+        base = f"http://{host}"
+        links = "".join(f'<a href="/a/{j}">a{j}</a>' for j in range(10))
+        pages[f"{base}/"] = (
+            f'<html><body><div class="pagination">{links}</div></body></html>'
+        )
+        pages[f"{base}/robots.txt"] = "User-agent: *\nDisallow: /private/\n" + delay
+        for j in range(10):
+            pages[f"{base}/a/{j}"] = f"<html><body><h2>p{j} of {host}</h2></body></html>"
+    return pages, ["http://siteslow.test/", "http://sitefast.test/"]
+
+
+def test_parse_robots_crawl_delay():
+    from scrappy_ray.state.robots import parse_robots
+
+    r = parse_robots("User-agent: *\nDisallow: /x/\nCrawl-delay: 12.5\n")
+    assert r.crawl_delay == 12.5 and r.disallow == ["/x/"]
+    # other agents' delay does not apply; junk value ignored
+    assert parse_robots("User-agent: bot\nCrawl-delay: 9\n").crawl_delay is None
+    assert parse_robots("User-agent: *\nCrawl-delay: soon\n").crawl_delay is None
+    assert parse_robots(None).crawl_delay is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_crawl_robots_delay_matches_simulator(tmp_path):
+    """robots Crawl-delay → per-host politeness rate: the Ray crawl
+    (token-bucket shards with pushed overrides) must schedule exactly
+    like the simulator's replicated buckets; the delayed host must
+    execute at its reduced rate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrappy_ray.kb import load_kb
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    pages, seeds = _delay_web()
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(
+        pa.table({"url": list(pages), "html": [p.encode() for p in pages.values()]}),
+        str(pdir / "pages.parquet"),
+    )
+    kb = load_kb(synth_kb_yaml())
+    sup = superstep_crawl_sim(
+        lambda u: pages.get(u), kb, seeds, depth=-1,
+        host_budget=5, robots=True, robots_delay_round_s=60.0,
+    )
+    res = run_crawl(
+        CrawlConfig(
+            pages_path=str(pdir), kb_yaml=synth_kb_yaml(), seeds=seeds,
+            ckpt_dir=str(tmp_path / "ckpt"), depth=-1, num_buckets=2,
+            extract_concurrency=2, host_budget=5, robots=True,
+            robots_delay_round_s=60.0,
+        )
+    )
+    assert exec_order(res) == sim_exec_order(sup)
+    # the delayed host runs at rate 2/round after the seed round
+    t = res.schedule_table().to_pandas()
+    slow = t[t.url.str.contains("siteslow.test")].groupby("round").size()
+    fast = t[t.url.str.contains("sitefast.test")].groupby("round").size()
+    assert slow.max() == 2 and fast.max() == 5
