@@ -2,6 +2,30 @@
 the crawl engine): deduplication, similarity search, text analysis,
 multimodal plumbing, extraction quality metrics."""
 
-from . import dedup, metrics, multimodal, similarity, textstats
+from . import (
+    bpe,
+    dedup,
+    graph,
+    index,
+    metrics,
+    multimodal,
+    sampling,
+    similarity,
+    spans,
+    textstats,
+    webtext,
+)
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal", "metrics"]
+__all__ = [
+    "bpe",
+    "dedup",
+    "graph",
+    "index",
+    "metrics",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "spans",
+    "textstats",
+    "webtext",
+]
