@@ -218,3 +218,26 @@ def bpe_token_stats(ds, merges: list[tuple[str, str]], text_col: str = "text",
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Freeze a learned merge table to parquet (rank-ordered) — the
+    deployment artifact: train once, encode many corpora against the
+    SAME tokenizer (the minhash_band_index frozen-reference pattern)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+        }),
+        path,
+    )
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by([("rank", "ascending")])
+    return list(zip(t.column("left").to_pylist(), t.column("right").to_pylist()))

@@ -116,3 +116,14 @@ def test_learn_bpe_empty_and_min_count(ray_session):
     ds = ray.data.from_items([{"doc_id": 0, "text": "abc abc xyz"}])
     m = learn_bpe(ds, 3, min_count=2)
     assert all("x" not in a + b and "y" not in a + b for a, b in m)
+
+
+def test_merge_table_roundtrip(tmp_path):
+    from scrappy_ray.functions.bpe import load_merges, save_merges
+
+    merges = [("l", "o"), ("lo", "w"), ("low", END)]
+    p = str(tmp_path / "merges.parquet")
+    save_merges(merges, p)
+    assert load_merges(p) == merges
+    enc = BPEEncoder(load_merges(p))
+    assert enc._encode_len("low") == 1
