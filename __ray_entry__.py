@@ -880,6 +880,13 @@ def _q_stratified_sample(sf_dir: str):
     return out.sort("doc_id")
 
 
+def _q_mirror_sources(sf_dir: str):
+    from scrappy_ray.functions.webtext import mirror_sources
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return mirror_sources(ds, key_tokens=8, min_sources=2).sort("content_key")
+
+
 def _q_domain_stats(sf_dir: str):
     from scrappy_ray.functions.webtext import domain_stats
     from scrappy_ray.pipelines.relational import round_cols
@@ -1637,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "incremental_near_dedup": _q_incremental_near_dedup,
         "compression_ratio": _q_compression_ratio,
+        "mirror_sources": _q_mirror_sources,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1862,6 +1870,18 @@ def _oracle_sql_static() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "mirror_sources": """
+            WITH k AS (
+              SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS content_key,
+                     source
+              FROM documents)
+            SELECT content_key, COUNT(DISTINCT source) AS n_sources,
+                   STRING_AGG(DISTINCT source, ',' ORDER BY source) AS sources
+            FROM k GROUP BY content_key
+            HAVING COUNT(DISTINCT source) >= 2
+            ORDER BY content_key
         """,
         "region_customers": f"""
             SELECT r.r_name, COUNT(*) AS n_customers,

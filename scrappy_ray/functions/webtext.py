@@ -320,3 +320,75 @@ def url_trap_stats(ds, url_col: str = "url", digits: int = 4,
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- Mirror detection -------------------------------------------------------
+
+
+def mirror_sources(ds, text_col: str = "text", source_col: str = "source",
+                   key_tokens: int = 8, min_sources: int = 2,
+                   survivor_broadcast_max: int = 2_000_000):
+    """Detect content mirrored across sources/hosts: groups of documents
+    sharing a prefix fingerprint (md5 of the first ``key_tokens``
+    whitespace tokens — the cheap syndication/mirror key) that span at
+    least ``min_sources`` distinct sources. Returns one row per mirrored
+    content group: ``(content_key, n_sources, sources)`` with sources as
+    a sorted comma-joined distinct list.
+
+    Scale shape (100 TB): stage 1 is an Arrow kernel per batch
+    (split/slice/join in C; md5 shared with ``exact_dedup`` so the
+    DuckDB oracle cannot drift); the DISTINCT pair set and the
+    per-key source count are vectorized hash aggregates — the only
+    per-group Python (the list-agg) runs on the MIRROR SURVIVORS, whose
+    key set is broadcast as a semi-join filter (never O(corpus) driver
+    state; ``survivor_broadcast_max`` guards the assumption and fails
+    loudly rather than silently gathering an unexpectedly huge set).
+
+    Reference parity: the reference has no corpus-level mirror op; this
+    generalizes its canonicalize-on-discovery URL identity
+    (urlizer, see canonical_url_array above) to content identity.
+    """
+    from .dedup import _md5_col
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column(text_col), pa.string()), " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, key_tokens), " ")
+        return pa.table({
+            "content_key": _md5_col(prefix.to_pylist()),
+            source_col: pc.cast(batch.column(source_col), pa.string()),
+        })
+
+    # DISTINCT (key, source) pairs, then n_sources per key — both are
+    # vectorized Arrow hash aggregates (one key exchange each).
+    pairs = ds.map_batches(keyed, batch_format="pyarrow") \
+              .groupby(["content_key", source_col]).count() \
+              .drop_columns(["count()"])
+    counts = pairs.groupby("content_key").count()
+
+    def survivors_only(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("count()"), min_sources)
+        return batch.filter(keep).select(["content_key"])
+
+    surv_tbl = counts.map_batches(survivors_only, batch_format="pyarrow") \
+                     .take_all()
+    if len(surv_tbl) > survivor_broadcast_max:
+        raise ValueError(
+            f"mirror survivor set ({len(surv_tbl)}) exceeds the broadcast "
+            f"guard ({survivor_broadcast_max}); raise the guard or switch "
+            "the semi-join to the distributed hash join")
+    surv_keys = pa.array(sorted(r["content_key"] for r in surv_tbl), pa.string())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("content_key"), value_set=surv_keys))
+
+    def listagg(group: pa.Table) -> pa.Table:
+        srcs = sorted(set(group.column(source_col).to_pylist()))
+        return pa.table({
+            "content_key": pa.array([group.column("content_key")[0].as_py()], pa.string()),
+            "n_sources": pa.array([len(srcs)], pa.int64()),
+            "sources": pa.array([",".join(srcs)], pa.string()),
+        })
+
+    return (pairs.map_batches(semi, batch_format="pyarrow")
+            .groupby("content_key")
+            .map_groups(listagg, batch_format="pyarrow"))

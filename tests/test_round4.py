@@ -1334,3 +1334,29 @@ def test_heavy_hitters_empty_and_int_key(ray_session):
     out = heavy_hitters(ds, "x", k=2)
     assert list(zip(out.column("x").to_pylist(), out.column("c").to_pylist())) == \
         [(7, 3), (3, 2)]
+
+
+def test_mirror_sources_planted_and_guard(ray_session):
+    import pytest
+    import ray.data
+
+    from scrappy_ray.functions.webtext import mirror_sources
+
+    # 8-token prefix shared by hostA/hostB/hostA (syndicated content);
+    # hostC's doc shares only 7 tokens -> different key -> excluded.
+    pre = "w0 w1 w2 w3 w4 w5 w6 w7"
+    tbl = pa.table({
+        "text": pa.array([pre + " tailA", pre + " tailB", pre + " tailA2",
+                          "w0 w1 w2 w3 w4 w5 w6 x7 tailC",
+                          "solo doc on one host only here now yes"]),
+        "source": pa.array(["hostA", "hostB", "hostA", "hostC", "hostD"]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = pa.concat_tables(list(
+        mirror_sources(ds).sort("content_key").iter_batches(batch_format="pyarrow")))
+    assert out.num_rows == 1
+    assert out.column("n_sources")[0].as_py() == 2
+    assert out.column("sources")[0].as_py() == "hostA,hostB"
+
+    with pytest.raises(ValueError, match="broadcast guard"):
+        mirror_sources(ds, survivor_broadcast_max=0).materialize()
