@@ -465,6 +465,31 @@ def _q_range_join(sf_dir: str):
     return range_join_broadcast(ds, bands, value_col="value").sort("event_id")
 
 
+def _q_fuzzy_join(sf_dir: str):
+    """Blocked approximate-string join: part names vs deterministically
+    typo'd probes (one char deleted past the 4-char blocking prefix)."""
+    from scrappy_ray.functions.fuzzy import fuzzy_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def probes(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").to_pylist()
+        names = batch.column("p_name").to_pylist()
+        typo = []
+        for k, n in zip(keys, names):
+            pos = 4 + (k % (len(n) - 4))
+            typo.append(n[:pos] + n[pos + 1:])
+        return pa.table({
+            "probe_id": pa.array(keys, pa.int64()),
+            "probe": pa.array(typo, pa.string()),
+        })
+
+    left = part.map_batches(probes, batch_format="pyarrow")
+    out = fuzzy_join(left, part, "probe", "p_name", max_dist=2, block_chars=4)
+    return out.select_columns(["probe_id", "p_partkey", "dist"]) \
+              .sort(["probe_id", "p_partkey"])
+
+
 def _q_asof_join(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Sum
@@ -1624,6 +1649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_per_group": _q_top_per_group,
         "range_join": _q_range_join,
         "asof_join": _q_asof_join,
+        "fuzzy_join": _q_fuzzy_join,
         "paragraph_dedup": _q_paragraph_dedup,
         "top_ngrams": _q_top_ngrams,
         "inverted_search": _q_inverted_search,
@@ -1870,6 +1896,20 @@ def _oracle_sql_static() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "fuzzy_join": """
+            WITH probes AS (
+              SELECT p_partkey AS probe_id,
+                     substr(p_name, 1, 4 + (p_partkey % (len(p_name) - 4)))
+                       || substr(p_name, 4 + (p_partkey % (len(p_name) - 4)) + 2)
+                       AS probe
+              FROM part)
+            SELECT pr.probe_id, p.p_partkey,
+                   levenshtein(pr.probe, p.p_name) AS dist
+            FROM probes pr JOIN part p
+              ON substr(pr.probe, 1, 4) = substr(p.p_name, 1, 4)
+            WHERE levenshtein(pr.probe, p.p_name) <= 2
+            ORDER BY pr.probe_id, p.p_partkey
         """,
         "mirror_sources": """
             WITH k AS (

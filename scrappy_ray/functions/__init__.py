@@ -5,6 +5,7 @@ multimodal plumbing, extraction quality metrics."""
 from . import (
     bpe,
     dedup,
+    fuzzy,
     graph,
     index,
     metrics,
@@ -19,6 +20,7 @@ from . import (
 __all__ = [
     "bpe",
     "dedup",
+    "fuzzy",
     "graph",
     "index",
     "metrics",

@@ -1,0 +1,127 @@
+"""Fuzzy (approximate-string) join: blocked candidate generation +
+a numpy-vectorized Levenshtein kernel.
+
+The classic record-linkage shape (Gravano et al., "Approximate string
+joins in a database", VLDB 2001): an all-pairs edit-distance join is
+O(N·M) and impossible at corpus scale, so candidates are BLOCKED on a
+cheap equality key (here: the first ``block_chars`` characters — the
+standard prefix-blocking scheme; anything that hash-partitions works)
+and the exact distance runs only inside blocks. The distance kernel
+follows the repo's "loop over char positions, not rows" vectorization
+pattern (see simhash in dedup.py): the Wagner-Fischer DP iterates over
+the two string-length axes in Python, but every cell update is one
+numpy op across ALL candidate pairs in the batch at once — P pairs of
+length-L strings cost O(L^2) vector ops, never O(P·L^2) Python steps.
+
+Scale shape (100 TB): the blocking join is Ray's distributed hash join
+on the block key (both sides empty-block-guarded per common.py); the
+per-batch DP touches only in-block candidates. Skewed blocks behave
+like any skewed join key — pick ``block_chars`` so blocks stay small,
+or pre-salt hot blocks upstream.
+
+Reference parity: the reference has no approximate join; this is new
+engine surface for webtext record linkage (title/entity matching).
+DuckDB-oracle equivalent: JOIN ... ON substr(a,1,k)=substr(b,1,k)
+AND levenshtein(a,b) <= d. DuckDB's levenshtein operates on UTF-8
+BYTES (measured: levenshtein('héllo','hello') = 2), so this kernel
+does too — identical on ASCII, byte-level edits on non-ASCII.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..common import drop_empty_blocks
+
+
+def levenshtein_pairs(a: list[str], b: list[str]) -> np.ndarray:
+    """Exact edit distance for each (a[i], b[i]) pair, vectorized over
+    the PAIR axis: the DP loops over character positions only."""
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, np.int64)
+    ab = [s.encode("utf-8") for s in a]
+    bb = [s.encode("utf-8") for s in b]
+    la = np.array([len(s) for s in ab], np.int64)
+    lb = np.array([len(s) for s in bb], np.int64)
+    LA, LB = int(la.max(initial=0)), int(lb.max(initial=0))
+    # UTF-8 byte matrices, 0x00-padded (padding never compared: the DP
+    # result is read off at each pair's true (la, lb) cell)
+    A = np.zeros((P, LA), np.uint8)
+    B = np.zeros((P, LB), np.uint8)
+    for i, s in enumerate(ab):
+        A[i, : len(s)] = np.frombuffer(s, np.uint8)
+    for i, s in enumerate(bb):
+        B[i, : len(s)] = np.frombuffer(s, np.uint8)
+
+    res = np.empty(P, np.int64)
+    prev = np.broadcast_to(np.arange(LB + 1, dtype=np.int64), (P, LB + 1)).copy()
+    done = la == 0
+    res[done] = lb[done]  # row 0 of the DP: distance from empty prefix
+    for i in range(1, LA + 1):
+        cur = np.empty((P, LB + 1), np.int64)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, LB + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+        row_done = la == i
+        if row_done.any():
+            res[row_done] = cur[row_done, lb[row_done]]
+        prev = cur
+    return res
+
+
+def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
+               max_dist: int = 2, block_chars: int = 4,
+               num_partitions: int = 8, dist_col: str = "dist"):
+    """Inner join rows whose string keys are within ``max_dist`` edits,
+    blocked on the first ``block_chars`` characters of both keys.
+
+    Matches that differ inside the blocking prefix are NOT found — the
+    documented recall/cost trade of prefix blocking (same contract as
+    the DuckDB oracle, which joins on the identical prefix predicate).
+    Returns left ⨝ right columns plus ``dist_col``.
+    """
+
+    def add_block(col: str):
+        def add(batch: pa.Table) -> pa.Table:
+            key = pc.utf8_slice_codeunits(
+                pc.cast(batch.column(col), pa.string()), 0, block_chars)
+            return batch.append_column("_block", key)
+        return add
+
+    lb = drop_empty_blocks(left_ds.map_batches(add_block(left_col), batch_format="pyarrow"))
+    rb = drop_empty_blocks(right_ds.map_batches(add_block(right_col), batch_format="pyarrow"))
+    cand = lb.join(rb, "inner", num_partitions, on=("_block",), right_suffix="_r")
+    rcol = right_col if right_col != left_col else f"{right_col}_r"
+
+    def dist_filter(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch.column(left_col), pa.string())
+        b = pc.cast(batch.column(rcol), pa.string())
+        # byte-length prefilter: |len(a)-len(b)| > d implies dist > d —
+        # skips the DP for the bulk of in-block non-matches
+        ldiff = pc.abs(pc.subtract(
+            pc.cast(pc.binary_length(a), pa.int64()),
+            pc.cast(pc.binary_length(b), pa.int64())))
+        batch = batch.filter(pc.less_equal(ldiff, max_dist))
+        if batch.num_rows == 0:
+            return batch.append_column(dist_col, pa.array([], pa.int64())) \
+                        .drop_columns(["_block"])
+        a = batch.column(left_col).to_pylist()
+        b = batch.column(rcol).to_pylist()
+        d = levenshtein_pairs(a, b)
+        batch = batch.append_column(dist_col, pa.array(d, pa.int64()))
+        batch = batch.filter(pc.less_equal(batch.column(dist_col), max_dist))
+        return batch.drop_columns(["_block"])
+
+    out = cand.map_batches(dist_filter, batch_format="pyarrow")
+    drop = [c for c in ("_block_r",) if c]
+    return out.map_batches(
+        lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
+        batch_format="pyarrow")

@@ -1360,3 +1360,54 @@ def test_mirror_sources_planted_and_guard(ray_session):
 
     with pytest.raises(ValueError, match="broadcast guard"):
         mirror_sources(ds, survivor_broadcast_max=0).materialize()
+
+
+def test_levenshtein_pairs_vs_bruteforce():
+    import random
+
+    from scrappy_ray.functions.fuzzy import levenshtein_pairs
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (a[i - 1] != b[j - 1]))
+        return dp[len(b)]
+
+    rng = random.Random(42)
+    al = ["".join(rng.choice("abcd") for _ in range(rng.randint(0, 9))) for _ in range(120)]
+    bl = ["".join(rng.choice("abcd") for _ in range(rng.randint(0, 9))) for _ in range(120)]
+    al += ["", "", "kitten"]
+    bl += ["", "xyz", "sitting"]
+    got = list(levenshtein_pairs(al, bl))
+    assert got == [ref(a, b) for a, b in zip(al, bl)]
+    # byte-level on non-ASCII (DuckDB levenshtein parity): é is 2 UTF-8 bytes
+    assert list(levenshtein_pairs(["héllo"], ["hello"])) == [2]
+
+
+def test_fuzzy_join_blocked(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.fuzzy import fuzzy_join
+
+    left = ray.data.from_arrow(pa.table({
+        "probe_id": pa.array([1, 2, 3], pa.int64()),
+        "probe": pa.array(["blue widgt",   # 1 deletion from 'blue widget'
+                           "blux widget",  # 1 sub INSIDE the 4-char block
+                           "zzzz nothing"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "p_id": pa.array([10, 11], pa.int64()),
+        "name": pa.array(["blue widget", "blue bolt"]),
+    }))
+    out = pa.concat_tables(list(
+        fuzzy_join(left, right, "probe", "name", max_dist=2, block_chars=4)
+        .sort(["probe_id", "p_id"]).iter_batches(batch_format="pyarrow")))
+    # probe 1 matches only 'blue widget' (dist 1); 'blue bolt' is dist>2.
+    # probe 2 shares no block with anything ('blux' != 'blue') — the
+    # documented prefix-blocking recall trade. probe 3 matches nothing.
+    assert out.column("probe_id").to_pylist() == [1]
+    assert out.column("p_id").to_pylist() == [10]
+    assert out.column("dist").to_pylist() == [1]
