@@ -1401,6 +1401,16 @@ def _graph_sqls() -> dict[str, str]:
 # ----------------------------------------------------------------- crawl
 
 
+def _q_anchor_texts(sf_dir: str):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import anchor_texts
+    from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for
+
+    ds = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return anchor_texts(ds).sort("dst")
+
+
 def _q_main_content(sf_dir: str):
     import ray.data
 
@@ -1691,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_triples": _q_extract_triples,
         "extract_text": _q_extract_text,
         "main_content": _q_main_content,
+        "anchor_texts": _q_anchor_texts,
         "serialize_roundtrip": _q_serialize_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -1854,6 +1865,7 @@ _GOLDEN_ORACLES = {
     "extract_triples": "ORDER BY url, s, p, o, lit",
     "extract_text": "ORDER BY url",
     "main_content": "ORDER BY url",
+    "anchor_texts": "ORDER BY dst",
     "serialize_roundtrip": "ORDER BY s, p, o, lit",
     "crawl_bfs": "ORDER BY seq",
     "crawl_politeness": "ORDER BY round, seq",

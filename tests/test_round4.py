@@ -1411,3 +1411,29 @@ def test_fuzzy_join_blocked(ray_session):
     assert out.column("probe_id").to_pylist() == [1]
     assert out.column("p_id").to_pylist() == [10]
     assert out.column("dist").to_pylist() == [1]
+
+
+def test_anchor_texts_planted(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import anchor_texts
+
+    pages = pa.table({
+        "url": pa.array(["http://a.test/", "http://b.test/x", "http://c.test/"]),
+        "html": pa.array([
+            b'<p><a href="/t">home</a> <a href="http://b.test/x">B!</a></p>',
+            b'<a href="/t">other</a><a class="z" href="/t">home</a>',
+            None,  # fetch miss: skipped, not crashed
+        ], pa.binary()),
+    })
+    out = pa.concat_tables(list(
+        anchor_texts(ray.data.from_arrow(pages)).sort("dst")
+        .iter_batches(batch_format="pyarrow")))
+    rows = {r["dst"]: r for r in out.to_pylist()}
+    # /t on a.test resolves against a.test; /t on b.test against b.test
+    assert rows["http://a.test/t"]["n_links"] == 1
+    t = rows["http://b.test/t"]
+    assert (t["n_links"], t["n_sources"]) == (2, 1)
+    # tie 'other' vs 'home' at n=1 -> lexicographic smallest wins
+    assert t["top_anchor"] == "home" and t["top_anchor_n"] == 1
+    assert rows["http://b.test/x"]["top_anchor"] == "B!"
