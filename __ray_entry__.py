@@ -649,6 +649,13 @@ def _q_index_lookup(sf_dir: str):
     return out.map_batches(as_str, batch_format="pyarrow").sort("token")
 
 
+def _q_collocations(sf_dir: str):
+    from scrappy_ray.functions.lm import collocations
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return collocations(ds, min_count=5, k=20)
+
+
 def _q_top_ngrams(sf_dir: str):
     from scrappy_ray.functions.lm import bigram_counts
 
@@ -1662,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": _q_fuzzy_join,
         "paragraph_dedup": _q_paragraph_dedup,
         "top_ngrams": _q_top_ngrams,
+        "collocations": _q_collocations,
         "inverted_search": _q_inverted_search,
         "snapshot_diff": _q_snapshot_diff,
         "index_lookup": _q_index_lookup,
@@ -2318,6 +2326,26 @@ def _oracle_sql_static() -> dict[str, str]:
                    FROM docs)
             SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
             ORDER BY c DESC, w1, w2 LIMIT 20
+        """,
+        "collocations": r"""
+            WITH docs AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+                          FROM documents),
+            uni AS (SELECT w, count(*) c FROM
+                      (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+            bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                          unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+                   FROM docs),
+            bi AS (SELECT w1, w2, count(*) c FROM bg GROUP BY w1, w2
+                   HAVING count(*) >= 5),
+            t AS (SELECT (SELECT sum(c) FROM uni) AS t1,
+                         (SELECT sum(c) FROM bi0) AS t2),
+            bi0 AS (SELECT w1, w2, count(*) c FROM bg GROUP BY w1, w2)
+            SELECT b.w1, b.w2, b.c,
+                   round(ln((b.c / t.t2) / ((u1.c / t.t1) * (u2.c / t.t1))), 6)
+                     AS pmi
+            FROM bi b JOIN uni u1 ON b.w1 = u1.w
+                      JOIN uni u2 ON b.w2 = u2.w, t
+            ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
         """,
         "hash_sample": _SAMPLING_SQLS()["hash_sample"],
         "stratified_sample": _SAMPLING_SQLS()["stratified_sample"],

@@ -173,3 +173,59 @@ def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def collocations(ds, text_col: str = "text", min_count: int = 5,
+                 k: int = 20, digits: int = 6):
+    """Top-``k`` word-pair collocations by pointwise mutual information
+    (Church & Hanks 1990): pmi = ln((c12/T2) / ((c1/T1)(c2/T1))) over
+    corpus bigram/unigram counts, keeping pairs seen >= ``min_count``
+    times; ranked by (rounded pmi desc, w1, w2) so float ties are
+    deterministic in both this engine and the DuckDB oracle.
+
+    Scale shape (100 TB): counts come from ``bigram_counts`` (per-batch
+    partial aggregates, the shuffle moves distinct n-grams only); the
+    unigram counts attach via two distributed hash joins (the unigram
+    side is O(vocab) — never driver-gathered); T1/T2 are two scalar
+    aggregates; the final rank is a distributed sort of the
+    post-``min_count`` pair table followed by limit(k).
+    """
+    from ..common import drop_empty_blocks
+
+    uni, bi = bigram_counts(ds, text_col=text_col)  # cols: (w|w1,w2, sum(c))
+    t1 = float(uni.sum("sum(c)"))
+    t2 = float(bi.sum("sum(c)"))
+
+    bi = bi.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("sum(c)"), min_count))
+                   .rename_columns(["w1", "w2", "c"]),
+        batch_format="pyarrow")
+
+    def renamed(suffix):
+        def r(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"w{suffix}_", f"c{suffix}"])
+        return r
+
+    u1 = uni.map_batches(renamed(1), batch_format="pyarrow")
+    u2 = uni.map_batches(renamed(2), batch_format="pyarrow")
+    j = drop_empty_blocks(bi).join(drop_empty_blocks(u1), "inner", 8,
+                                   on=("w1",), right_on=("w1_",))
+    j = drop_empty_blocks(j).join(drop_empty_blocks(u2), "inner", 8,
+                                  on=("w2",), right_on=("w2_",))
+
+    def score(t: pa.Table) -> pa.Table:
+        c = np.asarray(pc.cast(t.column("c"), pa.float64()))  # noqa: renamed above
+        c1 = np.asarray(pc.cast(t.column("c1"), pa.float64()))
+        c2 = np.asarray(pc.cast(t.column("c2"), pa.float64()))
+        # evaluation order mirrors the oracle SQL expression exactly
+        pmi = np.log((c / t2) / ((c1 / t1) * (c2 / t1)))
+        pmi = pc.round(pa.array(pmi, pa.float64()), ndigits=digits,
+                       round_mode="half_towards_infinity")
+        return pa.table({
+            "w1": t.column("w1"), "w2": t.column("w2"),
+            "c": t.column("c"), "pmi": pmi,
+        })
+
+    return (j.map_batches(score, batch_format="pyarrow")
+             .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+             .limit(k))

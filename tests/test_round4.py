@@ -1437,3 +1437,26 @@ def test_anchor_texts_planted(ray_session):
     # tie 'other' vs 'home' at n=1 -> lexicographic smallest wins
     assert t["top_anchor"] == "home" and t["top_anchor_n"] == 1
     assert rows["http://b.test/x"]["top_anchor"] == "B!"
+
+
+def test_collocations_planted(ray_session):
+    import math
+
+    import ray.data
+
+    from scrappy_ray.functions.lm import collocations
+
+    # 'new york' always co-occurs (high PMI); 'the cat'/'the dog' share
+    # the frequent 'the' (low PMI). min_count=2 drops singleton pairs.
+    docs = ["new york " * 3 + "the cat", "new york the dog the cat",
+            "the dog the cat the fish"]
+    ds = ray.data.from_items([{"text": t} for t in docs])
+    out = pa.concat_tables(list(
+        collocations(ds, min_count=2, k=3).iter_batches(batch_format="pyarrow")))
+    assert out.column_names == ["w1", "w2", "c", "pmi"]
+    assert out.num_rows == 3
+    top = out.to_pylist()[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    # exact PMI for the planted pair: c12=4, c1=c2=4, T1=20, T2=17
+    assert top["c"] == 4
+    assert abs(top["pmi"] - round(math.log((4 / 17) / ((4 / 20) ** 2)), 6)) < 1e-9
