@@ -204,6 +204,14 @@ def _q_distinct_event_types(sf_dir: str):
     return _distinct(ds, ["event_type"]).sort("event_type")
 
 
+def _q_revisit_stats(sf_dir: str):
+    from scrappy_ray.functions.webtext import revisit_stats
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return revisit_stats(ds).sort("user_id")
+
+
 def _q_sessionize(sf_dir: str):
     from scrappy_ray.pipelines.relational import sessionize
 
@@ -346,6 +354,13 @@ def _q_dedup_exact(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(ds, ids_only=True).sort("doc_id")
+
+
+def _q_readability(sf_dir: str):
+    from scrappy_ray.functions.textstats import readability
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return readability(ds).sort("doc_id")
 
 
 def _q_token_stats(sf_dir: str):
@@ -917,6 +932,13 @@ def _q_mirror_sources(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["text", "source"])
     return mirror_sources(ds, key_tokens=8, min_sources=2).sort("content_key")
+
+
+def _q_dup_histogram(sf_dir: str):
+    from scrappy_ray.functions.webtext import dup_histogram
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return dup_histogram(ds, key_tokens=8)
 
 
 def _q_domain_stats(sf_dir: str):
@@ -1544,6 +1566,53 @@ def _q_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _q_jsonl_gz_roundtrip(sf_dir: str):
+    """Compressed-JSONL round trip (.jsonl.gz — the shipping format of
+    public webtext corpora): gzip out via Arrow's codec, stream back."""
+    import ray.data
+    from ray.data.datasource.filename_provider import FilenameProvider
+
+    class _GzNames(FilenameProvider):
+        def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+            return f"{write_uuid}_{task_index:06}_{block_index:06}.jsonl.gz"
+
+    out_dir = tempfile.mkdtemp(prefix="jsonl_gz_roundtrip_", dir="/tmp")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    docs.write_json(out_dir, arrow_open_stream_args={"compression": "gzip"},
+                    filename_provider=_GzNames())
+    return (
+        ray.data.read_json(out_dir,
+                           arrow_open_stream_args={"compression": "gzip"})
+        .select_columns(["doc_id", "text", "lang", "source"])
+        .sort("doc_id")
+    )
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV sink → source round trip (metadata-table interchange):
+    quoting/escaping and type inference frozen against the source."""
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="csv_roundtrip_", dir="/tmp")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    docs.write_csv(out_dir)
+    return (
+        ray.data.read_csv(out_dir)
+        .select_columns(["doc_id", "text", "lang", "source"])
+        .sort("doc_id")
+    )
+
+
+def _q_robots_stats(sf_dir: str):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import robots_stats
+    from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for
+
+    ds = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return robots_stats(ds).sort("host")
+
+
 def _q_export_roundtrip(sf_dir: str):
     """Resumable deterministic shard export → read-back round trip
     (pipelines/export.py): documents spill into hash-routed shard
@@ -1641,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer": _q_orders_per_customer,
         "customers_no_urgent": _q_customers_no_urgent,
         "sessionize": _q_sessionize,
+        "revisit_stats": _q_revisit_stats,
         "rolling_window": _q_rolling_window,
         "events_window": _q_events_window,
         "filter_pushdown": _q_filter_pushdown,
@@ -1654,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_removal": _q_span_removal,
         "normalize_text": _q_normalize_text,
         "token_stats": _q_token_stats,
+        "readability": _q_readability,
         "punct_ratio": _q_punct_ratio,
         "repetition": _q_repetition,
         "gopher_rules": _q_gopher_rules,
@@ -1689,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dedup": _q_incremental_near_dedup,
         "compression_ratio": _q_compression_ratio,
         "mirror_sources": _q_mirror_sources,
+        "dup_histogram": _q_dup_histogram,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1713,6 +1785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serialize_roundtrip": _q_serialize_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "jsonl_gz_roundtrip": _q_jsonl_gz_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "robots_stats": _q_robots_stats,
         "export_roundtrip": _q_export_roundtrip,
         "sitemap_parse": _q_sitemap_parse,
         "pagerank": _q_pagerank,
@@ -1874,6 +1949,7 @@ _GOLDEN_ORACLES = {
     "extract_text": "ORDER BY url",
     "main_content": "ORDER BY url",
     "anchor_texts": "ORDER BY dst",
+    "robots_stats": "ORDER BY host",
     "serialize_roundtrip": "ORDER BY s, p, o, lit",
     "crawl_bfs": "ORDER BY seq",
     "crawl_politeness": "ORDER BY round, seq",
@@ -1942,6 +2018,15 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM k GROUP BY content_key
             HAVING COUNT(DISTINCT source) >= 2
             ORDER BY content_key
+        """,
+        "dup_histogram": """
+            WITH k AS (
+              SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS content_key
+              FROM documents),
+            g AS (SELECT content_key, COUNT(*) AS sz FROM k GROUP BY content_key)
+            SELECT sz AS size, COUNT(*) AS n_groups FROM g
+            GROUP BY sz ORDER BY sz
         """,
         "region_customers": f"""
             SELECT r.r_name, COUNT(*) AS n_customers,
@@ -2356,6 +2441,47 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+        """,
+        "jsonl_gz_roundtrip": """
+            SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+        """,
+        "readability": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS words,
+                     GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS sents,
+                     GREATEST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+                       AS syll
+              FROM documents)
+            SELECT doc_id, words AS n_words, sents AS n_sentences,
+                   syll AS n_syllables,
+                   ROUND(206.835 - 1.015 * (words / sents)
+                                 - 84.6 * (syll / words), 4) AS flesch
+            FROM c ORDER BY doc_id
+        """,
+        "revisit_stats": """
+            WITH o AS (
+              SELECT user_id, ts, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT user_id, COUNT(*) AS n_obs,
+                   COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                                      AND event_type <> prev
+                                     THEN 1 ELSE 0 END), 0) AS n_changes,
+                   CASE WHEN COUNT(*) > 1 THEN
+                     ROUND(SUM(CASE WHEN prev IS NOT NULL
+                                     AND event_type <> prev
+                                    THEN 1 ELSE 0 END) / (COUNT(*) - 1.0), 6)
+                   END AS change_rate,
+                   CASE WHEN COUNT(*) > 1 THEN
+                     ROUND(((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                            / (COUNT(*) - 1.0)) / 1000000.0, 6)
+                   END AS mean_gap_s
+            FROM o GROUP BY user_id ORDER BY user_id
         """,
         "export_roundtrip": """
             SELECT doc_id, text, source FROM documents ORDER BY doc_id

@@ -256,7 +256,8 @@ def main():
                  "dedup_simhash", "token_stats", "quality_scores", "sim_topk", "sessionize",
                  "corpus_clean", "heavy_hitters", "substr_dedup", "semantic_dedup",
                  "quality_classify", "pack_sequences", "shuffle_det",
-                 "warc_roundtrip", "pagerank", "bpe_tokens"):
+                 "warc_roundtrip", "pagerank", "bpe_tokens",
+                 "fuzzy_join", "collocations", "anchor_texts", "mirror_sources"):
         t = time.perf_counter()
         _consume(E.queries()[name](SF_DIR))
         queries[name] = round(time.perf_counter() - t, 3)

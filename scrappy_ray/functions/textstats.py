@@ -460,3 +460,41 @@ def gopher_stats(ds, text_col="text", id_col="doc_id", min_words=50,
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def readability(ds, text_col="text", id_col="doc_id", digits: int = 4):
+    """Flesch reading-ease score per document (Flesch 1948 — a standard
+    cheap quality/complexity feature in corpus filters):
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)`` with
+    sentences counted as ``[.!?]`` occurrences and syllables
+    approximated by vowel groups — both via ONE RE2 count kernel per
+    column (``pc.count_substring_regex``), the same regex engine the
+    DuckDB oracle uses, so the counts match exactly. Sentence and
+    syllable counts floor at 1 (a fragment is one sentence); scores
+    round half-away so the oracle hash is float-noise-proof.
+    One streaming Arrow pass, no shuffle.
+    """
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        words = np.asarray(
+            pc.count_substring_regex(text, pattern=r"\S+"), dtype=np.float64)
+        sents = np.asarray(
+            pc.count_substring_regex(text, pattern=r"[.!?]"), dtype=np.float64)
+        syll = np.asarray(
+            pc.count_substring_regex(text, pattern=r"[aeiouyAEIOUY]+"),
+            dtype=np.float64)
+        words = np.maximum(words, 1.0)
+        sents = np.maximum(sents, 1.0)
+        syll = np.maximum(syll, 1.0)
+        flesch = 206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(words.astype(np.int64), pa.int64()),
+            "n_sentences": pa.array(sents.astype(np.int64), pa.int64()),
+            "n_syllables": pa.array(syll.astype(np.int64), pa.int64()),
+            "flesch": pc.round(pa.array(flesch, pa.float64()), ndigits=digits,
+                               round_mode="half_towards_infinity"),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -477,3 +477,194 @@ def anchor_texts(pages_ds, url_col: str = "url", html_col: str = "html"):
         drop_empty_blocks(n_sources), "inner", 8, on=("dst",))
     return drop_empty_blocks(out).join(
         drop_empty_blocks(top), "inner", 8, on=("dst",))
+
+
+# -- robots.txt coverage ----------------------------------------------------
+
+
+def robots_stats(pages_ds, url_col: str = "url", html_col: str = "html"):
+    """Per-host robots.txt coverage report over a pages corpus: how
+    many Disallow rules each host publishes, its Crawl-delay, and what
+    fraction of the host's crawled URLs those rules would block —
+    the standard pre-crawl corpus audit (and a post-crawl compliance
+    check). Output: ``(host, n_disallow, crawl_delay, n_urls,
+    n_blocked)``; hosts with no robots.txt report 0 rules / null delay
+    (allow-all, the same contract as state/robots.py's cache miss).
+
+    Scale shape (100 TB): the rules side is O(hosts) — parsed from the
+    ``*/robots.txt`` rows only (one bounded-Python parse per host,
+    reusing ``state.robots.parse_robots`` so semantics cannot drift
+    from the live crawl's politeness layer) and BROADCAST into one
+    streaming pass over all URLs; per batch, URLs group by host and
+    each host's few prefixes test via numpy startswith — no shuffle of
+    the pages table, one small groupby-sum of per-batch partials.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from ..state.robots import parse_robots
+
+    host_re = r"^[a-z][a-z0-9+.-]*://([^/]+)"
+
+    def hosts_of(urls: pa.ChunkedArray) -> pa.Array:
+        ex = pc.extract_regex(pc.cast(urls, pa.string()),
+                              pattern=r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)")
+        return pc.struct_field(ex, "host")
+
+    def parse_rules(batch: pa.Table) -> pa.Table:
+        urls = pc.cast(batch.column(url_col), pa.string())
+        mask = pc.ends_with(urls, pattern="/robots.txt")
+        sel = batch.filter(mask)
+        hosts, nd, cd, prefixes = [], [], [], []
+        for u, html in zip(hosts_of(sel.column(url_col)).to_pylist(),
+                           sel.column(html_col).to_pylist()):
+            r = parse_robots(html)
+            hosts.append(u)
+            nd.append(len([d for d in r.disallow if d]))
+            cd.append(r.crawl_delay)
+            prefixes.append("\x1f".join(d for d in r.disallow if d))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "n_disallow": pa.array(nd, pa.int64()),
+            "crawl_delay": pa.array(cd, pa.float64()),
+            "prefixes": pa.array(prefixes, pa.string()),
+        })
+
+    rules_tbl = pa.concat_tables(list(
+        pages_ds.map_batches(parse_rules, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))).combine_chunks()
+    rule_map = {
+        h: tuple(p for p in pre.split("\x1f") if p)
+        for h, pre in zip(rules_tbl.column("host").to_pylist(),
+                          rules_tbl.column("prefixes").to_pylist())
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls = pc.cast(batch.column(url_col), pa.string())
+        hosts = hosts_of(urls)
+        # path = url minus scheme://host (robots prefixes match paths)
+        paths = pc.replace_substring_regex(urls, pattern=host_re, replacement="")
+        t = pa.table({"host": hosts, "path": paths})
+        out_h, out_n, out_b = [], [], []
+        for h in pc.unique(t.column("host")).to_pylist():
+            grp = t.filter(pc.equal(t.column("host"), h))
+            p = np.asarray(grp.column("path").to_pylist(), dtype=object)
+            blocked = np.zeros(len(p), bool)
+            for pre in rule_map.get(h, ()):
+                blocked |= np.char.startswith(p.astype(str), pre)
+            out_h.append(h)
+            out_n.append(len(p))
+            out_b.append(int(blocked.sum()))
+        return pa.table({"host": pa.array(out_h, pa.string()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    counts = (pages_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("host")
+              .aggregate(Sum("n", alias_name="n_urls"),
+                         Sum("b", alias_name="n_blocked")))
+
+    # attach the O(hosts) rule columns via the broadcast side
+    nd_map = {h: n for h, n in zip(rules_tbl.column("host").to_pylist(),
+                                   rules_tbl.column("n_disallow").to_pylist())}
+    cd_map = {h: c for h, c in zip(rules_tbl.column("host").to_pylist(),
+                                   rules_tbl.column("crawl_delay").to_pylist())}
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        hs = batch.column("host").to_pylist()
+        return pa.table({
+            "host": batch.column("host"),
+            "n_disallow": pa.array([nd_map.get(h, 0) for h in hs], pa.int64()),
+            "crawl_delay": pa.array([cd_map.get(h) for h in hs], pa.float64()),
+            "n_urls": pc.cast(batch.column("n_urls"), pa.int64()),
+            "n_blocked": pc.cast(batch.column("n_blocked"), pa.int64()),
+        })
+
+    return counts.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- Revisit scheduling -----------------------------------------------------
+
+
+def revisit_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  state_col: str = "event_type", id_col: str = "event_id",
+                  digits: int = 6):
+    """Per-key change-rate estimation from an observation history — the
+    input to a freshness-aware recrawl scheduler (Cho & Garcia-Molina,
+    "Effective page refresh policies for web crawlers", TODS 2003): for
+    each key, how many times it was observed, how often consecutive
+    observations DIFFERED, the change rate, and the mean gap between
+    observations. ``state/repository.py``'s observe() is the live
+    read-through analogue; this is the batch audit over a history
+    table. Keys observed once report 0 changes and null rate/gap.
+
+    Shape: ``groupby(key).map_groups`` with one vectorized numpy pass
+    per group (the rolling_window partitioning assumption: one key's
+    history fits one worker — salt hot keys). Ordering ties on the
+    timestamp break on ``id_col`` so the result is deterministic and
+    matches an oracle ordering the same way.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")])
+        g = group.take(order)
+        ts = np.asarray(pc.cast(g.column(ts_col), pa.int64()))
+        st = np.asarray(g.column(state_col).to_pylist(), dtype=object)
+        n = len(ts)
+        changes = int((st[1:] != st[:-1]).sum()) if n > 1 else 0
+        if n > 1:
+            rate = pc.round(pa.array([changes / (n - 1)], pa.float64()),
+                            ndigits=digits,
+                            round_mode="half_towards_infinity")
+            gap = pc.round(
+                pa.array([(float(ts[-1] - ts[0]) / (n - 1)) / 1_000_000.0],
+                         pa.float64()),
+                ndigits=digits, round_mode="half_towards_infinity")
+        else:
+            rate = pa.array([None], pa.float64())
+            gap = pa.array([None], pa.float64())
+        return pa.table({
+            key_col: pa.array([g.column(key_col)[0].as_py()],
+                              g.schema.field(key_col).type),
+            "n_obs": pa.array([n], pa.int64()),
+            "n_changes": pa.array([changes], pa.int64()),
+            "change_rate": rate,
+            "mean_gap_s": gap,
+        })
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def dup_histogram(ds, text_col: str = "text", key_tokens: int = 8):
+    """Duplicate-cluster size histogram — the dedup AUDIT report
+    (how much of the corpus sits in clusters of size 2, 3, ...):
+    group documents by the same prefix fingerprint ``mirror_sources``
+    uses, then count groups per cluster size. Output ``(size,
+    n_groups)`` sorted by size.
+
+    Scale: two vectorized hash aggregates (content-key counts, then a
+    partial-aggregated histogram of those counts) — the second is tiny
+    (O(distinct cluster sizes)); nothing is driver-gathered.
+    """
+    from .dedup import _md5_col
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column(text_col), pa.string()), " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, key_tokens), " ")
+        return pa.table({"content_key": _md5_col(prefix.to_pylist())})
+
+    sizes = (ds.map_batches(keyed, batch_format="pyarrow")
+             .groupby("content_key").count())
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"size": pc.cast(batch.column("count()"), pa.int64())})
+        return (t.group_by("size").aggregate([("size", "count")])
+                 .rename_columns(["size", "n"]))
+
+    return (sizes.map_batches(partial_hist, batch_format="pyarrow")
+            .groupby("size").sum("n")
+            .map_batches(lambda t: t.rename_columns(["size", "n_groups"]),
+                         batch_format="pyarrow")
+            .sort("size"))

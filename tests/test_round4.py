@@ -1460,3 +1460,66 @@ def test_collocations_planted(ray_session):
     # exact PMI for the planted pair: c12=4, c1=c2=4, T1=20, T2=17
     assert top["c"] == 4
     assert abs(top["pmi"] - round(math.log((4 / 17) / ((4 / 20) ** 2)), 6)) < 1e-9
+
+
+def test_robots_stats_planted(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import robots_stats
+
+    robots = b"User-agent: *\nDisallow: /private/\nDisallow: /tmp/\nCrawl-delay: 2\n"
+    pages = pa.table({
+        "url": pa.array([
+            "http://a.test/robots.txt", "http://a.test/",
+            "http://a.test/private/x", "http://a.test/tmp/y",
+            "http://a.test/pub",
+            "http://b.test/", "http://b.test/private/z",  # no robots.txt
+        ]),
+        "html": pa.array([robots, b"<p>i</p>", b"x", b"y", b"z",
+                          b"r", b"s"], pa.binary()),
+    })
+    out = pa.concat_tables(list(
+        robots_stats(ray.data.from_arrow(pages)).sort("host")
+        .iter_batches(batch_format="pyarrow")))
+    rows = {r["host"]: r for r in out.to_pylist()}
+    a = rows["a.test"]
+    assert (a["n_disallow"], a["crawl_delay"]) == (2, 2.0)
+    assert (a["n_urls"], a["n_blocked"]) == (5, 2)  # /private/x + /tmp/y
+    b = rows["b.test"]
+    assert (b["n_disallow"], b["crawl_delay"]) == (0, None)
+    assert (b["n_urls"], b["n_blocked"]) == (2, 0)  # allow-all without robots
+
+
+def test_revisit_stats_planted(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import revisit_stats
+
+    us = 1_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+        "ts": pa.array([0, 10 * us, 30 * us, 5 * us, 5 * us],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["A", "A", "B", "X", "X"]),
+    })
+    out = pa.concat_tables(list(
+        revisit_stats(ray.data.from_arrow(tbl)).sort("user_id")
+        .iter_batches(batch_format="pyarrow")))
+    rows = {r["user_id"]: r for r in out.to_pylist()}
+    # key 7: 3 obs, one A->B change over gaps (10s, 20s) -> rate 0.5, mean 15s
+    assert (rows[7]["n_obs"], rows[7]["n_changes"]) == (3, 1)
+    assert rows[7]["change_rate"] == 0.5 and rows[7]["mean_gap_s"] == 15.0
+    # key 9: ts tie breaks on event_id; no change, gap 0
+    assert (rows[9]["n_obs"], rows[9]["n_changes"]) == (2, 0)
+    assert rows[9]["mean_gap_s"] == 0.0
+
+    # single observation -> null rate/gap
+    one = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([0], pa.timestamp("us")),
+        "event_type": pa.array(["A"]),
+    }))
+    r = revisit_stats(one).take_all()[0]
+    assert r["n_obs"] == 1 and r["change_rate"] is None and r["mean_gap_s"] is None
