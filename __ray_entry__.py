@@ -941,6 +941,13 @@ def _q_dup_histogram(sf_dir: str):
     return dup_histogram(ds, key_tokens=8)
 
 
+def _q_leakage_split(sf_dir: str):
+    from scrappy_ray.functions.sampling import leakage_safe_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return leakage_safe_split(ds, train_rate=0.9).sort("doc_id")
+
+
 def _q_domain_stats(sf_dir: str):
     from scrappy_ray.functions.webtext import domain_stats
     from scrappy_ray.pipelines.relational import round_cols
@@ -1761,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "mirror_sources": _q_mirror_sources,
         "dup_histogram": _q_dup_histogram,
+        "leakage_split": _q_leakage_split,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "sim_topk": _q_sim_topk,
@@ -1841,6 +1849,21 @@ def _SAMPLING_SQLS() -> dict[str, str]:
                    doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key
             FROM (SELECT doc_id, {h.format(salt=13)} AS shuffle_key FROM documents)
             ORDER BY rank LIMIT 100
+        """,
+        "leakage_split": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS content_key
+              FROM documents),
+            r AS (SELECT content_key, MIN(doc_id) AS root
+                  FROM k GROUP BY content_key)
+            SELECT k.doc_id, r.root,
+                   CASE WHEN ((CAST(r.root AS HUGEINT) + 17) * {KNUTH})
+                          % 4294967296 < {threshold_for(0.9)}
+                        THEN 'train' ELSE 'test' END AS split
+            FROM k JOIN r USING (content_key)
+            ORDER BY k.doc_id
         """,
     }
 
@@ -2436,6 +2459,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "stratified_sample": _SAMPLING_SQLS()["stratified_sample"],
         "mix_corpus": _SAMPLING_SQLS()["mix_corpus"],
         "shuffle_det": _SAMPLING_SQLS()["shuffle_det"],
+        "leakage_split": _SAMPLING_SQLS()["leakage_split"],
         "warc_roundtrip": """
             SELECT doc_id, text FROM documents ORDER BY doc_id
         """,

@@ -184,3 +184,53 @@ def mixture_rates(sizes: dict[str, int], weights: dict[str, float],
     with np.errstate(divide="ignore", invalid="ignore"):
         rates = np.where(n > 0, p * total / np.maximum(n, 1e-300), 0.0)
     return {s: float(r) for s, r in zip(srcs, rates)}
+
+
+def leakage_safe_split(ds, train_rate: float = 0.9, text_col: str = "text",
+                       id_col: str = "doc_id", key_tokens: int = 8,
+                       salt: int = 17):
+    """Train/test split that cannot leak (near-)duplicates across the
+    boundary — the standard eval-hygiene requirement (Lee et al. '21,
+    "Deduplicating Training Data Makes Language Models Better", §5):
+    splitting per-document puts copies of one text on both sides.
+    Documents group by the prefix fingerprint (the mirror_sources /
+    dup_histogram cluster key); each cluster's ROOT (min id) is hashed
+    ONCE with the sampling module's Knuth filter and the whole cluster
+    follows its root's side. Output ``(doc_id, root, split)``.
+
+    Scale shape: one hash-aggregate min per cluster key + one
+    distributed hash join back (exactly the ``exact_dedup`` shape),
+    then a streaming vectorized filter — no driver state. For true
+    NEAR-dup safety swap the fingerprint for dedup_components labels;
+    the split mechanics are identical.
+    """
+    from ..common import drop_empty_blocks
+    from .dedup import _md5_col
+
+    thr = np.uint64(threshold_for(train_rate))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column(text_col), pa.string()), " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, key_tokens), " ")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "content_key": _md5_col(prefix.to_pylist()),
+        })
+
+    k = ds.map_batches(keyed, batch_format="pyarrow")
+    roots = (k.groupby("content_key").min(id_col)
+             .map_batches(lambda t: t.rename_columns(["content_key", "root"]),
+                          batch_format="pyarrow"))
+    j = drop_empty_blocks(k).join(drop_empty_blocks(roots), "inner", 8,
+                                  on=("content_key",))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        root = np.asarray(pc.cast(batch.column("root"), pa.int64()))
+        train = _hash_bucket(root, salt) < thr
+        return pa.table({
+            id_col: batch.column(id_col),
+            "root": pa.array(root, pa.int64()),
+            "split": pa.array(np.where(train, "train", "test")),
+        })
+
+    return j.map_batches(tag, batch_format="pyarrow")

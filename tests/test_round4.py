@@ -1523,3 +1523,27 @@ def test_revisit_stats_planted(ray_session):
     }))
     r = revisit_stats(one).take_all()[0]
     assert r["n_obs"] == 1 and r["change_rate"] is None and r["mean_gap_s"] is None
+
+
+def test_leakage_safe_split_cluster_coherent(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sampling import leakage_safe_split
+
+    pre = "p0 p1 p2 p3 p4 p5 p6 p7"
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([pre + " a", pre + " b",          # one cluster
+                          "q0 q1 q2 q3 q4 q5 q6 q7 c",      # another
+                          "solo r0 r1 r2 r3 r4 r5 r6 r7"]),
+    })
+    out = pa.concat_tables(list(
+        leakage_safe_split(ray.data.from_arrow(tbl), train_rate=0.5)
+        .sort("doc_id").iter_batches(batch_format="pyarrow")))
+    rows = out.to_pylist()
+    by_id = {r["doc_id"]: r for r in rows}
+    # near-dup docs 1 and 2 share a cluster root and land on the SAME side
+    assert by_id[1]["root"] == by_id[2]["root"] == 1
+    assert by_id[1]["split"] == by_id[2]["split"]
+    assert by_id[3]["root"] == 3 and by_id[4]["root"] == 4
+    assert {r["split"] for r in rows} <= {"train", "test"}
