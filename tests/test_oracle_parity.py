@@ -25,6 +25,9 @@ FAST_QUERIES = [
     "orders_per_customer", "customers_no_urgent", "snapshot_diff",
     "quality_buckets", "export_roundtrip", "url_traps", "span_removal",
     "sitemap_parse",
+    "mirror_sources", "fuzzy_join", "collocations", "dup_histogram",
+    "revisit_stats", "readability", "leakage_split", "csv_roundtrip",
+    "jsonl_gz_roundtrip",
 ]
 
 
