@@ -79,7 +79,8 @@ def levenshtein_pairs(a: list[str], b: list[str]) -> np.ndarray:
 
 def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
                max_dist: int = 2, block_chars: int = 4,
-               num_partitions: int = 8, dist_col: str = "dist"):
+               num_partitions: int = 8, dist_col: str = "dist",
+               max_block: int | None = None):
     """Inner join rows whose string keys are within ``max_dist`` edits,
     blocked on the first ``block_chars`` characters of both keys.
 
@@ -87,6 +88,15 @@ def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
     documented recall/cost trade of prefix blocking (same contract as
     the DuckDB oracle, which joins on the identical prefix predicate).
     Returns left ⨝ right columns plus ``dist_col``.
+
+    ``max_block`` is the hot-key guard (the repo-wide cap-and-count
+    convention, see dedup._bucket_pairs): a block key held by more than
+    ``max_block`` RIGHT-side rows would make the blocking join emit
+    O(|L_b|·|R_b|) candidates — at webtext scale a degenerate prefix
+    ("http", "www.") is a quadratic blowup. With the cap set, those
+    blocks are DROPPED from both sides and counted
+    (``fuzzy_blocks_dropped`` / ``fuzzy_rows_dropped`` counters), never
+    silently truncated. Default None = exact (oracle mode).
     """
 
     def add_block(col: str):
@@ -98,6 +108,28 @@ def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
 
     lb = drop_empty_blocks(left_ds.map_batches(add_block(left_col), batch_format="pyarrow"))
     rb = drop_empty_blocks(right_ds.map_batches(add_block(right_col), batch_format="pyarrow"))
+    if max_block is not None:
+        from . import counters
+
+        hot_tbl = (rb.groupby("_block").count()
+                   .map_batches(lambda t: t.filter(
+                       pc.greater(t.column("count()"), max_block))
+                       .select(["_block"]), batch_format="pyarrow")
+                   .take_all())
+        if hot_tbl:
+            hot = pa.array(sorted(r["_block"] for r in hot_tbl), pa.string())
+            counters.incr("fuzzy_blocks_dropped", len(hot))
+
+            def cold_only(batch: pa.Table) -> pa.Table:
+                keep = pc.invert(pc.is_in(batch.column("_block"), value_set=hot))
+                dropped = batch.num_rows - int(
+                    pc.sum(pc.cast(keep, pa.int64())).as_py() or 0)
+                if dropped:
+                    counters.incr("fuzzy_rows_dropped", dropped)
+                return batch.filter(keep)
+
+            lb = drop_empty_blocks(lb.map_batches(cold_only, batch_format="pyarrow"))
+            rb = drop_empty_blocks(rb.map_batches(cold_only, batch_format="pyarrow"))
     cand = lb.join(rb, "inner", num_partitions, on=("_block",), right_suffix="_r")
     rcol = right_col if right_col != left_col else f"{right_col}_r"
 

@@ -1547,3 +1547,32 @@ def test_leakage_safe_split_cluster_coherent(ray_session):
     assert by_id[1]["split"] == by_id[2]["split"]
     assert by_id[3]["root"] == 3 and by_id[4]["root"] == 4
     assert {r["split"] for r in rows} <= {"train", "test"}
+
+
+def test_fuzzy_join_hot_block_guard(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions import counters
+    from scrappy_ray.functions.fuzzy import fuzzy_join
+
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array(list(range(6)), pa.int64()),
+        "k": pa.array(["hot a", "hot b", "hot c", "hot d", "cold x", "cold y"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "name": pa.array(["hot a", "hot b", "hot c", "cold x", "cold z"]),
+    }))
+    counters.reset_counters()
+    out = pa.concat_tables(list(
+        fuzzy_join(left, right, "k", "name", max_dist=2, block_chars=4,
+                   max_block=2)
+        .sort(["lid", "rid"]).iter_batches(batch_format="pyarrow")))
+    # the 'hot ' block (3 right rows > cap 2) is dropped and counted;
+    # the 'cold' block survives: 'cold x'~'cold x'(0), 'cold x'~'cold z'(1),
+    # 'cold y'~{x,z}(1,1)
+    assert set(zip(out.column("lid").to_pylist(), out.column("rid").to_pylist())) == \
+        {(4, 3), (4, 4), (5, 3), (5, 4)}
+    cnt = counters.get_counters()
+    assert cnt.get("fuzzy_blocks_dropped", 0) == 1
+    assert cnt.get("fuzzy_rows_dropped", 0) >= 7  # 4 left + 3 right hot rows
