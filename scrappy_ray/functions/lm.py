@@ -193,6 +193,12 @@ def collocations(ds, text_col: str = "text", min_count: int = 5,
     from ..common import drop_empty_blocks
 
     uni, bi = bigram_counts(ds, text_col=text_col)  # cols: (w|w1,w2, sum(c))
+    # materialize the count tables ONCE: uni feeds three consumers
+    # (T1 + both joins) and bi two — lazily each would re-tokenize the
+    # whole corpus; materialized they are O(vocab)/O(distinct bigrams)
+    # object-store blocks, the right trade at any scale
+    uni = uni.materialize()
+    bi = bi.materialize()
     t1 = float(uni.sum("sum(c)"))
     t2 = float(bi.sum("sum(c)"))
 

@@ -217,7 +217,9 @@ def leakage_safe_split(ds, train_rate: float = 0.9, text_col: str = "text",
             "content_key": _md5_col(prefix.to_pylist()),
         })
 
-    k = ds.map_batches(keyed, batch_format="pyarrow")
+    # materialized ONCE: the root aggregate and the join both consume
+    # the keyed table — lazily each would re-md5 the whole corpus
+    k = ds.map_batches(keyed, batch_format="pyarrow").materialize()
     roots = (k.groupby("content_key").min(id_col)
              .map_batches(lambda t: t.rename_columns(["content_key", "root"]),
                           batch_format="pyarrow"))

@@ -360,9 +360,11 @@ def mirror_sources(ds, text_col: str = "text", source_col: str = "source",
 
     # DISTINCT (key, source) pairs, then n_sources per key — both are
     # vectorized Arrow hash aggregates (one key exchange each).
+    # materialized ONCE: pairs feeds both the count and the final
+    # list-agg — lazily each consumer would re-hash the whole corpus
     pairs = ds.map_batches(keyed, batch_format="pyarrow") \
               .groupby(["content_key", source_col]).count() \
-              .drop_columns(["count()"])
+              .drop_columns(["count()"]).materialize()
     counts = pairs.groupby("content_key").count()
 
     def survivors_only(batch: pa.Table) -> pa.Table:
@@ -460,7 +462,9 @@ def anchor_texts(pages_ds, url_col: str = "url", html_col: str = "html"):
             "anchor": pa.array(anchors, pa.string()),
         })
 
-    edges = pages_ds.map_batches(explode, batch_format="pyarrow")
+    # materialized ONCE: three aggregates consume the edge list — lazily
+    # each would re-run the HTML regex scan over every page
+    edges = pages_ds.map_batches(explode, batch_format="pyarrow").materialize()
     n_links = edges.groupby("dst").aggregate(Count(alias_name="n_links"))
     n_sources = (edges.groupby(["dst", "src"]).count()
                  .drop_columns(["count()"])
