@@ -500,7 +500,10 @@ def _q_fuzzy_join(sf_dir: str):
         })
 
     left = part.map_batches(probes, batch_format="pyarrow")
-    out = fuzzy_join(left, part, "probe", "p_name", max_dist=2, block_chars=4)
+    # distinct_values: part names repeat ~30x per name — distances run
+    # once per distinct (probe, name) pair, rows expand back via joins
+    out = fuzzy_join(left, part, "probe", "p_name", max_dist=2,
+                     block_chars=4, distinct_values=True)
     return out.select_columns(["probe_id", "p_partkey", "dist"]) \
               .sort(["probe_id", "p_partkey"])
 

@@ -80,7 +80,8 @@ def levenshtein_pairs(a: list[str], b: list[str]) -> np.ndarray:
 def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
                max_dist: int = 2, block_chars: int = 4,
                num_partitions: int = 8, dist_col: str = "dist",
-               max_block: int | None = None):
+               max_block: int | None = None,
+               distinct_values: bool = False):
     """Inner join rows whose string keys are within ``max_dist`` edits,
     blocked on the first ``block_chars`` characters of both keys.
 
@@ -88,6 +89,15 @@ def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
     documented recall/cost trade of prefix blocking (same contract as
     the DuckDB oracle, which joins on the identical prefix predicate).
     Returns left ⨝ right columns plus ``dist_col``.
+
+    ``distinct_values=True`` is the duplicated-key fast path (result
+    identical): distances are computed once per DISTINCT (left value,
+    right value) pair — two tiny hash-aggregate distincts + the blocked
+    DP on the value tables — and the row-level result is reconstructed
+    with two distributed equi-joins. On a table whose keys repeat k
+    times this cuts both the candidate blow-up and the DP work by k²;
+    it is the right mode whenever keys are low-cardinality relative to
+    rows (entity names, titles).
 
     ``max_block`` is the hot-key guard (the repo-wide cap-and-count
     convention, see dedup._bucket_pairs): a block key held by more than
@@ -98,6 +108,24 @@ def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
     (``fuzzy_blocks_dropped`` / ``fuzzy_rows_dropped`` counters), never
     silently truncated. Default None = exact (oracle mode).
     """
+
+    if distinct_values:
+        def distinct_on(ds, col):
+            return (ds.select_columns([col]).groupby(col).count()
+                    .drop_columns(["count()"]))
+
+        val_pairs = fuzzy_join(
+            distinct_on(left_ds, left_col), distinct_on(right_ds, right_col),
+            left_col, right_col, max_dist=max_dist, block_chars=block_chars,
+            num_partitions=num_partitions, dist_col=dist_col,
+            max_block=max_block, distinct_values=False)
+        rcol_ = right_col if right_col != left_col else f"{right_col}_r"
+        half = drop_empty_blocks(left_ds).join(
+            drop_empty_blocks(val_pairs), "inner", num_partitions,
+            on=(left_col,))
+        return drop_empty_blocks(half).join(
+            drop_empty_blocks(right_ds), "inner", num_partitions,
+            on=(rcol_,), right_on=(right_col,), right_suffix="_rr")
 
     def add_block(col: str):
         def add(batch: pa.Table) -> pa.Table:

@@ -1576,3 +1576,31 @@ def test_fuzzy_join_hot_block_guard(ray_session):
     cnt = counters.get_counters()
     assert cnt.get("fuzzy_blocks_dropped", 0) == 1
     assert cnt.get("fuzzy_rows_dropped", 0) >= 7  # 4 left + 3 right hot rows
+
+
+def test_fuzzy_join_distinct_values_identical(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.fuzzy import fuzzy_join
+
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array(["blue widgt", "blue widgt", "blue bolt", "zzzz"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array([10, 11, 12], pa.int64()),
+        "name": pa.array(["blue widget", "blue widget", "blue bold"]),
+    }))
+
+    def run(**kw):
+        t = pa.concat_tables(list(
+            fuzzy_join(left, right, "k", "name", max_dist=2, **kw)
+            .select_columns(["lid", "rid", "dist"])
+            .sort(["lid", "rid"]).iter_batches(batch_format="pyarrow")))
+        return t.to_pylist()
+
+    exact = run()
+    fast = run(distinct_values=True)
+    assert exact == fast and len(exact) > 0
+    # duplicated keys expand: lid 1 and 2 both match rid 10 and 11
+    assert {(r["lid"], r["rid"]) for r in exact} >= {(1, 10), (1, 11), (2, 10), (2, 11)}
