@@ -944,6 +944,45 @@ def _q_dup_histogram(sf_dir: str):
     return dup_histogram(ds, key_tokens=8)
 
 
+def _q_url_templates(sf_dir: str):
+    """Per-(host, path-template) URL census (functions/webtext.py::
+    url_template_stats): digit runs collapse via one shared RE2 kernel;
+    per-batch partial aggregates bound the shuffle to O(templates)."""
+    from scrappy_ray.functions.webtext import url_template_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        _trap_urls_table, batch_format="pyarrow"
+    )
+    return url_template_stats(ds).sort(["host", "template"])
+
+
+def _q_graph_reciprocity(sf_dir: str):
+    """Per-node link reciprocity (functions/graph.py::reciprocity_table):
+    distinct edges ⋈ their own reversal, two hash aggregates."""
+    from scrappy_ray.functions.graph import reciprocity_table
+
+    return reciprocity_table(_synth_edges(sf_dir)).sort("node")
+
+
+def _q_script_mix(sf_dir: str):
+    """Per-document Unicode script composition (functions/textstats.py::
+    script_mix): RE2 strip+length per class, pure streaming map."""
+    from scrappy_ray.functions.textstats import script_mix
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return script_mix(ds).sort("doc_id")
+
+
+def _q_group_sample(sf_dir: str):
+    """Deterministic k-per-group sample (functions/sampling.py::
+    group_sample): md5-ordered heads via the partial top-k-per-group."""
+    from scrappy_ray.functions.sampling import group_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return group_sample(ds, k=5, group_col="source", id_col="doc_id",
+                        salt="gs1").sort(["source", "doc_id"])
+
+
 def _q_leakage_split(sf_dir: str):
     from scrappy_ray.functions.sampling import leakage_safe_split
 
@@ -1434,6 +1473,15 @@ def _graph_sqls() -> dict[str, str]:
     FROM (SELECT src AS node, 1 AS out_d, 0 AS in_d FROM edges
           UNION ALL SELECT dst, 0, 1 FROM edges)
     GROUP BY node ORDER BY node""",
+        "graph_reciprocity": "WITH "
+        + _EDGES_SQL
+        + """
+    SELECT e1.src AS node, COUNT(*)::BIGINT AS n_out,
+           COUNT(e2.src)::BIGINT AS n_reciprocal,
+           ROUND(COUNT(e2.src)::DOUBLE / COUNT(*), 6) AS reciprocity
+    FROM edges e1 LEFT JOIN edges e2
+      ON e2.src = e1.dst AND e2.dst = e1.src
+    GROUP BY e1.src ORDER BY node""",
     }
 
 
@@ -1613,6 +1661,23 @@ def _q_csv_roundtrip(sf_dir: str):
     )
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather V2) sink → source round trip
+    (sources/ipc.py): the zero-parse warm-shard interchange format —
+    zstd-compressed buffers out, per-file parse tasks back; oracled
+    against the source table so typing round-trips bit-for-bit."""
+    from scrappy_ray.sources.ipc import read_ipc, write_ipc
+
+    out_dir = tempfile.mkdtemp(prefix="ipc_roundtrip_", dir="/tmp")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    write_ipc(docs, out_dir, compression="zstd")
+    return (
+        read_ipc(out_dir)
+        .select_columns(["doc_id", "text", "lang", "source"])
+        .sort("doc_id")
+    )
+
+
 def _q_robots_stats(sf_dir: str):
     import ray.data
 
@@ -1771,6 +1836,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "mirror_sources": _q_mirror_sources,
         "dup_histogram": _q_dup_histogram,
+        "url_templates": _q_url_templates,
+        "graph_reciprocity": _q_graph_reciprocity,
+        "script_mix": _q_script_mix,
+        "group_sample": _q_group_sample,
+        "ipc_roundtrip": _q_ipc_roundtrip,
         "leakage_split": _q_leakage_split,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
@@ -2164,6 +2234,48 @@ def _oracle_sql_static() -> dict[str, str]:
                     OR MAX(depth) >= 7) AS trap
             FROM p GROUP BY host ORDER BY host
         """,
+        "url_templates": r"""
+            WITH urls AS (
+              SELECT 'http://' || source || '.test/'
+                       || repeat('s/', doc_id % 8)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?p=' || CAST(doc_id % 20 AS VARCHAR)
+                               ELSE '' END AS url
+              FROM documents),
+            t AS (
+              SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS host,
+                     regexp_replace(url, '[0-9]+', '<n>', 'g') AS template,
+                     url
+              FROM urls)
+            SELECT host, template, COUNT(*)::BIGINT AS n_urls,
+                   MIN(url) AS sample_url
+            FROM t GROUP BY host, template ORDER BY host, template
+        """,
+        "script_mix": r"""
+            WITH m AS (
+              SELECT doc_id, length(text) AS n,
+                     length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS l,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+                     length(regexp_replace(text, '[^\s]', '', 'g')) AS s
+              FROM documents)
+            SELECT doc_id, n::BIGINT AS n_chars,
+                   CASE WHEN n > 0 THEN ROUND(l::DOUBLE / n, 6) END AS latin_ratio,
+                   CASE WHEN n > 0 THEN ROUND(d::DOUBLE / n, 6) END AS digit_ratio,
+                   CASE WHEN n > 0 THEN ROUND(s::DOUBLE / n, 6) END AS space_ratio,
+                   CASE WHEN n > 0 THEN ROUND((n - l - d - s)::DOUBLE / n, 6) END
+                     AS other_ratio
+            FROM m ORDER BY doc_id
+        """,
+        "group_sample": r"""
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('gs1|' || CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn
+              FROM documents)
+            WHERE rn <= 5 ORDER BY source, doc_id
+        """,
         "url_dedup": r"""
             WITH urls AS (
               SELECT doc_id,
@@ -2473,6 +2585,9 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
         """,
         "csv_roundtrip": """
+            SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
+        """,
+        "ipc_roundtrip": """
             SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
         """,
         "readability": r"""

@@ -338,3 +338,67 @@ def _pagerank_local(zeros, edges, src: str, dst: str, n: int, damping: float,
         pa.table({"node": pa.array(nodes, pa.int64()),
                   "rank": pa.array(out, pa.float64())})
     )
+
+
+def reciprocity_table(edges, src: str = "src", dst: str = "dst",
+                      num_partitions: int = 8, digits: int = 6):
+    """Per-node link reciprocity over a directed edge list: of a node's
+    distinct out-links, how many link BACK — the classic link-spam /
+    mirror-ring signal (link farms reciprocate near 1.0; organic webs
+    sit far lower), a direct companion of the authority scores above
+    for crawl prioritization. Output one row per node with out-links:
+    ``(node, n_out, n_reciprocal, reciprocity)``.
+
+    Scale shape (100 TB edge list): DISTINCT edges is one hash
+    aggregate; the reciprocal set is ONE distributed hash join of the
+    distinct edges against their own reversal on the compound
+    (src, dst) key — O(E) both sides, no driver state. Per-node counts
+    then come from a UNION + one groupby-sum (the ``degree_table``
+    no-join trick): edge rows tag (o=1, r=0), reciprocal-survivor rows
+    tag (o=0, r=1) — no second join, and a graph with ZERO reciprocal
+    pairs degrades to an empty union arm rather than an empty join
+    side (a 0-row groupby output loses its schema in Ray 2.49 and
+    would poison a join's key resolution).
+    """
+    uniq = edges.groupby([src, dst]).count().drop_columns(["count()"]) \
+                .materialize()  # feeds both union arms below
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({src: batch.column(dst), dst: batch.column(src)})
+
+    rev = uniq.map_batches(swap, batch_format="pyarrow")
+    recip_edges = drop_empty_blocks(uniq).join(
+        drop_empty_blocks(rev), "inner", num_partitions, on=(src, dst))
+
+    def tag(o: int, r: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "node": pc.cast(batch.column(src), pa.int64()),
+                "o": pa.array(np.full(n, o, np.int64)),
+                "r": pa.array(np.full(n, r, np.int64)),
+            })
+        return f
+
+    out = (
+        uniq.map_batches(tag(1, 0), batch_format="pyarrow")
+        .union(recip_edges.map_batches(tag(0, 1), batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("o", alias_name="n_out"),
+                   Sum("r", alias_name="n_reciprocal"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_out"), pa.int64())
+        r = pc.cast(pc.fill_null(batch.column("n_reciprocal"), 0), pa.int64())
+        ratio = pc.round(
+            pc.divide(pc.cast(r, pa.float64()), pc.cast(n, pa.float64())),
+            ndigits=digits, round_mode="half_towards_infinity")
+        return pa.table({
+            "node": pc.cast(batch.column("node"), pa.int64()),
+            "n_out": n,
+            "n_reciprocal": r,
+            "reciprocity": ratio,
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")

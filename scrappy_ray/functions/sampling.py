@@ -236,3 +236,39 @@ def leakage_safe_split(ds, train_rate: float = 0.9, text_col: str = "text",
         })
 
     return j.map_batches(tag, batch_format="pyarrow")
+
+
+def group_sample(ds, k: int, group_col: str = "source", id_col: str = "doc_id",
+                 salt: str = "gs1"):
+    """Deterministic k-per-group sample: within each group keep the k
+    rows whose ``md5(salt|id)`` sorts lowest — a seedless reservoir
+    substitute (same contract as ``hash_sample``: stable across runs,
+    block layouts, and cluster sizes, so an oracle and a re-run agree
+    bit-for-bit). The standard per-domain spot-check draw (k docs per
+    source for human eval / quality calibration).
+
+    Scale shape: the hash is an Arrow-kernel-fed md5 per batch (shared
+    ``_md5_col`` so the DuckDB oracle orders identically), then
+    ``top_k_per_group`` — a per-block partial top-k bounds the shuffle
+    to ≤k rows per (group, block), and the exact per-group cut runs in
+    ``map_groups``; the output is O(groups × k), never O(corpus).
+    """
+    from ..pipelines.relational import top_k_per_group
+    from .dedup import _md5_col
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.string())
+        seeded = pc.binary_join_element_wise(
+            pa.array([salt] * batch.num_rows, pa.string()), ids, "|")
+        return pa.table({
+            group_col: batch.column(group_col),
+            id_col: batch.column(id_col),
+            "h": _md5_col(seeded.to_pylist()),
+        })
+
+    out = top_k_per_group(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        group_col=group_col, key="h", k=k, descending=False,
+        tiebreak=id_col,
+    )
+    return out.drop_columns(["h"])

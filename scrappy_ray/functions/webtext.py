@@ -641,6 +641,53 @@ def revisit_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def url_template_stats(ds, url_col: str = "url", num_token: str = "<n>"):
+    """Per-(host, path-template) URL census: collapse digit runs in
+    each URL to ``num_token`` and count how many URL rows collapse
+    into each resulting template — the standard crawl-audit view for
+    parameter explosions (calendar/session/pagination traps emit
+    thousands of URLs under one template; see ``url_trap_stats`` for
+    the per-host verdict this feeds). Output one row per (host,
+    template): ``(host, template, n_urls, sample_url)`` with
+    ``sample_url`` the lexicographic min (deterministic exemplar).
+
+    Scale shape (100 TB frontier): the templating is ONE RE2 kernel per
+    batch (same engine as the DuckDB oracle, so digit-run semantics
+    cannot drift); per-batch Arrow group_by emits PARTIAL (host,
+    template) aggregates so the wide groupby moves O(templates ×
+    blocks) rows, never O(urls) — the ``url_trap_stats`` shape.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..crawl.priority import _HOST_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pc.fill_null(pc.cast(batch.column(url_col), pa.string()), "")
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(u, _HOST_RE), "host"), ""
+        )
+        tmpl = pc.replace_substring_regex(u, pattern=r"[0-9]+",
+                                          replacement=num_token)
+        t = pa.table({
+            "host": host,
+            "template": tmpl,
+            "n": pa.array(np.ones(len(u), np.int64)),
+            "u": u,
+        })
+        return (
+            t.group_by(["host", "template"])
+            .aggregate([("n", "sum"), ("u", "min")])
+            .rename_columns(["host", "template", "n", "u_min"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .aggregate(Sum("n", alias_name="n_urls"),
+                   Min("u_min", alias_name="sample_url"))
+    )
+
+
 def dup_histogram(ds, text_col: str = "text", key_tokens: int = 8):
     """Duplicate-cluster size histogram — the dedup AUDIT report
     (how much of the corpus sits in clusters of size 2, 3, ...):

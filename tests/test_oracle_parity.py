@@ -28,6 +28,8 @@ FAST_QUERIES = [
     "mirror_sources", "fuzzy_join", "collocations", "dup_histogram",
     "revisit_stats", "readability", "leakage_split", "csv_roundtrip",
     "jsonl_gz_roundtrip",
+    "url_templates", "graph_reciprocity", "script_mix", "group_sample",
+    "ipc_roundtrip",
 ]
 
 

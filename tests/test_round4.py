@@ -1604,3 +1604,137 @@ def test_fuzzy_join_distinct_values_identical(ray_session):
     assert exact == fast and len(exact) > 0
     # duplicated keys expand: lid 1 and 2 both match rid 10 and 11
     assert {(r["lid"], r["rid"]) for r in exact} >= {(1, 10), (1, 11), (2, 10), (2, 11)}
+
+
+def test_reciprocity_table_planted(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.graph import reciprocity_table
+
+    # 0↔1 reciprocal; 0→2 and 2→3 one-way; duplicates collapse
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 0, 2, 0], pa.int64()),
+        "dst": pa.array([1, 0, 2, 3, 1], pa.int64()),
+    }))
+    out = pa.concat_tables(list(
+        reciprocity_table(edges).sort("node")
+        .iter_batches(batch_format="pyarrow")))
+    assert out.column("node").to_pylist() == [0, 1, 2]
+    assert out.column("n_out").to_pylist() == [2, 1, 1]
+    assert out.column("n_reciprocal").to_pylist() == [1, 1, 0]
+    assert out.column("reciprocity").to_pylist() == [0.5, 1.0, 0.0]
+
+
+def test_reciprocity_no_reciprocal_pairs(ray_session):
+    """A DAG (zero reciprocal edges) must not poison the union arm —
+    the empty-join-side regression the union rewrite exists for."""
+    import ray.data
+
+    from scrappy_ray.functions.graph import reciprocity_table
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64()),
+    }))
+    out = pa.concat_tables(list(
+        reciprocity_table(edges).sort("node")
+        .iter_batches(batch_format="pyarrow")))
+    assert out.column("n_reciprocal").to_pylist() == [0, 0, 0]
+    assert out.column("reciprocity").to_pylist() == [0.0, 0.0, 0.0]
+
+
+def test_script_mix_kernel(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.textstats import script_mix
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        # 'añoКи漢字abc 12': latin 6, digit 2, space 1, other 4 of 13
+        "text": pa.array(["añoКи漢字abc 12", "abcd", ""]),
+    }))
+    out = pa.concat_tables(list(
+        script_mix(ds).sort("doc_id").iter_batches(batch_format="pyarrow")))
+    assert out.column("n_chars").to_pylist() == [13, 4, 0]
+    r0 = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert round(r0["latin_ratio"], 6) == round(6 / 13, 6)
+    assert round(r0["digit_ratio"], 6) == round(2 / 13, 6)
+    assert round(r0["space_ratio"], 6) == round(1 / 13, 6)
+    assert round(r0["other_ratio"], 6) == round(4 / 13, 6)
+    assert out.column("latin_ratio")[1].as_py() == 1.0
+    # empty doc → real NULLs, not NaN (oracle-hash distinction)
+    assert out.column("latin_ratio")[2].as_py() is None
+    assert out.column("other_ratio")[2].as_py() is None
+
+
+def test_group_sample_deterministic_and_capped(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sampling import group_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(40)]),
+    })
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = pa.concat_tables(list(
+            group_sample(ds, k=4).sort(["source", "doc_id"])
+            .iter_batches(batch_format="pyarrow")))
+        return out.to_pylist()
+
+    a, b = run(1), run(7)
+    assert a == b  # block-layout independent (hash-ordered, not positional)
+    per = {}
+    for r in a:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert set(per) == {"s0", "s1", "s2"}
+    assert all(len(v) == 4 for v in per.values())
+
+
+def test_url_template_stats(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import url_template_stats
+
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([
+            "http://a.test/item/12/page/3",
+            "http://a.test/item/9000/page/1",
+            "http://a.test/about",
+            "http://b.test/item/5/page/2",
+        ]),
+    }))
+    out = pa.concat_tables(list(
+        url_template_stats(ds).sort(["host", "template"])
+        .iter_batches(batch_format="pyarrow")))
+    rows = out.to_pylist()
+    assert [(r["host"], r["template"], r["n_urls"]) for r in rows] == [
+        ("a.test", "http://a.test/about", 1),
+        ("a.test", "http://a.test/item/<n>/page/<n>", 2),
+        ("b.test", "http://b.test/item/<n>/page/<n>", 1),
+    ]
+    assert rows[1]["sample_url"] == "http://a.test/item/12/page/3"
+
+
+def test_ipc_roundtrip_source_sink(ray_session, tmp_path):
+    import ray.data
+
+    from scrappy_ray.sources.ipc import read_ipc, write_ipc
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([f"doc {i} ø" for i in range(10)]),
+        "payload": pa.array([bytes([i]) * 3 for i in range(10)], pa.binary()),
+    })
+    for comp in (None, "zstd"):
+        out_dir = str(tmp_path / f"ipc_{comp}")
+        n = write_ipc(ray.data.from_arrow(tbl).repartition(3), out_dir,
+                      compression=comp)
+        assert n == 10
+        back = pa.concat_tables(list(
+            read_ipc(out_dir).sort("doc_id")
+            .iter_batches(batch_format="pyarrow"))).combine_chunks()
+        assert back.select(["doc_id", "text", "payload"]).equals(
+            tbl.select(["doc_id", "text", "payload"]))
