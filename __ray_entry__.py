@@ -983,6 +983,81 @@ def _q_group_sample(sf_dir: str):
                         salt="gs1").sort(["source", "doc_id"])
 
 
+def _q_rank_windows(sf_dir: str):
+    """SQL ranking windows (pipelines/analytics.py::rank_windows):
+    row_number / rank / dense_rank / ntile(4) per user, vectorized
+    run-length ranking inside groupby().map_groups."""
+    from scrappy_ray.pipelines.analytics import rank_windows
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return rank_windows(ds, key_col="user_id", order_col="value",
+                        id_col="event_id", ntiles=4).sort(
+                            ["user_id", "rn"])
+
+
+def _q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP (pipelines/analytics.py::rollup_counts): exact
+    integer-cents sums at (priority, status), (priority) and grand
+    total; the coarser levels derive from the O(groups) fine level."""
+    from scrappy_ray.pipelines.analytics import rollup_counts
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    t = rollup_counts(ds, "o_orderpriority", "o_orderstatus",
+                      "o_totalprice", scale=2)
+    return t.sort_by([("o_orderpriority", "ascending"),
+                      ("o_orderstatus", "ascending")])
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered funnel view→click→purchase (pipelines/analytics.py::
+    funnel_counts): per-batch partial min-ts per (user, step), strict
+    time ordering between first occurrences."""
+    from scrappy_ray.pipelines.analytics import funnel_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, "user_id", "event_type", "ts",
+                         steps=["view", "click", "purchase"])
+
+
+def _q_retention(sf_dir: str):
+    """Cohort retention (pipelines/analytics.py::retention_cohorts):
+    distinct active days per user → first-day cohort → per (cohort,
+    offset) user counts; both shuffles pre-reduced per batch."""
+    from scrappy_ray.pipelines.analytics import retention_cohorts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ds, "user_id", "ts").sort(
+        ["cohort_day", "day_offset"])
+
+
+def _q_events_resample(sf_dir: str):
+    """Dense 6-hour resample with gap fill (pipelines/analytics.py::
+    resample_counts): exact fixed-point value sums; empty buckets emit
+    (0, NULL)."""
+    from scrappy_ray.pipelines.analytics import resample_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    return resample_counts(ds, "ts", "value", hours=6, scale=6)
+
+
+def _q_unpivot_events(sf_dir: str):
+    """Wide→long melt of the per-user event-type pivot
+    (pipelines/analytics.py::unpivot): pure streaming explode, the
+    inverse of pivot_events."""
+    from scrappy_ray.pipelines.analytics import unpivot
+    from scrappy_ray.pipelines.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cats = ["click", "view", "purchase", "signup", "error"]
+    wide = pivot_counts(ds, row_col="user_id", col_col="event_type",
+                        categories=cats)
+    return unpivot(wide, row_col="user_id",
+                   value_cols=[f"n_{c}" for c in cats],
+                   name_col="event_type", value_name="n",
+                   strip_prefix="n_").sort(["user_id", "event_type"])
+
+
 def _q_leakage_split(sf_dir: str):
     from scrappy_ray.functions.sampling import leakage_safe_split
 
@@ -1836,6 +1911,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "mirror_sources": _q_mirror_sources,
         "dup_histogram": _q_dup_histogram,
+        "rank_windows": _q_rank_windows,
+        "rollup_orders": _q_rollup_orders,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        "events_resample": _q_events_resample,
+        "unpivot_events": _q_unpivot_events,
         "url_templates": _q_url_templates,
         "graph_reciprocity": _q_graph_reciprocity,
         "script_mix": _q_script_mix,
@@ -2233,6 +2314,91 @@ def _oracle_sql_static() -> dict[str, str]:
                    (ROUND(SUM(q)::DOUBLE / COUNT(*), 4) > 0.4
                     OR MAX(depth) >= 7) AS trap
             FROM p GROUP BY host ORDER BY host
+        """,
+        "rank_windows": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value, event_id) AS rn,
+                   rank() OVER (PARTITION BY user_id ORDER BY value) AS rnk,
+                   dense_rank() OVER (PARTITION BY user_id
+                                      ORDER BY value) AS drnk,
+                   ntile(4) OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS tile
+            FROM events ORDER BY user_id, rn
+        """,
+        "rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS sum_v
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
+        """,
+        "funnel": """
+            WITH m AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+              FROM events GROUP BY user_id)
+            SELECT * FROM (
+              SELECT 0::BIGINT AS step_idx, 'view' AS step,
+                     COUNT(t0)::BIGINT AS n_users FROM m
+              UNION ALL
+              SELECT 1::BIGINT, 'click',
+                     COUNT(CASE WHEN t1 > t0 THEN 1 END)::BIGINT FROM m
+              UNION ALL
+              SELECT 2::BIGINT, 'purchase',
+                     COUNT(CASE WHEN t2 > t1 AND t1 > t0 THEN 1 END)::BIGINT
+              FROM m)
+            ORDER BY step_idx
+        """,
+        "retention": """
+            WITH d AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+              FROM events),
+            c AS (SELECT user_id, MIN(day) AS cohort_day
+                  FROM d GROUP BY user_id)
+            SELECT c.cohort_day,
+                   CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT)
+                     AS day_offset,
+                   COUNT(*)::BIGINT AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_resample": """
+            WITH a AS (
+              SELECT make_timestamp((epoch_us(ts) // 21600000000)
+                                    * 21600000000) AS bucket,
+                     COUNT(*)::BIGINT AS n_events,
+                     SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0
+                       AS sum_value
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT unnest(generate_series(mn, mx, INTERVAL '6 hours'))
+                       AS bucket
+              FROM (SELECT MIN(bucket) AS mn, MAX(bucket) AS mx FROM a))
+            SELECT r.bucket, COALESCE(a.n_events, 0)::BIGINT AS n_events,
+                   a.sum_value
+            FROM r LEFT JOIN a USING (bucket) ORDER BY r.bucket
+        """,
+        "unpivot_events": """
+            WITH p AS (
+              SELECT user_id,
+                     CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                     CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                     CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                     CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                     CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+              FROM events GROUP BY user_id)
+            SELECT user_id, et AS event_type, n FROM (
+              SELECT user_id, 'click' AS et, n_click AS n FROM p
+              UNION ALL SELECT user_id, 'view', n_view FROM p
+              UNION ALL SELECT user_id, 'purchase', n_purchase FROM p
+              UNION ALL SELECT user_id, 'signup', n_signup FROM p
+              UNION ALL SELECT user_id, 'error', n_error FROM p)
+            ORDER BY user_id, event_type
         """,
         "url_templates": r"""
             WITH urls AS (

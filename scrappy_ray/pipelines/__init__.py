@@ -1,3 +1,4 @@
-from . import relational, crawl_pipeline
+from . import analytics, corpus, crawl_pipeline, export, rankcrawl, relational
 
-__all__ = ["relational", "crawl_pipeline"]
+__all__ = ["analytics", "corpus", "crawl_pipeline", "export", "rankcrawl",
+           "relational"]

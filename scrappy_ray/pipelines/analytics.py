@@ -1,0 +1,279 @@
+"""Analytic operators over event/metric tables: ranking windows,
+grouping-set rollups, funnel & retention analysis, time-bucket
+resampling with gap fill, wide→long unpivot.
+
+Same design rules as pipelines/relational.py (the reference's
+aggregation surface, scrappy lib/scrappy/agent/blind.rb triple rollups,
+generalized): every wide step pre-aggregates inside ``map_batches`` so
+the shuffle moves O(groups) not O(rows); the only full-group operations
+are ``groupby().map_groups`` windows whose partitioning assumption (one
+key's rows on one worker) is documented per function. Money/metric sums
+go through exact integer cents so the Ray float-addition order can
+never drift from the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _run_starts(v: np.ndarray) -> np.ndarray:
+    """Index of the first row of each run of equal adjacent values."""
+    if len(v) == 0:
+        return np.zeros(0, np.int64)
+    return np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+
+
+def rank_windows(ds, key_col: str, order_col: str, id_col: str,
+                 ntiles: int = 4):
+    """SQL ranking windows per key — ``row_number`` / ``rank`` /
+    ``dense_rank`` ordered by (order, id), and ``ntile(k)`` — as one
+    vectorized pass per group. Ray Data has no window operator; the
+    Dataset-API expression is ``groupby(key).map_groups`` with numpy
+    run-length ranking (no Python loop). Partitioning assumption: one
+    key's rows fit one worker — salt hot keys upstream if not.
+    ``rank``/``dense_rank`` tie on ``order_col`` alone (SQL semantics);
+    ``ntile`` buckets match DuckDB: the first n%k buckets get the extra
+    row."""
+
+    def win(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(order_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(order)
+        v = np.asarray(pc.cast(g.column(order_col), pa.float64()))
+        n = len(v)
+        starts = _run_starts(v)
+        runlen = np.diff(np.r_[starts, n])
+        rnk = np.repeat(starts + 1, runlen)
+        drnk = np.repeat(np.arange(1, len(starts) + 1), runlen)
+        i = np.arange(n)
+        q, r = divmod(n, ntiles)
+        if q == 0:
+            tile = i + 1
+        else:
+            head = r * (q + 1)
+            tile = np.where(i < head, i // (q + 1) + 1,
+                            r + (i - head) // max(q, 1) + 1)
+        return pa.table({
+            key_col: g.column(key_col),
+            id_col: g.column(id_col),
+            "rn": pa.array(i + 1, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "drnk": pa.array(drnk, pa.int64()),
+            "tile": pa.array(tile, pa.int64()),
+        })
+
+    return ds.groupby(key_col).map_groups(win, batch_format="pyarrow")
+
+
+def _cents(col, scale: int) -> pa.Array:
+    """Exact fixed-point ints so distributed float-sum order can't
+    drift from an oracle: round(value * 10^scale) as int64."""
+    f = pc.cast(col, pa.float64())
+    # half_towards_infinity == SQL ROUND (half away from zero); Arrow's
+    # default half_to_even would drift on exact .5 products
+    return pc.cast(pc.round(pc.multiply(f, float(10 ** scale)),
+                            round_mode="half_towards_infinity"), pa.int64())
+
+
+def rollup_counts(ds, a: str, b: str, measure: str, scale: int = 2):
+    """GROUP BY ROLLUP(a, b): counts + exact-cents sums at (a,b), (a)
+    and grand-total levels, NULL-filled like SQL. One shuffle: per-batch
+    partial (a,b) aggregates bound it to O(groups × blocks); the two
+    coarser levels re-aggregate the O(groups) result driver-side (small
+    by construction — never the input)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({a: batch.column(a), b: batch.column(b),
+                      "c": _cents(batch.column(measure), scale)})
+        g = t.group_by([a, b]).aggregate([("c", "sum"), ("c", "count")])
+        return g.rename_columns([a, b, "s", "n"])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([a, b]).sum(["s", "n"]))
+    ft = _to_table(fine).rename_columns([a, b, "s", "n"])
+
+    def level(keys: list[str]) -> pa.Table:
+        if keys:
+            g = ft.group_by(keys).aggregate([("s", "sum"), ("n", "sum")])
+            g = g.rename_columns(keys + ["s", "n"])
+        else:
+            g = pa.table({"s": [pc.sum(ft.column("s")).as_py() or 0],
+                          "n": [pc.sum(ft.column("n")).as_py() or 0]})
+        cols = {}
+        for k in (a, b):
+            cols[k] = (g.column(k) if k in keys
+                       else pa.nulls(len(g), ft.schema.field(k).type))
+        cols["n"] = pc.cast(g.column("n"), pa.int64())
+        cols["sum_v"] = pc.divide(
+            pc.cast(g.column("s"), pa.float64()), float(10 ** scale))
+        return pa.table(cols)
+
+    return pa.concat_tables([level([a, b]), level([a]), level([])])
+
+
+def _to_table(ds) -> pa.Table:
+    """Materialize a SMALL (post-aggregate) Dataset to one Arrow table.
+    Only ever called on O(groups)-sized results."""
+    refs = ds.to_arrow_refs()
+    import ray
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        sch = ds.schema(fetch_if_missing=True)
+        return (getattr(sch, "base_schema", None) or sch).empty_table()
+    return pa.concat_tables(tabs, promote_options="permissive")
+
+
+def funnel_counts(events_ds, user_col: str, type_col: str, ts_col: str,
+                  steps: list[str]):
+    """Ordered-funnel conversion: users whose first `steps[i]` event is
+    strictly after their first `steps[i-1]` event, per step. Per-batch
+    partial min-ts per (user, step) bounds the shuffle to
+    O(users × steps × blocks); the per-user comparison then runs on the
+    O(users × steps) table; the final count is a sum aggregate."""
+    step_arr = pa.array(steps, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.is_in(batch.column(type_col), value_set=step_arr))
+        g = m.group_by([user_col, type_col]).aggregate([(ts_col, "min")])
+        return g.rename_columns([user_col, type_col, "t"])
+
+    mins = (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([user_col, type_col]).min("t"))
+
+    def reach(group: pa.Table) -> pa.Table:
+        idx = pc.index_in(group.column(type_col), value_set=step_arr)
+        t = np.asarray(pc.cast(group.column("min(t)"), pa.int64()),
+                       dtype=np.int64)
+        got = np.full(len(steps), -1, np.int64)
+        got[np.asarray(idx, dtype=np.int64)] = t
+        flags = np.zeros(len(steps), np.int64)
+        prev = None
+        for i in range(len(steps)):  # bounded by len(steps), not rows
+            ok = got[i] >= 0 and (prev is None or got[i] > prev)
+            if not ok:
+                break
+            flags[i] = 1
+            prev = got[i]
+        return pa.table({f"r{i}": pa.array([int(flags[i])], pa.int64())
+                         for i in range(len(steps))})
+
+    per_user = mins.groupby(user_col).map_groups(reach, batch_format="pyarrow")
+    rcols = [f"r{i}" for i in range(len(steps))]
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array([pc.sum(batch.column(c)).as_py() or 0],
+                                     pa.int64()) for c in rcols})
+
+    tot = _to_table(per_user.map_batches(block_sum, batch_format="pyarrow"))
+    out = {"step_idx": pa.array(range(len(steps)), pa.int64()),
+           "step": step_arr,
+           "n_users": pa.array(
+               [pc.sum(tot.column(c)).as_py() or 0 for c in rcols],
+               pa.int64())}
+    return pa.table(out)
+
+
+def retention_cohorts(events_ds, user_col: str, ts_col: str):
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the count of users active that day. Two
+    shuffles, both pre-reduced per batch: distinct (user, day) pairs,
+    then (cohort, offset) counts — O(users × active-days) moves, never
+    O(events)."""
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch.column(ts_col), unit="day")
+        t = pa.table({user_col: batch.column(user_col), "day": d})
+        g = t.group_by([user_col, "day"]).aggregate([])
+        return g
+
+    pairs = (events_ds.map_batches(days, batch_format="pyarrow")
+             .groupby([user_col, "day"]).count())
+
+    def offsets(group: pa.Table) -> pa.Table:
+        # Ray's Aggregate narrows second-aligned timestamp keys to
+        # timestamp[s]; re-widen BEFORE the int64 cast or the epoch
+        # values land in the wrong unit.
+        d = np.asarray(pc.cast(pc.cast(group.column("day"),
+                                       pa.timestamp("us")), pa.int64()),
+                       dtype=np.int64)
+        cohort = d.min()
+        us_day = 86_400_000_000
+        return pa.table({
+            "cohort_day": pa.array(np.full(len(d), cohort),
+                                   pa.timestamp("us")),
+            "day_offset": pa.array((d - cohort) // us_day, pa.int64()),
+        })
+
+    counted = (pairs.groupby(user_col)
+               .map_groups(offsets, batch_format="pyarrow")
+               .groupby(["cohort_day", "day_offset"]).count())
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    return counted.map_batches(rn, batch_format="pyarrow")
+
+
+def resample_counts(events_ds, ts_col: str, value_col: str,
+                    hours: int = 6, scale: int = 6):
+    """Time-bucket resample with gap fill: per fixed bucket the event
+    count and exact-fixed-point value sum; buckets with no events emit
+    (0, NULL) rows so downstream sees a dense series. The aggregate is
+    pre-reduced per batch (shuffle O(buckets × blocks)); the gap fill
+    runs on the O(buckets) result driver-side."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.floor_temporal(batch.column(ts_col), multiple=hours,
+                              unit="hour")
+        t = pa.table({"bucket": b,
+                      "v": _cents(batch.column(value_col), scale)})
+        g = t.group_by(["bucket"]).aggregate([("v", "sum"), ("v", "count")])
+        return g.rename_columns(["bucket", "s", "n"])
+
+    agg = _to_table(events_ds.map_batches(partial, batch_format="pyarrow")
+                    .groupby("bucket").sum(["s", "n"]))
+    agg = agg.rename_columns(["bucket", "s", "n"])
+    # re-widen: Ray's Aggregate narrows aligned timestamps to [s]
+    bk = np.asarray(pc.cast(pc.cast(agg.column("bucket"),
+                                    pa.timestamp("us")), pa.int64()),
+                    dtype=np.int64)
+    step = hours * 3_600_000_000
+    full = np.arange(bk.min(), bk.max() + step, step, dtype=np.int64)
+    pos = {int(v): i for i, v in enumerate(bk)}
+    idx = np.array([pos.get(int(v), -1) for v in full], np.int64)
+    s = np.asarray(pc.cast(agg.column("s"), pa.float64()))
+    n = np.asarray(pc.cast(agg.column("n"), pa.int64()), dtype=np.int64)
+    have = idx >= 0
+    sum_v = np.where(have, s[np.maximum(idx, 0)] / float(10 ** scale), np.nan)
+    return pa.table({
+        "bucket": pa.array(full, pa.timestamp("us")),
+        "n_events": pa.array(np.where(have, n[np.maximum(idx, 0)], 0),
+                             pa.int64()),
+        "sum_value": pa.array(sum_v, pa.float64(), mask=~have),
+    })
+
+
+def unpivot(ds, row_col: str, value_cols: list[str], name_col: str,
+            value_name: str, strip_prefix: str = ""):
+    """Wide→long melt: one output row per (row, wide column). Pure
+    streaming map_batches — each batch explodes independently, no
+    shuffle. The inverse of pivot_counts."""
+    names = [c[len(strip_prefix):] if c.startswith(strip_prefix) else c
+             for c in value_cols]
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for c, nm in zip(value_cols, names):
+            parts.append(pa.table({
+                row_col: batch.column(row_col),
+                name_col: pa.array([nm] * n, pa.string()),
+                value_name: batch.column(c),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

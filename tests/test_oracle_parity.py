@@ -30,6 +30,8 @@ FAST_QUERIES = [
     "jsonl_gz_roundtrip",
     "url_templates", "graph_reciprocity", "script_mix", "group_sample",
     "ipc_roundtrip",
+    "rank_windows", "rollup_orders", "funnel", "retention",
+    "events_resample", "unpivot_events",
 ]
 
 
