@@ -1835,6 +1835,98 @@ def _q_crawl_hostrank(sf_dir: str):
     return res.schedule_table().sort_by([("round", "ascending"), ("seq", "ascending")])
 
 
+# ------------------------------------------------------ eighth wave: stats
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Weight-proportional sample without replacement (functions/
+    sampling.py::weighted_sample): Efraimidis-Spirakis keys u^(1/w) on
+    the shared Knuth hash, distributed partial top-k — no RNG state."""
+    from scrappy_ray.functions.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, k=100, weight_col="n_chars",
+                           id_col="doc_id", salt=7).sort("doc_id")
+
+
+def _q_source_overlap(sf_dir: str):
+    """Content-identity set algebra between two sources (functions/
+    webtext.py::source_overlap): INTERSECT / EXCEPT from two bit
+    columns, one O(distinct-keys) shuffle, no joins."""
+    from scrappy_ray.functions.webtext import source_overlap
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return source_overlap(ds, "src0", "src1").sort("content_key")
+
+
+def _q_salted_join(sf_dir: str):
+    """Skew-safe salted hash join (pipelines/relational.py::
+    salted_join): hot keys fan out over ``salts`` shuffle partitions,
+    small side replicated once per salt. Output ≡ the plain join."""
+    import pyarrow.compute as pc  # noqa: F401  (closure import pattern)
+
+    from scrappy_ray.pipelines.relational import salted_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name", "c_mktsegment"]),
+        batch_format="pyarrow")
+    out = salted_join(orders, cust, on="o_custkey", salts=4,
+                      num_partitions=8)
+    return out.select_columns(
+        ["o_orderkey", "o_custkey", "c_name", "c_mktsegment"]
+    ).sort("o_orderkey")
+
+
+def _q_profile_table(sf_dir: str):
+    """Per-column dataset profile (functions/stats.py::profile_table):
+    block-side deduped (column, value) pairs bound the distinct-count
+    shuffle; min/max/null reduce over an O(columns × blocks) table."""
+    from scrappy_ray.functions.stats import profile_table
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars"])
+    return profile_table(ds, ["doc_id", "lang", "source", "n_chars"]
+                         ).sort_by([("col_name", "ascending")])
+
+
+def _q_group_corr(sf_dir: str):
+    """Per-source Pearson corr(n_chars, n_tokens) (functions/stats.py::
+    group_corr): exact int64 moment sums per batch, O(groups) shuffle,
+    float math once on the aggregated table in oracle operation order."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.stats import group_corr
+
+    ds = _read(sf_dir, "documents", columns=["source", "text", "n_chars"])
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(
+            pc.split_pattern(pc.cast(batch.column("text"), pa.string()), " "))
+        return pa.table({
+            "source": batch.column("source"),
+            "n_chars": batch.column("n_chars"),
+            "n_tokens": pc.cast(nt, pa.int64()),
+        })
+
+    return group_corr(ds.map_batches(with_tokens, batch_format="pyarrow"),
+                      "source", "n_chars", "n_tokens", digits=6)
+
+
+def _q_group_outliers(sf_dir: str):
+    """Per-group z-score outliers (functions/stats.py::group_outliers):
+    exact int64 (n, Σx, Σx²) sums → tiny (mean, sd) table broadcast
+    back into a streaming filter; z rounded before the threshold."""
+    from scrappy_ray.functions.stats import group_outliers
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    # 1.5σ, not the textbook 2.0: the synthetic n_chars is near-uniform
+    # per source (max |z| ≈ √3), so 2.0 would select nothing at any SF.
+    return group_outliers(ds, "source", "n_chars", "doc_id",
+                          z_thresh=1.5, digits=6).sort("doc_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1958,6 +2050,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness": _q_crawl_politeness,
         "crawl_priority": _q_crawl_priority,
         "crawl_hostrank": _q_crawl_hostrank,
+        "weighted_sample": _q_weighted_sample,
+        "source_overlap": _q_source_overlap,
+        "salted_join": _q_salted_join,
+        "profile_table": _q_profile_table,
+        "group_corr": _q_group_corr,
+        "group_outliers": _q_group_outliers,
     }
 
 
@@ -2003,6 +2101,15 @@ def _SAMPLING_SQLS() -> dict[str, str]:
                    doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key
             FROM (SELECT doc_id, {h.format(salt=13)} AS shuffle_key FROM documents)
             ORDER BY rank LIMIT 100
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     POWER(({h.format(salt=7)} + 0.5) / 4294967296.0,
+                           1.0 / n_chars) AS skey
+              FROM documents WHERE n_chars > 0
+              ORDER BY skey DESC, doc_id LIMIT 100)
+            ORDER BY doc_id
         """,
         "leakage_split": f"""
             WITH k AS (
@@ -2204,6 +2311,79 @@ def _oracle_sql_static() -> dict[str, str]:
             g AS (SELECT content_key, COUNT(*) AS sz FROM k GROUP BY content_key)
             SELECT sz AS size, COUNT(*) AS n_groups FROM g
             GROUP BY sz ORDER BY sz
+        """,
+        "source_overlap": """
+            WITH f AS (
+              SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS content_key,
+                     MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+                     MAX(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+              FROM documents WHERE source IN ('src0', 'src1')
+              GROUP BY content_key)
+            SELECT content_key,
+                   CASE WHEN a = 1 AND b = 1 THEN 'intersect'
+                        WHEN a = 1 THEN 'except_a'
+                        ELSE 'except_b' END AS op
+            FROM f ORDER BY content_key
+        """,
+        "salted_join": """
+            SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "profile_table": """
+            SELECT * FROM (
+              SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+                     COUNT(*) - COUNT(doc_id) AS n_nulls,
+                     COUNT(DISTINCT doc_id) AS n_distinct,
+                     CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+                     CAST(MAX(doc_id) AS VARCHAR) AS max_v
+              FROM documents
+              UNION ALL
+              SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                     COUNT(DISTINCT lang), MIN(lang), MAX(lang)
+              FROM documents
+              UNION ALL
+              SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                     COUNT(DISTINCT source), MIN(source), MAX(source)
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                     COUNT(DISTINCT n_chars),
+                     CAST(MIN(n_chars) AS VARCHAR),
+                     CAST(MAX(n_chars) AS VARCHAR)
+              FROM documents)
+            ORDER BY col_name
+        """,
+        "group_corr": """
+            WITH b AS (
+              SELECT source, n_chars AS x,
+                     LEN(string_split(text, ' ')) AS y
+              FROM documents),
+            m AS (SELECT source, COUNT(*) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+                         SUM(y*y) AS syy, SUM(x*y) AS sxy
+                  FROM b GROUP BY source)
+            SELECT source, n,
+                   ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * (n*syy - sy*sy)), 6) AS corr_xy
+            FROM m ORDER BY source
+        """,
+        "group_outliers": """
+            WITH m AS (
+              SELECT source, COUNT(*) AS n, SUM(n_chars) AS sx,
+                     SUM(n_chars * n_chars) AS sxx
+              FROM documents GROUP BY source),
+            z AS (
+              SELECT d.doc_id, d.source, d.n_chars,
+                     ROUND((d.n_chars - CAST(m.sx AS DOUBLE) / m.n)
+                           / SQRT((CAST(m.sxx AS DOUBLE)
+                                   - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+                                  / (m.n - 1)), 6) AS z
+              FROM documents d JOIN m USING (source) WHERE m.n > 1)
+            SELECT doc_id, source, n_chars, z FROM z
+            WHERE ABS(z) > 1.5 ORDER BY doc_id
         """,
         "region_customers": f"""
             SELECT r.r_name, COUNT(*) AS n_customers,
@@ -2741,6 +2921,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "mix_corpus": _SAMPLING_SQLS()["mix_corpus"],
         "shuffle_det": _SAMPLING_SQLS()["shuffle_det"],
         "leakage_split": _SAMPLING_SQLS()["leakage_split"],
+        "weighted_sample": _SAMPLING_SQLS()["weighted_sample"],
         "warc_roundtrip": """
             SELECT doc_id, text FROM documents ORDER BY doc_id
         """,

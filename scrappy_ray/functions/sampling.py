@@ -272,3 +272,36 @@ def group_sample(ds, k: int, group_col: str = "source", id_col: str = "doc_id",
         tiebreak=id_col,
     )
     return out.drop_columns(["h"])
+
+
+def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
+                    salt: int = 7):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    row gets key u^(1/w) with u a seedless hash-uniform in (0,1); the k
+    largest keys ARE a weight-proportional sample. Distributed as a
+    per-block partial top-k + one tiny merge (relational.top_k) — no
+    global sort, no RNG state, stable across runs and resumes. Rows
+    with weight <= 0 are excluded (their exponent is undefined in the
+    oracle too)."""
+    from ..pipelines.relational import top_k
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column(id_col), pa.int64()),
+                         dtype=np.int64)
+        w = np.asarray(pc.cast(batch.column(weight_col), pa.float64()))
+        # u in (0,1): the +0.5 keeps u off both endpoints so u^(1/w) is
+        # never an exact 0/1 tie; arithmetic mirrors the SQL oracle
+        u = (_hash_bucket(ids, salt).astype(np.float64) + 0.5) / 4294967296.0
+        with np.errstate(invalid="ignore"):
+            key = u ** (1.0 / w)
+        t = pa.table({
+            id_col: batch.column(id_col),
+            weight_col: batch.column(weight_col),
+            "skey": pa.array(key, pa.float64()),
+        })
+        return t.filter(pa.array(w > 0))
+
+    picked = top_k(ds.map_batches(keyed, batch_format="pyarrow"),
+                   key="skey", k=k, descending=True, tiebreak=id_col)
+    return picked.drop_columns(["skey"])

@@ -1,0 +1,254 @@
+"""Dataset-statistics operators: column profiling, grouped Pearson
+correlation, and z-score outlier detection.
+
+All three follow the engine's moment-sketch discipline: every wide step
+pre-aggregates EXACT INTEGER sums inside ``map_batches`` (int64 moments
+are associative and order-free, so the distributed reduce can never
+drift from a single-threaded SQL oracle the way float partial sums
+can), the shuffle moves O(groups), and the float math happens once, on
+the tiny aggregated table, with the operation order written to mirror
+the oracle SQL expression for expression.
+
+Reference parity: the reference's metrics surface is P/R/F over triple
+sets (lib/scrappy/learning — see functions/metrics.py); these extend it
+with the table-shape statistics a 100 TB corpus run needs (schema
+drift, length-distribution skew, feature correlation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _round_half_away(arr: pa.Array, digits: int) -> pa.Array:
+    """SQL ROUND semantics (half away from zero), not Arrow's default
+    half-to-even."""
+    return pc.round(arr, ndigits=digits, round_mode="half_towards_infinity")
+
+
+def _to_table(ds) -> pa.Table:
+    from ..pipelines.analytics import _to_table as _tt
+
+    return _tt(ds)
+
+
+# ---------------------------------------------------------------- profiling
+
+
+def profile_table(ds, columns: list[str]):
+    """Per-column profile: row count, null count, EXACT distinct count,
+    min and max (rendered as strings so one schema fits every column
+    type). Supported column types: integers and strings.
+
+    Scale shape: one pass emits per-block distinct (column, value)
+    pairs — already deduped block-side, so the shuffle moves
+    O(distinct × blocks) not O(rows) — plus a tiny per-block stats row
+    per column; the global distinct count is a hash aggregate over the
+    pair table and the min/max/null reduce runs on the O(columns ×
+    blocks) stats table driver-side. For a column whose distinct count
+    approaches the row count (a primary key) the pair shuffle IS the
+    data — swap in the HyperLogLog sketch (functions/sketch.py) when an
+    approximate count is acceptable.
+    """
+    cols = list(columns)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        outs = []
+        for c in cols:
+            v = pc.cast(batch.column(c), pa.string())
+            u = pc.unique(v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                          else v)
+            u = u.drop_null()
+            outs.append(pa.table({
+                "col_name": pa.array([c] * len(u), pa.string()),
+                "value": u,
+            }))
+        return pa.concat_tables(outs)
+
+    distinct = (ds.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["col_name", "value"]).count()
+                .groupby("col_name").count())
+    dt = _to_table(distinct)  # O(columns)
+    n_distinct = {dt.column("col_name")[i].as_py(): dt.column(1)[i].as_py()
+                  for i in range(dt.num_rows)}
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = {"col_name": [], "n_rows": [], "n_nulls": [],
+                "min_num": [], "max_num": [], "min_str": [], "max_str": []}
+        for c in cols:
+            col = batch.column(c)
+            rows["col_name"].append(c)
+            rows["n_rows"].append(batch.num_rows)
+            rows["n_nulls"].append(col.null_count)
+            if pa.types.is_integer(col.type):
+                mm = pc.min_max(col).as_py()
+                rows["min_num"].append(mm["min"])
+                rows["max_num"].append(mm["max"])
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+            else:
+                s = pc.cast(col, pa.string())
+                mm = pc.min_max(s).as_py()
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(mm["min"])
+                rows["max_str"].append(mm["max"])
+        return pa.table({
+            "col_name": pa.array(rows["col_name"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+            "min_num": pa.array(rows["min_num"], pa.int64()),
+            "max_num": pa.array(rows["max_num"], pa.int64()),
+            "min_str": pa.array(rows["min_str"], pa.string()),
+            "max_str": pa.array(rows["max_str"], pa.string()),
+        })
+
+    st = _to_table(ds.map_batches(stats, batch_format="pyarrow"))
+    g = st.group_by("col_name").aggregate([
+        ("n_rows", "sum"), ("n_nulls", "sum"),
+        ("min_num", "min"), ("max_num", "max"),
+        ("min_str", "min"), ("max_str", "max"),
+    ])
+    gi = {g.column("col_name")[i].as_py(): i for i in range(g.num_rows)}
+
+    def fmt(i: int, num_col: str, str_col: str) -> str | None:
+        v = g.column(num_col)[i].as_py()
+        if v is not None:
+            return str(v)
+        return g.column(str_col)[i].as_py()
+
+    return pa.table({
+        "col_name": pa.array(cols, pa.string()),
+        "n_rows": pa.array([g.column("n_rows_sum")[gi[c]].as_py()
+                            for c in cols], pa.int64()),
+        "n_nulls": pa.array([g.column("n_nulls_sum")[gi[c]].as_py()
+                             for c in cols], pa.int64()),
+        "n_distinct": pa.array([n_distinct.get(c, 0) for c in cols],
+                               pa.int64()),
+        "min_v": pa.array([fmt(gi[c], "min_num_min", "min_str_min")
+                           for c in cols], pa.string()),
+        "max_v": pa.array([fmt(gi[c], "max_num_max", "max_str_max")
+                           for c in cols], pa.string()),
+    })
+
+
+# ------------------------------------------------------- grouped correlation
+
+
+def group_corr(ds, group_col: str, x_col: str, y_col: str,
+               digits: int = 6):
+    """Per-group Pearson correlation of two INTEGER columns via exact
+    int64 moments (n, Σx, Σy, Σx², Σy², Σxy): the partial sums combine
+    per batch, one O(groups) shuffle, and the correlation formula runs
+    once on the aggregated table with the same operation order as the
+    SQL oracle — (nΣxy − ΣxΣy) / sqrt(double(nΣx²−Σx²) · (nΣy²−Σy²))."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.int64())
+        y = pc.cast(batch.column(y_col), pa.int64())
+        t = pa.table({
+            group_col: batch.column(group_col),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        g = t.group_by([group_col]).aggregate(
+            [(c, "sum") for c in ("one", "sx", "sy", "sxx", "syy", "sxy")])
+        return g.rename_columns([group_col, "n", "sx", "sy", "sxx", "syy",
+                                 "sxy"])
+
+    agg = _to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col).sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    ).rename_columns([group_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    n = np.asarray(agg.column("n"), dtype=np.int64)
+    sx = np.asarray(agg.column("sx"), dtype=np.int64)
+    sy = np.asarray(agg.column("sy"), dtype=np.int64)
+    sxx = np.asarray(agg.column("sxx"), dtype=np.int64)
+    syy = np.asarray(agg.column("syy"), dtype=np.int64)
+    sxy = np.asarray(agg.column("sxy"), dtype=np.int64)
+    num = (n * sxy - sx * sy).astype(np.float64)
+    vx = (n * sxx - sx * sx).astype(np.float64)
+    vy = (n * syy - sy * sy).astype(np.float64)
+    den = np.sqrt(vx * vy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.where(den > 0, num / den, np.nan)
+    return pa.table({
+        group_col: agg.column(group_col),
+        "n": pa.array(n, pa.int64()),
+        "corr_xy": _round_half_away(
+            pa.array(corr, pa.float64(), mask=~(den > 0)), digits),
+    }).sort_by([(group_col, "ascending")])
+
+
+# ----------------------------------------------------------- z-score outliers
+
+
+def group_outliers(ds, group_col: str, value_col: str, id_col: str,
+                   z_thresh: float = 2.0, digits: int = 6):
+    """Docs whose value is more than ``z_thresh`` sample standard
+    deviations from their group's mean. Exact int64 (n, Σx, Σx²) partial
+    sums → O(groups) shuffle → the per-group (mean, sd) table is
+    broadcast back into a streaming filter pass (closure capture here;
+    swap to relational.broadcast_join when groups outnumber driver
+    memory). z is rounded half-away BEFORE the threshold compare so the
+    kept set is bit-stable against the SQL oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(value_col), pa.int64())
+        t = pa.table({
+            group_col: batch.column(group_col),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "sx": x, "sxx": pc.multiply(x, x),
+        })
+        g = t.group_by([group_col]).aggregate(
+            [(c, "sum") for c in ("one", "sx", "sxx")])
+        return g.rename_columns([group_col, "n", "sx", "sxx"])
+
+    agg = _to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col).sum(["n", "sx", "sxx"])
+    ).rename_columns([group_col, "n", "sx", "sxx"])
+
+    # per-group (mean, sd) — operation order mirrors the oracle SQL:
+    # mean = sx::DOUBLE / n; var = (sxx::DOUBLE - sx::DOUBLE*sx/n)/(n-1)
+    n_g = np.asarray(agg.column("n"), dtype=np.int64)
+    sx_g = np.asarray(agg.column("sx"), dtype=np.int64)
+    sxx_g = np.asarray(agg.column("sxx"), dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_g = sx_g.astype(np.float64) / n_g
+        var_g = np.where(
+            n_g > 1,
+            (sxx_g.astype(np.float64) - sx_g.astype(np.float64) * sx_g / n_g)
+            / np.maximum(n_g - 1, 1), np.nan)
+        sd_g = np.where(var_g > 0, np.sqrt(var_g), np.nan)
+    gkeys = agg.column(group_col).combine_chunks() if isinstance(
+        agg.column(group_col), pa.ChunkedArray) else agg.column(group_col)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(batch.column(group_col), gkeys.type),
+                          value_set=gkeys)
+        i = np.asarray(pc.fill_null(idx, -1).cast(pa.int64()), dtype=np.int64)
+        have = i >= 0
+        mean = np.where(have, mean_g[np.maximum(i, 0)], np.nan)
+        sd = np.where(have, sd_g[np.maximum(i, 0)], np.nan)
+        x = np.asarray(pc.cast(batch.column(value_col), pa.int64()),
+                       dtype=np.int64)
+        with np.errstate(invalid="ignore"):
+            z = (x - mean) / sd
+        zr = _round_half_away(pa.array(z, pa.float64(), mask=np.isnan(z)),
+                              digits)
+        keep = pc.fill_null(pc.greater(pc.abs(zr), z_thresh), False)
+        out = pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            value_col: batch.column(value_col),
+            "z": zr,
+        })
+        return out.filter(keep)
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -719,3 +719,47 @@ def dup_histogram(ds, text_col: str = "text", key_tokens: int = 8):
             .map_batches(lambda t: t.rename_columns(["size", "n_groups"]),
                          batch_format="pyarrow")
             .sort("size"))
+
+
+def source_overlap(ds, source_a: str, source_b: str,
+                   text_col: str = "text", source_col: str = "source",
+                   key_tokens: int = 8):
+    """Relational set operations over content identity: which content
+    fingerprints (same prefix key as mirror_sources/dup_histogram)
+    appear in BOTH of two sources (INTERSECT), only the first
+    (EXCEPT a), or only the second (EXCEPT b). One streaming keyed pass
+    with per-block (key, flag) dedup, then a single max-flag hash
+    aggregate — the set algebra falls out of two bit columns, no joins.
+    """
+    from .dedup import _md5_col
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        src = pc.cast(batch.column(source_col), pa.string())
+        m = pc.or_(pc.equal(src, source_a), pc.equal(src, source_b))
+        b = batch.filter(m)
+        src = pc.cast(b.column(source_col), pa.string())
+        toks = pc.split_pattern(pc.cast(b.column(text_col), pa.string()), " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, key_tokens), " ")
+        t = pa.table({
+            "content_key": _md5_col(prefix.to_pylist()),
+            "in_a": pc.cast(pc.equal(src, source_a), pa.int64()),
+            "in_b": pc.cast(pc.equal(src, source_b), pa.int64()),
+        })
+        g = t.group_by(["content_key"]).aggregate(
+            [("in_a", "max"), ("in_b", "max")])
+        return g.rename_columns(["content_key", "in_a", "in_b"])
+
+    flags = (ds.map_batches(keyed, batch_format="pyarrow")
+             .groupby("content_key").max(["in_a", "in_b"]))
+
+    def op_of(batch: pa.Table) -> pa.Table:
+        a = np.asarray(pc.cast(batch.column("max(in_a)"), pa.int64()))
+        b = np.asarray(pc.cast(batch.column("max(in_b)"), pa.int64()))
+        ops = np.where(a & b, "intersect",
+                       np.where(a.astype(bool), "except_a", "except_b"))
+        return pa.table({
+            "content_key": batch.column("content_key"),
+            "op": pa.array(ops.tolist(), pa.string()),
+        })
+
+    return flags.map_batches(op_of, batch_format="pyarrow")

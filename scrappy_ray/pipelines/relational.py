@@ -390,3 +390,37 @@ def rolling_window(ds, key_col: str, order_col: str, value_col: str,
         )
 
     return ds.groupby(key_col).map_groups(win, batch_format="pyarrow")
+
+
+def salted_join(big_ds, small_ds, on: str, salts: int = 4,
+                num_partitions: int = 8, join_type: str = "inner"):
+    """Skew-safe distributed hash join: a hot join key otherwise lands
+    every one of its rows in ONE partition of the shuffle, serializing
+    the join on a single worker. Salting spreads it: the big side gets
+    a per-row salt in [0, salts) (round-robin inside each block — any
+    assignment is correct, it only shapes the partitioning), the small
+    side is replicated once per salt value, and the join runs on
+    (key, salt) so each hot key fans out across ``salts`` partitions.
+    Cost: small side × salts — pair it with a small dimension side, or
+    detect the hot keys first (functions/sketch.py heavy hitters) and
+    salt only those. Output equals the unsalted join with ``_salt``
+    dropped."""
+
+    def salt_big(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_salt", pa.array(np.arange(batch.num_rows, dtype=np.int64)
+                              % salts, pa.int64()))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        outs = []
+        for s in range(salts):
+            outs.append(batch.append_column(
+                "_salt", pa.array(np.full(batch.num_rows, s, np.int64),
+                                  pa.int64())))
+        return pa.concat_tables(outs)
+
+    big = big_ds.map_batches(salt_big, batch_format="pyarrow")
+    small = small_ds.map_batches(replicate, batch_format="pyarrow")
+    joined = big.join(small, join_type=join_type,
+                      num_partitions=num_partitions, on=(on, "_salt"))
+    return joined.drop_columns(["_salt"])

@@ -1,0 +1,154 @@
+"""Eighth-wave operator tests: weighted sampling, source set algebra,
+skew-safe salted join, and the dataset-statistics module."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _tt(ds):
+    if isinstance(ds, pa.Table):
+        return ds
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+def test_weighted_sample_matches_bruteforce(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sampling import KNUTH, weighted_sample
+
+    n, k, salt = 200, 25, 7
+    w = np.array([0.0] + [float((i * 13) % 40 + 1) for i in range(1, n)])
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "w": pa.array(w, pa.float64())})
+
+    # brute-force oracle: same Efraimidis-Spirakis key, computed locally
+    h = ((np.arange(n, dtype=np.uint64) + np.uint64(salt))
+         * np.uint64(KNUTH)) % np.uint64(1 << 32)
+    u = (h.astype(np.float64) + 0.5) / 4294967296.0
+    with np.errstate(divide="ignore"):
+        key = u ** (1.0 / w)
+    order = sorted(range(1, n), key=lambda i: (-key[i], i))
+    expect = sorted(order[:k])
+
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        got = sorted(_tt(weighted_sample(ds, k=k, weight_col="w",
+                                         id_col="doc_id", salt=salt))
+                     .column("doc_id").to_pylist())
+        assert got == expect  # block-layout independent, zero-weight excluded
+    assert 0 not in expect
+
+
+def test_weighted_sample_favors_heavy_rows(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.sampling import weighted_sample
+
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        # first half weight 1, second half weight 50
+        "w": pa.array([1.0] * (n // 2) + [50.0] * (n // 2), pa.float64()),
+    })
+    got = _tt(weighted_sample(ray.data.from_arrow(tbl).repartition(4),
+                              k=40, weight_col="w", id_col="doc_id"))
+    heavy = sum(1 for d in got.column("doc_id").to_pylist() if d >= n // 2)
+    assert heavy >= 30  # weight-proportional, not uniform
+
+
+def test_source_overlap_planted(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import source_overlap
+
+    tbl = pa.table({
+        "text": pa.array([
+            "common one two three four five six seven trailing-a",
+            "common one two three four five six seven trailing-b",
+            "only-a x1 x2 x3 x4 x5 x6 x7 t",
+            "only-b y1 y2 y3 y4 y5 y6 y7 t",
+            "other z1 z2 z3 z4 z5 z6 z7 t",  # src2: filtered out entirely
+        ]),
+        "source": pa.array(["src0", "src1", "src0", "src1", "src2"]),
+    })
+    out = _tt(source_overlap(ray.data.from_arrow(tbl).repartition(3),
+                             "src0", "src1").sort("content_key"))
+    assert sorted(out.column("op").to_pylist()) == [
+        "except_a", "except_b", "intersect"]
+    assert out.num_rows == 3  # the src2-only key never enters the pass
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import salted_join
+
+    # hot key 1 dominates: every row of it lands in one partition unsalted
+    big = pa.table({"k": pa.array([1] * 40 + [2] * 6 + [3] * 2, pa.int64()),
+                    "v": pa.array(range(48), pa.int64())})
+    small = pa.table({"k": pa.array([1, 2, 4], pa.int64()),
+                      "name": pa.array(["a", "b", "d"])})
+    out = _tt(salted_join(ray.data.from_arrow(big).repartition(5),
+                          ray.data.from_arrow(small),
+                          on="k", salts=4).sort("v"))
+    assert out.num_rows == 46  # 40 + 6; k=3 unmatched, k=4 small-only
+    assert "_salt" not in out.column_names
+    exp_name = {1: "a", 2: "b"}
+    rows = out.to_pylist()
+    assert all(r["name"] == exp_name[r["k"]] for r in rows)
+    assert sorted(r["v"] for r in rows) == list(range(46))
+
+
+def test_profile_table_counts(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import profile_table
+
+    tbl = pa.table({
+        "i": pa.array([1, 2, 2, None, 5, None], pa.int64()),
+        "s": pa.array(["b", "a", None, "a", "c", "c"]),
+    })
+    out = profile_table(ray.data.from_arrow(tbl).repartition(3), ["i", "s"])
+    rows = {r["col_name"]: r for r in out.to_pylist()}
+    assert rows["i"] == {"col_name": "i", "n_rows": 6, "n_nulls": 2,
+                         "n_distinct": 3, "min_v": "1", "max_v": "5"}
+    assert rows["s"] == {"col_name": "s", "n_rows": 6, "n_nulls": 1,
+                         "n_distinct": 3, "min_v": "a", "max_v": "c"}
+
+
+def test_group_corr_exact_endpoints(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import group_corr
+
+    n = 20
+    tbl = pa.table({
+        "g": pa.array(["pos"] * n + ["neg"] * n + ["flat"] * n),
+        "x": pa.array(list(range(n)) * 3, pa.int64()),
+        "y": pa.array([2 * i + 1 for i in range(n)]
+                      + [100 - 3 * i for i in range(n)]
+                      + [7] * n, pa.int64()),
+    })
+    out = group_corr(ray.data.from_arrow(tbl).repartition(5), "g", "x", "y")
+    rows = {r["g"]: r for r in out.to_pylist()}
+    assert rows["pos"]["corr_xy"] == 1.0  # exact: integer moments, no drift
+    assert rows["neg"]["corr_xy"] == -1.0
+    assert rows["flat"]["corr_xy"] is None  # zero variance -> null
+    assert all(r["n"] == n for r in rows.values())
+
+
+def test_group_outliers_planted(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import group_outliers
+
+    tbl = pa.table({
+        "g": pa.array(["a"] * 11 + ["b"] * 3),
+        "v": pa.array([10] * 10 + [1000] + [5, 6, 7], pa.int64()),
+        "id": pa.array(range(14), pa.int64()),
+    })
+    out = _tt(group_outliers(ray.data.from_arrow(tbl).repartition(4),
+                             "g", "v", "id", z_thresh=2.0))
+    rows = out.to_pylist()
+    assert [r["id"] for r in rows] == [10]  # only the planted spike
+    assert abs(rows[0]["z"] - 3.015113) < 1e-6  # sample-sd z, rounded @6
