@@ -1927,6 +1927,89 @@ def _q_group_outliers(sf_dir: str):
                           z_thresh=1.5, digits=6).sort("doc_id")
 
 
+def _q_session_ids(sf_dir: str):
+    """Per-event session assignment (pipelines/analytics.py::
+    session_ids): 30-min inactivity gap, (ts, id)-ordered cumsum per
+    user inside groupby().map_groups."""
+    from scrappy_ray.pipelines.analytics import session_ids
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return session_ids(ds).sort("event_id")
+
+
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts (pipelines/analytics.py::
+    event_transitions): per-user bigram partials inside map_groups,
+    O(types²) global aggregate."""
+    from scrappy_ray.pipelines.analytics import event_transitions
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return event_transitions(ds)
+
+
+def _q_value_histogram(sf_dir: str):
+    """Equi-width histogram of events.value (pipelines/analytics.py::
+    value_histogram): tiny min/max pass then streaming per-block
+    bincounts; bin arithmetic in oracle IEEE operation order."""
+    from scrappy_ray.pipelines.analytics import value_histogram
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return value_histogram(ds, "value", nbins=20)
+
+
+def _q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE (pipelines/analytics.py::cube_counts): ROLLUP's
+    levels plus the status-only margin, all derived from one O(groups)
+    fine aggregate."""
+    from scrappy_ray.pipelines.analytics import cube_counts
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    t = cube_counts(ds, "o_orderpriority", "o_orderstatus",
+                    "o_totalprice", scale=2)
+    return t.sort_by([("o_orderpriority", "ascending"),
+                      ("o_orderstatus", "ascending")])
+
+
+def _q_mode_event_type(sf_dir: str):
+    """Deterministic per-user modal event type (pipelines/
+    relational.py::mode_per_group): partial (user, type) counts then a
+    top-1 cut with lexicographic tie-break."""
+    from scrappy_ray.pipelines.relational import mode_per_group
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return mode_per_group(ds, "user_id", "event_type").sort("user_id")
+
+
+def _q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered semi-join (pipelines/relational.py::
+    bloom_semi_join): docs whose content fingerprint appears among the
+    src0 reference keys — the constant-size-broadcast decontamination
+    shape; exact join confirm makes the output oracle-equal."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.dedup import _md5_col
+    from scrappy_ray.pipelines.relational import bloom_semi_join
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column("text"), pa.string()),
+                                " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, 8), " ")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "content_key": _md5_col(prefix.to_pylist()),
+        })
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "source"]).map_batches(
+        keyed, batch_format="pyarrow")
+    ref = docs.filter(expr="source == 'src0'").select_columns(["content_key"])
+    out = bloom_semi_join(docs, "content_key", ref, "content_key")
+    return out.select_columns(["doc_id"]).sort("doc_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2056,6 +2139,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table": _q_profile_table,
         "group_corr": _q_group_corr,
         "group_outliers": _q_group_outliers,
+        "session_ids": _q_session_ids,
+        "event_transitions": _q_event_transitions,
+        "value_histogram": _q_value_histogram,
+        "cube_orders": _q_cube_orders,
+        "mode_event_type": _q_mode_event_type,
+        "bloom_semi_join": _q_bloom_semi_join,
     }
 
 
@@ -2384,6 +2473,73 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "cube_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS sum_v
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
+        """,
+        "mode_event_type": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT user_id, event_type, n,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY n DESC, event_type)
+                           AS rn
+                  FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rn = 1
+            ORDER BY user_id
+        """,
+        "bloom_semi_join": """
+            WITH k AS (
+              SELECT DISTINCT
+                     md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS content_key
+              FROM documents WHERE source = 'src0')
+            SELECT d.doc_id FROM documents d
+            JOIN k ON md5(array_to_string(string_split(d.text, ' ')[1:8],
+                                          ' ')) = k.content_key
+            ORDER BY d.doc_id
+        """,
+        "session_ids": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN prev IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                  FROM events)
+            ORDER BY event_id
+        """,
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT prev AS from_type, event_type AS to_type,
+                   COUNT(*) AS n
+            FROM o WHERE prev IS NOT NULL
+            GROUP BY prev, event_type ORDER BY from_type, to_type
+        """,
+        "value_histogram": """
+            WITH m AS (SELECT MIN(value) AS mn, MAX(value) AS mx
+                       FROM events),
+            b AS (SELECT LEAST(CAST(FLOOR((value - mn)
+                                          / ((mx - mn) / 20.0)) AS BIGINT),
+                               19) AS bin
+                  FROM events, m)
+            SELECT bin, ROUND(mn + bin * ((mx - mn) / 20.0), 6) AS lo,
+                   COUNT(*) AS n
+            FROM b, m GROUP BY bin, mn, mx ORDER BY bin
         """,
         "region_customers": f"""
             SELECT r.r_name, COUNT(*) AS n_customers,

@@ -85,6 +85,22 @@ def rollup_counts(ds, a: str, b: str, measure: str, scale: int = 2):
     partial (a,b) aggregates bound it to O(groups × blocks); the two
     coarser levels re-aggregate the O(groups) result driver-side (small
     by construction — never the input)."""
+    return grouping_sets_counts(ds, a, b, measure, scale,
+                                sets=[[a, b], [a], []])
+
+
+def cube_counts(ds, a: str, b: str, measure: str, scale: int = 2):
+    """GROUP BY CUBE(a, b): ROLLUP's levels plus the (b)-only margin —
+    same single input shuffle; every coarser level derives from the
+    O(groups) fine table."""
+    return grouping_sets_counts(ds, a, b, measure, scale,
+                                sets=[[a, b], [a], [b], []])
+
+
+def grouping_sets_counts(ds, a: str, b: str, measure: str, scale: int,
+                         sets: list[list[str]]):
+    """Shared GROUPING SETS engine for rollup/cube (see rollup_counts
+    for the scale shape)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({a: batch.column(a), b: batch.column(b),
@@ -112,7 +128,7 @@ def rollup_counts(ds, a: str, b: str, measure: str, scale: int = 2):
             pc.cast(g.column("s"), pa.float64()), float(10 ** scale))
         return pa.table(cols)
 
-    return pa.concat_tables([level([a, b]), level([a]), level([])])
+    return pa.concat_tables([level(s) for s in sets])
 
 
 def _to_table(ds) -> pa.Table:
@@ -277,3 +293,108 @@ def unpivot(ds, row_col: str, value_cols: list[str], name_col: str,
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def session_ids(events_ds, user_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", gap_minutes: int = 30):
+    """Per-EVENT session assignment (the row-level refinement of
+    relational.sessionize's per-user counts): within each user, events
+    ordered by (ts, id) get an incrementing session number that bumps
+    whenever the inactivity gap exceeds ``gap_minutes``. One
+    groupby(user).map_groups — a user's events sort and cumsum
+    vectorized on one worker (partitioning assumption: one user's
+    history fits a worker; at 100 TB that holds because sessions are
+    bounded per human, and a pathological bot user degrades one group,
+    not the stage)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def assign(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        ts = np.asarray(pc.cast(g.column(ts_col), pa.int64()))
+        new = np.r_[True, np.diff(ts) > gap_us] if len(ts) else np.zeros(0, bool)
+        return pa.table({
+            id_col: g.column(id_col),
+            user_col: g.column(user_col),
+            "session_id": pa.array(np.cumsum(new).astype(np.int64)),
+        })
+
+    return events_ds.groupby(user_col).map_groups(
+        assign, batch_format="pyarrow")
+
+
+def event_transitions(events_ds, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id"):
+    """Markov transition counts: how often event type A is immediately
+    followed by type B within a user's (ts, id)-ordered stream. The
+    per-user bigram counting happens INSIDE map_groups (each group
+    emits its own partial (from, to, n) rows — O(types²) per user, not
+    O(events)), so the final aggregate shuffles a table bounded by
+    users × distinct transitions, and the global one is O(types²)."""
+
+    def bigrams(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        t = np.asarray(pc.cast(g.column(type_col), pa.string()))
+        if len(t) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs = pa.table({"from_type": pa.array(t[:-1]),
+                          "to_type": pa.array(t[1:])})
+        cnt = pairs.group_by(["from_type", "to_type"]).aggregate(
+            [([], "count_all")])
+        return cnt.rename_columns(["from_type", "to_type", "n"])
+
+    return (events_ds.groupby(user_col)
+            .map_groups(bigrams, batch_format="pyarrow")
+            .groupby(["from_type", "to_type"]).sum("n")
+            .map_batches(lambda t: t.rename_columns(
+                ["from_type", "to_type", "n"]), batch_format="pyarrow")
+            .sort(["from_type", "to_type"]))
+
+
+def value_histogram(ds, value_col: str, nbins: int = 20):
+    """Equi-width histogram: two passes, both streaming. Pass 1 is a
+    per-block (min, max) partial reduced driver-side to two floats;
+    pass 2 bins each batch with one vectorized floor-divide and emits
+    per-block partial bin counts, so the shuffle moves
+    O(nbins × blocks). The bin arithmetic — width = (max−min)/nbins,
+    bin = min(floor((v−min)/width), nbins−1) — is written in the same
+    IEEE operation order as the SQL oracle, so edge values land in the
+    same bin on both engines."""
+
+    def mm(batch: pa.Table) -> pa.Table:
+        r = pc.min_max(batch.column(value_col)).as_py()
+        return pa.table({"mn": pa.array([r["min"]], pa.float64()),
+                         "mx": pa.array([r["max"]], pa.float64())})
+
+    t = _to_table(ds.map_batches(mm, batch_format="pyarrow"))
+    mn = pc.min(t.column("mn")).as_py()
+    mx = pc.max(t.column("mx")).as_py()
+    width = (mx - mn) / float(nbins)
+
+    def binned(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(batch.column(value_col), pa.float64()))
+        b = np.minimum(np.floor((v - mn) / width).astype(np.int64),
+                       nbins - 1)
+        counts = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    out = (ds.map_batches(binned, batch_format="pyarrow")
+           .groupby("bin").sum("n")
+           .map_batches(lambda t: t.rename_columns(["bin", "n"]),
+                        batch_format="pyarrow"))
+
+    def edges(batch: pa.Table) -> pa.Table:
+        b = np.asarray(pc.cast(batch.column("bin"), pa.int64()))
+        lo = pa.array(mn + b * width, pa.float64())
+        return pa.table({
+            "bin": batch.column("bin"),
+            "lo": pc.round(lo, ndigits=6,
+                           round_mode="half_towards_infinity"),
+            "n": batch.column("n"),
+        })
+
+    return out.map_batches(edges, batch_format="pyarrow").sort("bin")

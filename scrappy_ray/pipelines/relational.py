@@ -424,3 +424,99 @@ def salted_join(big_ds, small_ds, on: str, salts: int = 4,
     joined = big.join(small, join_type=join_type,
                       num_partitions=num_partitions, on=(on, "_salt"))
     return joined.drop_columns(["_salt"])
+
+
+def mode_per_group(ds, group_col: str, value_col: str):
+    """Deterministic per-group mode: the most frequent value, ties
+    broken by the lexicographically smallest value (so the answer is
+    unique and block-layout independent). Per-batch partial
+    (group, value) counts bound the shuffle to O(distinct pairs ×
+    blocks); the top-1 cut reuses top_k_per_group over the aggregated
+    (already tiny) count table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch.column(group_col),
+                      value_col: batch.column(value_col)})
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "n"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, value_col]).sum("n")
+              .map_batches(lambda t: t.rename_columns(
+                  [group_col, value_col, "n"]), batch_format="pyarrow"))
+    return top_k_per_group(counts, group_col, key="n", k=1,
+                           descending=True, tiebreak=value_col)
+
+
+# pandas hash_array keys must be exactly 16 chars; two independent
+# seeds drive the Kirsch-Mitzenmacher double-hashing scheme
+_BLOOM_K1 = "scrappybloomk1aa"
+_BLOOM_K2 = "scrappybloomk2bb"
+
+
+def _bloom_positions(vals, m: int, k: int) -> list[np.ndarray]:
+    """k vectorized bit positions per value: (h1 + i·h2) mod m (Kirsch
+    & Mitzenmacher 2006 — two hashes simulate k). ONE pandas siphash
+    call per seed per batch, no per-row Python."""
+    import pandas as pd
+
+    arr = np.asarray(vals, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key=_BLOOM_K1)
+    h2 = pd.util.hash_array(arr, hash_key=_BLOOM_K2) | np.uint64(1)
+    return [((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            for i in range(k)]
+
+
+def bloom_semi_join(big_ds, big_key: str, small_ds, small_key: str,
+                    m_bits: int = 1 << 20, k_hashes: int = 4,
+                    num_partitions: int = 8):
+    """Semi-join via a broadcast Bloom filter + exact confirm: keep big
+    rows whose key appears in the small side. The at-100 TB shape: the
+    small side's EXACT key set may be too big to broadcast, but its
+    Bloom filter is m_bits/8 bytes regardless of cardinality — built
+    distributed (per-block partial filters OR-merged on the driver,
+    associative like every other partial here), shipped once into a
+    streaming prefilter that drops the overwhelming majority of big
+    rows with zero shuffle, and only the surviving sliver pays the
+    exact distributed hash join that removes Bloom false positives.
+    Output ≡ the plain semi-join (the join confirms), so SQL-oracled."""
+    nbytes = m_bits // 8
+
+    def build(batch: pa.Table) -> pa.Table:
+        # runs on keys_ds, where the small key is already renamed
+        vals = pc.cast(batch.column(big_key), pa.string()).to_numpy(
+            zero_copy_only=False)
+        bits = np.zeros(m_bits, dtype=bool)
+        for pos in _bloom_positions(vals, m_bits, k_hashes):
+            bits[pos] = True
+        return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()],
+                                           pa.binary())})
+
+    from .analytics import _to_table
+
+    keys_ds = (small_ds.select_columns([small_key])
+               .map_batches(lambda t: t.rename_columns([big_key]),
+                            batch_format="pyarrow")
+               .groupby(big_key).count()
+               .select_columns([big_key]))  # distinct small keys
+    keys_ds = keys_ds.materialize()  # consumed twice: build + confirm
+
+    parts = _to_table(keys_ds.map_batches(build, batch_format="pyarrow"))
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for blob in parts.column("bloom").to_pylist():
+        merged |= np.frombuffer(blob, dtype=np.uint8)
+    bits = np.unpackbits(merged).astype(bool)  # m_bits bools, built once
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch.column(big_key), pa.string()).to_numpy(
+            zero_copy_only=False)
+        keep = np.ones(len(vals), dtype=bool)
+        for pos in _bloom_positions(vals, m_bits, k_hashes):
+            keep &= bits[pos]
+        return batch.filter(pa.array(keep))
+
+    survivors = big_ds.map_batches(prefilter, batch_format="pyarrow")
+    # exact confirm: inner join against the DISTINCT key table is a
+    # semi-join (each survivor matches at most one key row)
+    return survivors.join(keys_ds, join_type="inner",
+                          num_partitions=num_partitions, on=(big_key,))

@@ -1,5 +1,7 @@
-"""Eighth-wave operator tests: weighted sampling, source set algebra,
-skew-safe salted join, and the dataset-statistics module."""
+"""Eighth/ninth-wave operator tests: weighted sampling, source set
+algebra, skew-safe salted join, the dataset-statistics module,
+event-sequence analytics (sessions, transitions, histogram, cube,
+mode) and the Bloom-prefiltered semi-join."""
 
 import numpy as np
 import pyarrow as pa
@@ -152,3 +154,111 @@ def test_group_outliers_planted(ray_session):
     rows = out.to_pylist()
     assert [r["id"] for r in rows] == [10]  # only the planted spike
     assert abs(rows[0]["z"] - 3.015113) < 1e-6  # sample-sd z, rounded @6
+
+
+def test_session_ids_gap_assignment(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import session_ids
+
+    US = 1_000_000
+    ev = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "ts": pa.array([s * US for s in [0, 60, 120, 4000, 10, 20, 5000,
+                                         5030]], pa.timestamp("us")),
+    })
+    out = _tt(session_ids(ray.data.from_arrow(ev).repartition(3))
+              .sort("event_id"))
+    # user 1 gaps: 60 s, 60 s, 3880 s (> 30 min -> new session)
+    assert out.column("session_id").to_pylist() == [1, 1, 1, 2, 1, 1, 2, 2]
+
+
+def test_event_transitions_bigram_counts(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import event_transitions
+
+    US = 1_000_000
+    ev = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "ts": pa.array([s * US for s in [0, 1, 2, 3, 0, 1, 2, 3]],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "a", "c", "x", "y", "x", "y"]),
+    })
+    out = _tt(event_transitions(ray.data.from_arrow(ev).repartition(3)))
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in out.to_pylist()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "c"): 1,
+                   ("x", "y"): 2, ("y", "x"): 1}
+
+
+def test_value_histogram_bins(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import value_histogram
+
+    vals = pa.table({"value": pa.array([0.0, 1.0, 2.5, 5.0, 9.9, 10.0],
+                                       pa.float64())})
+    out = _tt(value_histogram(ray.data.from_arrow(vals).repartition(2),
+                              "value", nbins=5))
+    rows = {r["bin"]: r for r in out.to_pylist()}
+    # width 2.0: [0,2)->2, [2,4)->1, [4,6)->1, [8,10]->2 (max lands in
+    # the last bin via the min(floor, nbins-1) clamp)
+    assert {b: r["n"] for b, r in rows.items()} == {0: 2, 1: 1, 2: 1, 4: 2}
+    assert rows[4]["lo"] == 8.0
+
+
+def test_cube_counts_margins(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import cube_counts
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", "y"]),
+        "b": pa.array(["p", "q", "p", "p"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    })
+    out = cube_counts(ray.data.from_arrow(t).repartition(2),
+                      "a", "b", "v", scale=2)
+    assert out.num_rows == 8  # 3 fine + 2 a-margins + 2 b-margins + total
+    rows = out.to_pylist()
+    bp = [r for r in rows if r["a"] is None and r["b"] == "p"][0]
+    assert bp["n"] == 3 and abs(bp["sum_v"] - 8.0) < 1e-9
+    tot = [r for r in rows if r["a"] is None and r["b"] is None][0]
+    assert tot["n"] == 4 and abs(tot["sum_v"] - 10.0) < 1e-9
+
+
+def test_mode_per_group_deterministic_ties(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import mode_per_group
+
+    ev = pa.table({"u": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+                   "t": pa.array(["a", "b", "b", "x", "y", "x"])})
+    out = _tt(mode_per_group(ray.data.from_arrow(ev).repartition(3),
+                             "u", "t").sort("u"))
+    assert out.to_pylist() == [{"u": 1, "t": "b", "n": 2},
+                               {"u": 2, "t": "x", "n": 2}]
+    # equal counts -> lexicographically smallest value wins
+    tie = pa.table({"u": pa.array([1, 1], pa.int64()),
+                    "t": pa.array(["z", "a"])})
+    out2 = _tt(mode_per_group(ray.data.from_arrow(tie).repartition(2),
+                              "u", "t"))
+    assert out2.to_pylist() == [{"u": 1, "t": "a", "n": 1}]
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import bloom_semi_join
+
+    big = pa.table({"key": pa.array([f"k{i}" for i in range(1000)]),
+                    "id": pa.array(range(1000), pa.int64())})
+    # duplicated small side: the distinct step must dedup before joining
+    small = pa.table({"ref": pa.array([f"k{i}"
+                                       for i in range(0, 1000, 37)] * 2)})
+    out = _tt(bloom_semi_join(ray.data.from_arrow(big).repartition(4), "key",
+                              ray.data.from_arrow(small).repartition(2),
+                              "ref").sort("id"))
+    assert out.column("id").to_pylist() == sorted(range(0, 1000, 37))
