@@ -1557,6 +1557,19 @@ def _graph_sqls() -> dict[str, str]:
     FROM edges e1 LEFT JOIN edges e2
       ON e2.src = e1.dst AND e2.dst = e1.src
     GROUP BY e1.src ORDER BY node""",
+        "graph_triangles": "WITH "
+        + _EDGES_SQL
+        + """,
+    u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges),
+    t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM u e1 JOIN u e2 ON e2.a = e1.b
+          JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT node, COUNT(*)::BIGINT AS n_triangles
+    FROM (SELECT x AS node FROM t
+          UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t)
+    GROUP BY node ORDER BY node""",
     }
 
 
@@ -2010,6 +2023,48 @@ def _q_bloom_semi_join(sf_dir: str):
     return out.select_columns(["doc_id"]).sort("doc_id")
 
 
+def _q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts (functions/graph.py::triangle_counts):
+    degree-oriented wedge join (the O(E^1.5) shape) — the triangle set,
+    and therefore the per-node counts, equal the oracle's id-ordered
+    enumeration."""
+    from scrappy_ray.functions.graph import triangle_counts
+
+    return triangle_counts(_synth_edges(sf_dir))
+
+
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-group outliers (functions/stats.py::mad_outliers):
+    |x − median| > 1.5 × MAD, exact integer medians
+    (percentile_disc), two tiny broadcast tables around one streaming
+    pass."""
+    from scrappy_ray.functions.stats import mad_outliers
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return mad_outliers(ds, "source", "n_chars", "doc_id",
+                        k=1.5).sort("doc_id")
+
+
+def _q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type (functions/stats.py::
+    distinct_count_by_group): per-block deduped pairs, two hash
+    aggregates — the exact companion of the approx_distinct HLL."""
+    from scrappy_ray.functions.stats import distinct_count_by_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return distinct_count_by_group(ds, "event_type", "user_id")
+
+
+def _q_dist_windows(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST per user (pipelines/analytics.py::
+    dist_windows): run-length ranks normalized to [0,1], rounded like
+    the oracle."""
+    from scrappy_ray.pipelines.analytics import dist_windows
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return dist_windows(ds, "user_id", "value", "event_id").sort("event_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2145,6 +2200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": _q_cube_orders,
         "mode_event_type": _q_mode_event_type,
         "bloom_semi_join": _q_bloom_semi_join,
+        "graph_triangles": _q_graph_triangles,
+        "mad_outliers": _q_mad_outliers,
+        "distinct_users": _q_distinct_users,
+        "dist_windows": _q_dist_windows,
     }
 
 
@@ -2473,6 +2532,40 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "mad_outliers": """
+            WITH med AS (
+              SELECT source,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                       AS med
+              FROM documents GROUP BY source),
+            dev AS (
+              SELECT d.doc_id, d.source, d.n_chars,
+                     ABS(d.n_chars - m.med) AS dev
+              FROM documents d JOIN med m USING (source)),
+            mad AS (
+              SELECT source,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)
+                       AS mad
+              FROM dev GROUP BY source)
+            SELECT v.doc_id, v.source, v.n_chars,
+                   CAST(v.dev AS BIGINT) AS dev
+            FROM dev v JOIN mad m USING (source)
+            WHERE v.dev > 1.5 * m.mad
+            ORDER BY v.doc_id
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "dist_windows": """
+            SELECT event_id, user_id,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY user_id
+                                              ORDER BY value), 6) AS pr,
+                   ROUND(CUME_DIST() OVER (PARTITION BY user_id
+                                           ORDER BY value), 6) AS cd
+            FROM events ORDER BY event_id
         """,
         "cube_orders": """
             SELECT o_orderpriority, o_orderstatus,

@@ -402,3 +402,108 @@ def reciprocity_table(edges, src: str = "src", dst: str = "dst",
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def triangle_counts(edges, src: str = "src", dst: str = "dst",
+                    num_partitions: int = 8):
+    """Per-node triangle participation counts over the UNDIRECTED
+    distinct edge set — the classic cohesion / link-farm density
+    signal. Output ``(node, n_triangles)`` for every node in ≥1
+    triangle.
+
+    Scale shape: the naive wedge join explodes quadratically on hub
+    nodes, so edges are DEGREE-ORIENTED first (each undirected edge
+    points from its lower-(degree, id) endpoint to the higher — the
+    standard O(E^1.5) total-wedge bound; Suri & Vassilvitskii 2011
+    "Counting triangles and the curse of the last reducer"): wedges
+    join oriented edges with themselves on the shared LOW endpoint, so
+    a hub of degree D contributes wedges only through neighbors that
+    outrank it, not D². Every triangle is found exactly once (at its
+    unique lowest-oriented vertex); the per-node counts are therefore
+    orientation-independent and match the id-ordered SQL enumeration.
+    Three distributed hash joins, one union explode, one groupby —
+    no driver state beyond plans."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(src), pa.int64())
+        d = pc.cast(batch.column(dst), pa.int64())
+        a, b = pc.min_element_wise(s, d), pc.max_element_wise(s, d)
+        t = pa.table({"a": a, "b": b})
+        return t.filter(pc.not_equal(t.column("a"), t.column("b")))
+
+    und = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["a", "b"]).count().drop_columns(["count()"])
+           .materialize())  # feeds degrees, orientation and the close join
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch.column("a").combine_chunks().cast(pa.int64()),
+            batch.column("b").combine_chunks().cast(pa.int64())])})
+
+    deg = (und.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").count()
+           .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                        batch_format="pyarrow"))
+
+    def ren(cols: list[str]):
+        return lambda t: t.rename_columns(cols)
+
+    da = deg.map_batches(ren(["a", "deg_a"]), batch_format="pyarrow")
+    db = deg.map_batches(ren(["b", "deg_b"]), batch_format="pyarrow")
+    withdeg = drop_empty_blocks(
+        drop_empty_blocks(und).join(drop_empty_blocks(da), "inner",
+                                    num_partitions, on=("a",))
+    ).join(drop_empty_blocks(db), "inner", num_partitions, on=("b",))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = np.asarray(pc.cast(batch.column("a"), pa.int64()))
+        b = np.asarray(pc.cast(batch.column("b"), pa.int64()))
+        dga = np.asarray(pc.cast(batch.column("deg_a"), pa.int64()))
+        dgb = np.asarray(pc.cast(batch.column("deg_b"), pa.int64()))
+        # low endpoint u by (deg, id); a<b already, so ties go to a
+        a_low = dga <= dgb
+        return pa.table({"u": pa.array(np.where(a_low, a, b)),
+                         "v": pa.array(np.where(a_low, b, a))})
+
+    ori = withdeg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    w2 = ori.map_batches(ren(["u", "w"]), batch_format="pyarrow")
+    wedges = drop_empty_blocks(ori).join(
+        drop_empty_blocks(w2), "inner", num_partitions, on=("u",))
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        # one candidate per unordered neighbor pair; id order matches
+        # the canonical (a, b) key of the closing edge
+        v = np.asarray(pc.cast(batch.column("v"), pa.int64()))
+        w = np.asarray(pc.cast(batch.column("w"), pa.int64()))
+        u = np.asarray(pc.cast(batch.column("u"), pa.int64()))
+        m = v < w
+        return pa.table({"u": pa.array(u[m]),
+                         "a": pa.array(np.minimum(v, w)[m]),
+                         "b": pa.array(np.maximum(v, w)[m])})
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64())})
+    cand = wedges.map_batches(ordered, batch_format="pyarrow").materialize()
+    if cand.count() == 0:
+        # a wedge-free (or triangle-free-by-construction) graph: joining
+        # an all-empty side poisons Arrow key resolution (0-row blocks
+        # lose their schema in Ray 2.49), so short-circuit the typed
+        # empty result instead
+        return ray.data.from_arrow(empty)
+    tris = drop_empty_blocks(cand).join(
+        drop_empty_blocks(und), "inner", num_partitions, on=("a", "b"))
+    tris = tris.materialize()
+    if tris.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def explode3(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch.column(c).combine_chunks().cast(pa.int64())
+            for c in ("u", "a", "b")])})
+
+    return (tris.map_batches(explode3, batch_format="pyarrow")
+            .groupby("node").count()
+            .map_batches(ren(["node", "n_triangles"]),
+                         batch_format="pyarrow")
+            .sort("node"))

@@ -252,3 +252,102 @@ def group_outliers(ds, group_col: str, value_col: str, id_col: str,
         return out.filter(keep)
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- robust outliers
+
+
+def _group_median(ds, group_col: str, value_col: str) -> pa.Table:
+    """Exact per-group percentile_disc(0.5) median (the smallest value
+    whose cumulative fraction >= 0.5 — an ACTUAL data value, so integer
+    inputs stay integers and the oracle compare is exact). map_groups
+    needs one group's values on one worker — the partitioning
+    assumption of every exact-quantile op (pipelines/relational.py::
+    group_quantiles); swap in a merging sketch when a group outgrows a
+    worker."""
+
+    def med(group: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(pc.cast(group.column(value_col),
+                                       pa.int64())))
+        i = max(int(np.ceil(0.5 * len(v))) - 1, 0)
+        return pa.table({
+            group_col: group.column(group_col).slice(0, 1),
+            "med": pa.array([int(v[i])], pa.int64()),
+        })
+
+    return _to_table(
+        ds.groupby(group_col).map_groups(med, batch_format="pyarrow"))
+
+
+def mad_outliers(ds, group_col: str, value_col: str, id_col: str,
+                 k: float = 1.5):
+    """Robust per-group outliers via MAD (median absolute deviation):
+    rows whose |x − median| exceeds k × median(|x − median|). Unlike
+    the z-score (group_outliers), a single planted spike cannot drag
+    the threshold, because medians ignore magnitude. Two exact grouped
+    medians (tiny O(groups) tables broadcast back via closure capture)
+    sandwich one streaming deviation pass — the integer deviations make
+    the k-compare bit-stable against SQL."""
+    med_t = _group_median(ds, group_col, value_col)
+    gkeys = med_t.column(group_col).combine_chunks()
+    med_v = np.asarray(med_t.column("med"), dtype=np.int64)
+
+    def _lookup(batch: pa.Table, table_vals: np.ndarray) -> np.ndarray:
+        idx = pc.index_in(pc.cast(batch.column(group_col), gkeys.type),
+                          value_set=gkeys)
+        i = np.asarray(pc.fill_null(idx, -1).cast(pa.int64()),
+                       dtype=np.int64)
+        return np.where(i >= 0, table_vals[np.maximum(i, 0)], 0), i >= 0
+
+    def dev(batch: pa.Table) -> pa.Table:
+        m, have = _lookup(batch, med_v)
+        x = np.asarray(pc.cast(batch.column(value_col), pa.int64()))
+        d = np.abs(x - m)
+        return pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            value_col: batch.column(value_col),
+            "dev": pa.array(np.where(have, d, 0), pa.int64()),
+        }).filter(pa.array(have))
+
+    devs = ds.map_batches(dev, batch_format="pyarrow").materialize()
+    mad_t = _group_median(devs, group_col, "dev")
+    mad_keys = mad_t.column(group_col).combine_chunks()
+    mad_v = np.asarray(mad_t.column("med"), dtype=np.int64)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(batch.column(group_col), mad_keys.type),
+                          value_set=mad_keys)
+        i = np.asarray(pc.fill_null(idx, -1).cast(pa.int64()),
+                       dtype=np.int64)
+        mad = np.where(i >= 0, mad_v[np.maximum(i, 0)], 0)
+        d = np.asarray(pc.cast(batch.column("dev"), pa.int64()))
+        return batch.filter(pa.array((i >= 0) & (d > k * mad)))
+
+    return devs.map_batches(flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- exact distinct count
+
+
+def distinct_count_by_group(ds, group_col: str, value_col: str):
+    """Exact COUNT(DISTINCT value) per group: per-block deduped
+    (group, value) pairs bound the shuffle to O(distinct pairs ×
+    blocks), then two hash aggregates — never a global sort, never a
+    row-level shuffle. The exact companion of the HyperLogLog sketch
+    (functions/sketch.py) for when the distinct cardinality itself is
+    the deliverable."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch.column(group_col),
+                      value_col: batch.column(value_col)})
+        g = t.group_by([group_col, value_col]).aggregate([])
+        return g
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby([group_col, value_col]).count()
+            .drop_columns(["count()"])
+            .groupby(group_col).count()
+            .map_batches(lambda t: t.rename_columns(
+                [group_col, "n_distinct"]), batch_format="pyarrow")
+            .sort(group_col))

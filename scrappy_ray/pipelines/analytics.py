@@ -398,3 +398,35 @@ def value_histogram(ds, value_col: str, nbins: int = 20):
         })
 
     return out.map_batches(edges, batch_format="pyarrow").sort("bin")
+
+
+def dist_windows(ds, key_col: str, order_col: str, id_col: str,
+                 digits: int = 6):
+    """SQL distribution windows per group: PERCENT_RANK (=(rank−1)/
+    (n−1), 0 when n=1) and CUME_DIST (= high-rank/n), tie rows sharing
+    one value. Vectorized run-length ranking inside groupby().
+    map_groups — same partitioning assumption (one key's rows fit a
+    worker) as rank_windows, which covers the integer rank family;
+    this adds the [0,1]-normalized pair, rounded like the oracle."""
+
+    def win(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(order_col, "ascending"),
+                           (id_col, "ascending")])
+        v = np.asarray(pc.cast(g.column(order_col), pa.float64()))
+        n = len(v)
+        starts = _run_starts(v)
+        sizes = np.diff(np.r_[starts, n])
+        rank = np.repeat(starts, sizes)            # 0-based SQL RANK - 1
+        high = np.repeat(starts + sizes, sizes)    # rows <= this value
+        pr = rank / (n - 1) if n > 1 else np.zeros(n)
+        cd = high / n
+        rnd = lambda a: pc.round(pa.array(a, pa.float64()), ndigits=digits,
+                                 round_mode="half_towards_infinity")
+        return pa.table({
+            id_col: g.column(id_col),
+            key_col: g.column(key_col),
+            "pr": rnd(pr),
+            "cd": rnd(cd),
+        })
+
+    return ds.groupby(key_col).map_groups(win, batch_format="pyarrow")

@@ -10,7 +10,11 @@ import pyarrow as pa
 def _tt(ds):
     if isinstance(ds, pa.Table):
         return ds
-    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    tabs = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tabs:  # iter_batches skips 0-row blocks entirely
+        sch = ds.schema()
+        return (getattr(sch, "base_schema", None) or sch).empty_table()
+    return pa.concat_tables(tabs)
 
 
 def test_weighted_sample_matches_bruteforce(ray_session):
@@ -262,3 +266,81 @@ def test_bloom_semi_join_exact(ray_session):
                               ray.data.from_arrow(small).repartition(2),
                               "ref").sort("id"))
     assert out.column("id").to_pylist() == sorted(range(0, 1000, 37))
+
+
+def test_triangle_counts_k4(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.graph import triangle_counts
+
+    # K4 on {0..3} (4 triangles, each node in 3) + a pendant edge +
+    # duplicate and reversed edges that DISTINCT canonicalization eats
+    edges = pa.table({
+        "src": pa.array([0, 0, 0, 1, 1, 2, 4, 2, 1], pa.int64()),
+        "dst": pa.array([1, 2, 3, 2, 3, 3, 5, 0, 0], pa.int64()),
+    })
+    out = _tt(triangle_counts(ray.data.from_arrow(edges).repartition(3)))
+    assert out.to_pylist() == [{"node": n, "n_triangles": 3}
+                               for n in range(4)]
+
+
+def test_triangle_counts_no_triangles(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.graph import triangle_counts
+
+    # a path graph has wedges but no closing edges
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 3], pa.int64())})
+    out = _tt(triangle_counts(ray.data.from_arrow(edges).repartition(2)))
+    assert out.num_rows == 0
+
+
+def test_mad_outliers_spike_resistant(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import mad_outliers
+
+    # one huge spike: the MEDIAN threshold ignores its magnitude, so
+    # only the spike itself is flagged (a mean/sd rule would widen)
+    t = pa.table({
+        "g": pa.array(["a"] * 9),
+        "v": pa.array([10, 11, 12, 10, 11, 12, 10, 11, 500], pa.int64()),
+        "id": pa.array(range(9), pa.int64()),
+    })
+    out = _tt(mad_outliers(ray.data.from_arrow(t).repartition(3),
+                           "g", "v", "id", k=3.0))
+    rows = out.to_pylist()
+    assert [r["id"] for r in rows] == [8]
+    assert rows[0]["dev"] == 489  # |500 - median 11|
+
+
+def test_distinct_count_by_group(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import distinct_count_by_group
+
+    t = pa.table({"g": pa.array(["x", "x", "x", "y", "y"]),
+                  "u": pa.array([1, 1, 2, 3, 3], pa.int64())})
+    out = _tt(distinct_count_by_group(
+        ray.data.from_arrow(t).repartition(3), "g", "u"))
+    assert out.to_pylist() == [{"g": "x", "n_distinct": 2},
+                               {"g": "y", "n_distinct": 1}]
+
+
+def test_dist_windows_ties(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import dist_windows
+
+    ev = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "value": pa.array([10.0, 20.0, 20.0, 30.0, 40.0], pa.float64()),
+    })
+    out = _tt(dist_windows(ray.data.from_arrow(ev).repartition(2),
+                           "user_id", "value", "event_id")
+              .sort("event_id"))
+    # SQL ranks 1,2,2,4,5: PERCENT_RANK=(r-1)/(n-1), CUME_DIST=hi/n
+    assert [r["pr"] for r in out.to_pylist()] == [0.0, 0.25, 0.25, 0.75, 1.0]
+    assert [r["cd"] for r in out.to_pylist()] == [0.2, 0.6, 0.6, 0.8, 1.0]
