@@ -2065,6 +2065,35 @@ def _q_dist_windows(sf_dir: str):
     return dist_windows(ds, "user_id", "value", "event_id").sort("event_id")
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc Shannon character entropy (functions/textstats.py::
+    char_entropy): one utf-32 buffer + uint64 (doc, char) keys +
+    np.unique per batch — the low-entropy filler-document signal."""
+    from scrappy_ray.functions.textstats import char_entropy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return char_entropy(ds).sort("doc_id")
+
+
+def _q_partition_prune(sf_dir: str):
+    """Resumable partitioned output + partition-pruned read-back:
+    write_parquet(partition_cols=['source']) lays one directory per
+    source (a failed 100 TB run skips finished partitions; SURVEY §7
+    resumability), then the read back opens ONLY the src3 directory —
+    the other partitions never leave storage."""
+    import glob as _g
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="partition_prune_", dir="/tmp")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    docs.write_parquet(out_dir, partition_cols=["source"])
+    part = os.path.join(out_dir, "source=src3")
+    files = sorted(_g.glob(os.path.join(part, "*.parquet")))
+    return (ray.data.read_parquet(files)
+            .select_columns(["doc_id", "n_chars"]).sort("doc_id"))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2204,6 +2233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": _q_mad_outliers,
         "distinct_users": _q_distinct_users,
         "dist_windows": _q_dist_windows,
+        "char_entropy": _q_char_entropy,
+        "partition_prune": _q_partition_prune,
     }
 
 
@@ -2532,6 +2563,25 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "char_entropy": """
+            WITH c AS (
+              SELECT doc_id, ch, COUNT(*)::DOUBLE AS n
+              FROM (SELECT doc_id,
+                           UNNEST(regexp_extract_all(text, '[\\s\\S]'))
+                             AS ch
+                    FROM documents)
+              GROUP BY doc_id, ch),
+            t AS (SELECT doc_id, SUM(n) AS tot FROM c GROUP BY doc_id)
+            SELECT c.doc_id,
+                   ROUND(-SUM((c.n / t.tot) * log2(c.n / t.tot)), 6)
+                     AS entropy
+            FROM c JOIN t USING (doc_id)
+            GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        "partition_prune": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE source = 'src3' ORDER BY doc_id
         """,
         "mad_outliers": """
             WITH med AS (

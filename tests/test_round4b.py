@@ -3,6 +3,8 @@ algebra, skew-safe salted join, the dataset-statistics module,
 event-sequence analytics (sessions, transitions, histogram, cube,
 mode) and the Bloom-prefiltered semi-join."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -344,3 +346,49 @@ def test_dist_windows_ties(ray_session):
     # SQL ranks 1,2,2,4,5: PERCENT_RANK=(r-1)/(n-1), CUME_DIST=hi/n
     assert [r["pr"] for r in out.to_pylist()] == [0.0, 0.25, 0.25, 0.75, 1.0]
     assert [r["cd"] for r in out.to_pylist()] == [0.2, 0.6, 0.6, 0.8, 1.0]
+
+
+def test_char_entropy_known_values(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.textstats import char_entropy
+
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["aaaa",        # one symbol -> 0 bits
+                          "abab",        # two equiprobable -> 1 bit
+                          "abcd",        # four equiprobable -> 2 bits
+                          "aé\né",       # unicode + newline counted
+                          ""]),          # empty: no distribution, no row
+    })
+    out = _tt(char_entropy(ray.data.from_arrow(t).repartition(3))
+              .sort("doc_id"))
+    rows = {r["doc_id"]: r["entropy"] for r in out.to_pylist()}
+    assert rows[0] == 0.0
+    assert rows[1] == 1.0
+    assert rows[2] == 2.0
+    # "aé\né": counts a=1, é=2, \n=1 over 4 -> 1.5 bits
+    assert abs(rows[3] - 1.5) < 1e-9
+    assert 4 not in rows
+
+
+def test_partitioned_write_prunes(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "source": pa.array(["a", "b", "a", "b", "c", "a"]),
+        "v": pa.array(range(6), pa.int64()),
+    })
+    out = str(tmp_path / "parts")
+    ray.data.from_arrow(t).repartition(2).write_parquet(
+        out, partition_cols=["source"])
+    # one directory per partition -> a resumable run can skip finished ones
+    assert sorted(os.path.basename(p) for p in glob.glob(out + "/source=*")) \
+        == ["source=a", "source=b", "source=c"]
+    back = _tt(ray.data.read_parquet(
+        sorted(glob.glob(out + "/source=a/*.parquet")))
+        .select_columns(["doc_id", "v"]).sort("doc_id"))
+    assert back.column("doc_id").to_pylist() == [0, 2, 5]
