@@ -257,7 +257,10 @@ def main():
                  "corpus_clean", "heavy_hitters", "substr_dedup", "semantic_dedup",
                  "quality_classify", "pack_sequences", "shuffle_det",
                  "warc_roundtrip", "pagerank", "bpe_tokens",
-                 "fuzzy_join", "collocations", "anchor_texts", "mirror_sources"):
+                 "fuzzy_join", "collocations", "anchor_texts", "mirror_sources",
+                 "weighted_sample", "session_ids", "value_histogram",
+                 "graph_triangles", "bloom_semi_join", "char_entropy",
+                 "group_corr", "mad_outliers"):
         t = time.perf_counter()
         _consume(E.queries()[name](SF_DIR))
         queries[name] = round(time.perf_counter() - t, 3)
