@@ -32,6 +32,12 @@ FAST_QUERIES = [
     "ipc_roundtrip",
     "rank_windows", "rollup_orders", "funnel", "retention",
     "events_resample", "unpivot_events",
+    "weighted_sample", "source_overlap", "salted_join", "profile_table",
+    "group_corr", "group_outliers",
+    "session_ids", "event_transitions", "value_histogram", "cube_orders",
+    "mode_event_type", "bloom_semi_join",
+    "graph_triangles", "mad_outliers", "distinct_users", "dist_windows",
+    "char_entropy", "partition_prune",
 ]
 
 
