@@ -2094,6 +2094,30 @@ def _q_partition_prune(sf_dir: str):
             .select_columns(["doc_id", "n_chars"]).sort("doc_id"))
 
 
+def _q_hopping_windows(sf_dir: str):
+    """Overlapping 2h-window / 1h-hop aggregate (pipelines/
+    analytics.py::hopping_windows): vectorized in-batch fan-out +
+    partial (window, n, cents) aggregates — O(windows × blocks)
+    shuffle, no range join."""
+    from scrappy_ray.pipelines.analytics import hopping_windows
+
+    H = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    return hopping_windows(ds, "ts", "value", window_us=2 * H, hop_us=H)
+
+
+def _q_first_last(sf_dir: str):
+    """Join-free ARG_MIN/ARG_MAX per user (pipelines/relational.py::
+    first_last_per_group): each block ships 2 rows per (group, block);
+    the (ts, event_id) tiebreaker makes first/last total-ordered."""
+    from scrappy_ray.pipelines.relational import first_last_per_group
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return first_last_per_group(ds, "user_id", ["ts", "event_id"],
+                                "event_type").sort("user_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2235,6 +2259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dist_windows": _q_dist_windows,
         "char_entropy": _q_char_entropy,
         "partition_prune": _q_partition_prune,
+        "hopping_windows": _q_hopping_windows,
+        "first_last": _q_first_last,
     }
 
 
@@ -2563,6 +2589,33 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "hopping_windows": """
+            WITH b AS (
+              SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value
+              FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL '1 hour', ts)
+                       - INTERVAL '1 hour', value
+              FROM events)
+            SELECT w AS window_start, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                     AS sum_value
+            FROM b GROUP BY w ORDER BY w
+        """,
+        "first_last": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn_a,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn_d
+              FROM events)
+            SELECT user_id,
+                   MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_v,
+                   MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_v
+            FROM o GROUP BY user_id ORDER BY user_id
         """,
         "char_entropy": """
             WITH c AS (

@@ -430,3 +430,49 @@ def dist_windows(ds, key_col: str, order_col: str, id_col: str,
         })
 
     return ds.groupby(key_col).map_groups(win, batch_format="pyarrow")
+
+
+def hopping_windows(events_ds, ts_col: str, value_col: str,
+                    window_us: int, hop_us: int, scale: int = 2):
+    """Overlapping (hopping) time windows — the streaming aggregate
+    tumbling resample can't express: window length ``window_us``
+    advancing every ``hop_us`` (window_us must be a multiple of
+    hop_us). Each event lands in window_us/hop_us windows; the fan-out
+    happens inside map_batches as vectorized bucket arithmetic (no
+    range join, no shuffle of raw rows) and per-block partial (window,
+    count, exact-cents sum) aggregates bound the shuffle to
+    O(windows × blocks)."""
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    fanout = window_us // hop_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch.column(ts_col), pa.int64()))
+        c = np.asarray(_cents(batch.column(value_col), scale))
+        base = (ts // hop_us) * hop_us
+        parts = []
+        for i in range(fanout):
+            parts.append(pa.table({
+                "window_start": pa.array(base - i * hop_us, pa.int64()),
+                "one": pa.array(np.ones(len(ts), np.int64)),
+                "c": pa.array(c),
+            }))
+        t = pa.concat_tables(parts)
+        g = t.group_by(["window_start"]).aggregate(
+            [("one", "sum"), ("c", "sum")])
+        return g.rename_columns(["window_start", "n", "s"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.cast(batch.column("window_start"),
+                                    pa.timestamp("us")),
+            "n": pc.cast(batch.column("sum(n)"), pa.int64()),
+            "sum_value": pc.divide(
+                pc.cast(batch.column("sum(s)"), pa.float64()),
+                float(10 ** scale)),
+        })
+
+    return (events_ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("window_start").sum(["n", "s"])
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort("window_start"))

@@ -520,3 +520,36 @@ def bloom_semi_join(big_ds, big_key: str, small_ds, small_key: str,
     # semi-join (each survivor matches at most one key row)
     return survivors.join(keys_ds, join_type="inner",
                           num_partitions=num_partitions, on=(big_key,))
+
+
+def first_last_per_group(ds, group_col: str, order_cols: list[str],
+                         value_col: str):
+    """Join-free ARG_MIN/ARG_MAX: per group, the ``value_col`` of the
+    first and of the last row under the (order_cols) total order. Each
+    block contributes only its own first+last row per group (2 rows per
+    (group, block) cross the shuffle — never the events), and the same
+    cut runs once more per group in map_groups. The order must be a
+    TOTAL order (include an id tiebreaker) or first/last is undefined."""
+    keys = [(c, "ascending") for c in order_cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by([(group_col, "ascending")] + keys)
+        g = t.column(group_col)
+        codes = np.asarray(pc.dictionary_encode(
+            g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        ).indices)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)] - 1
+        take = np.unique(np.concatenate([starts, ends]))
+        return t.take(pa.array(take, pa.int64()))
+
+    def cut(group: pa.Table) -> pa.Table:
+        g = group.sort_by(keys)
+        return pa.table({
+            group_col: g.column(group_col).slice(0, 1),
+            "first_v": g.column(value_col).slice(0, 1),
+            "last_v": g.column(value_col).slice(g.num_rows - 1, 1),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(cut, batch_format="pyarrow"))

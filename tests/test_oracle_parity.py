@@ -37,7 +37,7 @@ FAST_QUERIES = [
     "session_ids", "event_transitions", "value_histogram", "cube_orders",
     "mode_event_type", "bloom_semi_join",
     "graph_triangles", "mad_outliers", "distinct_users", "dist_windows",
-    "char_entropy", "partition_prune",
+    "char_entropy", "partition_prune", "hopping_windows", "first_last",
 ]
 
 

@@ -392,3 +392,37 @@ def test_partitioned_write_prunes(ray_session, tmp_path):
         sorted(glob.glob(out + "/source=a/*.parquet")))
         .select_columns(["doc_id", "v"]).sort("doc_id"))
     assert back.column("doc_id").to_pylist() == [0, 2, 5]
+
+
+def test_hopping_windows_overlap(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import hopping_windows
+
+    H = 3600 * 1_000_000
+    ev = pa.table({
+        "ts": pa.array([0, H // 2, H, H + 1, 3 * H], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+    })
+    out = _tt(hopping_windows(ray.data.from_arrow(ev).repartition(2),
+                              "ts", "value", window_us=2 * H, hop_us=H))
+    # each event lands in 2 windows (2h window, 1h hop)
+    assert [(r["n"], r["sum_value"]) for r in out.to_pylist()] == [
+        (2, 3.0), (4, 15.0), (2, 12.0), (1, 16.0), (1, 16.0)]
+
+
+def test_first_last_per_group_total_order(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import first_last_per_group
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([5, 1, 3, 9, 2], pa.int64()),
+        "id": pa.array(range(5), pa.int64()),
+        "t": pa.array(["c", "a", "b", "z", "y"]),
+    })
+    out = _tt(first_last_per_group(ray.data.from_arrow(t).repartition(3),
+                                   "u", ["ts", "id"], "t").sort("u"))
+    assert out.to_pylist() == [{"u": 1, "first_v": "a", "last_v": "c"},
+                               {"u": 2, "first_v": "y", "last_v": "z"}]
