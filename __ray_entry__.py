@@ -2118,6 +2118,28 @@ def _q_first_last(sf_dir: str):
                                 "event_type").sort("user_id")
 
 
+def _q_group_summary(sf_dir: str):
+    """Per-source summary stats (functions/stats.py::group_summary):
+    exact int64 moments + min/max in one partial pass, float math once
+    in oracle operation order."""
+    from scrappy_ray.functions.stats import group_summary
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return group_summary(ds, "source", "n_chars", digits=6)
+
+
+def _q_weighted_mean(sf_dir: str):
+    """Quantity-weighted mean discount per returnflag (functions/
+    stats.py::weighted_mean): exact fixed-point Σ(w·x)/Σw — the
+    drift-free distributed weighted average."""
+    from scrappy_ray.functions.stats import weighted_mean
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_discount", "l_quantity"])
+    return weighted_mean(ds, "l_returnflag", "l_discount", "l_quantity",
+                         value_scale=4, weight_scale=2, digits=6)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2261,6 +2283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_prune": _q_partition_prune,
         "hopping_windows": _q_hopping_windows,
         "first_last": _q_first_last,
+        "group_summary": _q_group_summary,
+        "weighted_mean": _q_weighted_mean,
     }
 
 
@@ -2589,6 +2613,29 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "group_summary": """
+            WITH m AS (
+              SELECT source, COUNT(*) AS n, SUM(n_chars) AS sx,
+                     SUM(n_chars * n_chars) AS sxx,
+                     MIN(n_chars) AS min_v, MAX(n_chars) AS max_v
+              FROM documents GROUP BY source)
+            SELECT source, n, min_v, max_v,
+                   ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_v,
+                   ROUND(SQRT((CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * sx / n)
+                              / (n - 1)), 6) AS sd_v
+            FROM m ORDER BY source
+        """,
+        "weighted_mean": """
+            SELECT l_returnflag,
+                   ROUND((SUM(W * X)::DOUBLE / SUM(W)) / 10000.0, 6)
+                     AS wavg
+            FROM (SELECT l_returnflag,
+                         CAST(ROUND(l_quantity * 100) AS BIGINT) AS W,
+                         CAST(ROUND(l_discount * 10000) AS BIGINT) AS X
+                  FROM lineitem)
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "hopping_windows": """
             WITH b AS (

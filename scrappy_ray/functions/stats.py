@@ -351,3 +351,92 @@ def distinct_count_by_group(ds, group_col: str, value_col: str):
             .map_batches(lambda t: t.rename_columns(
                 [group_col, "n_distinct"]), batch_format="pyarrow")
             .sort(group_col))
+
+
+# ------------------------------------------------------------ group summary
+
+
+def group_summary(ds, group_col: str, value_col: str, digits: int = 6):
+    """One-pass per-group summary (n, min, max, mean, sample sd) over
+    an integer column: per-batch exact int64 (n, Σx, Σx², min, max)
+    partials, one O(groups) shuffle, the float math once on the
+    aggregated table in oracle operation order (the same moment
+    discipline as group_corr/group_outliers)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(value_col), pa.int64())
+        t = pa.table({
+            group_col: batch.column(group_col),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "sx": x, "sxx": pc.multiply(x, x), "mn": x, "mx": x,
+        })
+        g = t.group_by([group_col]).aggregate(
+            [("one", "sum"), ("sx", "sum"), ("sxx", "sum"),
+             ("mn", "min"), ("mx", "max")])
+        return g.rename_columns([group_col, "n", "sx", "sxx", "mn", "mx"])
+
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = _to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col).aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"), Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"))
+    )
+    n = np.asarray(agg.column("n"), dtype=np.int64)
+    sx = np.asarray(agg.column("sx"), dtype=np.int64)
+    sxx = np.asarray(agg.column("sxx"), dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = sx.astype(np.float64) / n
+        var = np.where(
+            n > 1,
+            (sxx.astype(np.float64) - sx.astype(np.float64) * sx / n)
+            / np.maximum(n - 1, 1), np.nan)
+        sd = np.where(var > 0, np.sqrt(var), np.nan)
+    return pa.table({
+        group_col: agg.column(group_col),
+        "n": pa.array(n, pa.int64()),
+        "min_v": agg.column("mn"),
+        "max_v": agg.column("mx"),
+        "mean_v": _round_half_away(pa.array(mean, pa.float64()), digits),
+        "sd_v": _round_half_away(
+            pa.array(sd, pa.float64(), mask=np.isnan(sd)), digits),
+    }).sort_by([(group_col, "ascending")])
+
+
+def weighted_mean(ds, group_col: str, value_col: str, weight_col: str,
+                  value_scale: int = 4, weight_scale: int = 2,
+                  digits: int = 6):
+    """Per-group weighted mean Σ(w·x)/Σw on EXACT fixed-point integers:
+    values and weights quantize to int64 (round half away, the SQL
+    ROUND), the products and sums stay integral (order-free), and the
+    one float division happens on the O(groups) table — a distributed
+    weighted average that can never drift from the oracle."""
+    vs, ws = float(10 ** value_scale), float(10 ** weight_scale)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column(value_col), pa.float64()), vs),
+            round_mode="half_towards_infinity"), pa.int64())
+        w = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column(weight_col), pa.float64()), ws),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({group_col: batch.column(group_col),
+                      "wx": pc.multiply(w, x), "w": w})
+        g = t.group_by([group_col]).aggregate([("wx", "sum"), ("w", "sum")])
+        return g.rename_columns([group_col, "wx", "w"])
+
+    agg = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                    .groupby(group_col).sum(["wx", "w"])
+                    ).rename_columns([group_col, "wx", "w"])
+    wx = np.asarray(agg.column("wx"), dtype=np.int64)
+    w = np.asarray(agg.column("w"), dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = (wx.astype(np.float64) / w) / vs
+    return pa.table({
+        group_col: agg.column(group_col),
+        "wavg": _round_half_away(
+            pa.array(m, pa.float64(), mask=~(w > 0)), digits),
+    }).sort_by([(group_col, "ascending")])

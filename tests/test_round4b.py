@@ -426,3 +426,37 @@ def test_first_last_per_group_total_order(ray_session):
                                    "u", ["ts", "id"], "t").sort("u"))
     assert out.to_pylist() == [{"u": 1, "first_v": "a", "last_v": "c"},
                                {"u": 2, "first_v": "y", "last_v": "z"}]
+
+
+def test_group_summary_moments(ray_session):
+    import math
+
+    import ray.data
+
+    from scrappy_ray.functions.stats import group_summary
+
+    t = pa.table({"g": pa.array(["a"] * 4 + ["b"] * 2),
+                  "v": pa.array([1, 2, 3, 4, 7, 7], pa.int64())})
+    out = group_summary(ray.data.from_arrow(t).repartition(3), "g", "v")
+    rows = {r["g"]: r for r in out.to_pylist()}
+    assert rows["a"] == {"g": "a", "n": 4, "min_v": 1, "max_v": 4,
+                         "mean_v": 2.5,
+                         "sd_v": round(math.sqrt(5 / 3), 6)}
+    assert rows["b"]["sd_v"] is None  # zero variance -> null, not 0/NaN
+
+
+def test_weighted_mean_exact(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import weighted_mean
+
+    t = pa.table({
+        "g": pa.array(["x", "x", "y"]),
+        "val": pa.array([0.10, 0.20, 0.05], pa.float64()),
+        "wt": pa.array([1.0, 3.0, 2.0], pa.float64()),
+    })
+    out = weighted_mean(ray.data.from_arrow(t).repartition(2),
+                        "g", "val", "wt")
+    # (1*0.1 + 3*0.2)/4 = 0.175 exactly (fixed-point, no float drift)
+    assert out.to_pylist() == [{"g": "x", "wavg": 0.175},
+                               {"g": "y", "wavg": 0.05}]
