@@ -2140,6 +2140,25 @@ def _q_weighted_mean(sf_dir: str):
                          value_scale=4, weight_scale=2, digits=6)
 
 
+def _q_embedding_norms(sf_dir: str):
+    """Per-vector L2 norms (functions/similarity.py::embedding_norms):
+    1e-6-quantized int64 squares so the row sums are exact — numpy
+    pairwise vs SQL sequential float summation can't diverge."""
+    from scrappy_ray.functions.similarity import embedding_norms
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_norms(ds).sort("vec_id")
+
+
+def _q_calendar_profile(sf_dir: str):
+    """Event load calendar (pipelines/analytics.py::calendar_profile):
+    (dow, hour) counts from one shared epoch-arithmetic formula —
+    O(168 × blocks) shuffle."""
+    from scrappy_ray.pipelines.analytics import calendar_profile
+
+    return calendar_profile(_read(sf_dir, "events", columns=["ts"]))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2285,6 +2304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last": _q_first_last,
         "group_summary": _q_group_summary,
         "weighted_mean": _q_weighted_mean,
+        "embedding_norms": _q_embedding_norms,
+        "calendar_profile": _q_calendar_profile,
     }
 
 
@@ -2613,6 +2634,24 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   ROUND(SQRT(CAST(list_sum(list_transform(embedding,
+                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                     AS BIGINT)
+                                * CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                       AS BIGINT))) AS DOUBLE))
+                         / 1000000.0, 6) AS l2_norm
+            FROM embeddings ORDER BY vec_id
+        """,
+        "calendar_profile": """
+            SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                     AS dow,
+                   CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                     AS hour,
+                   COUNT(*)::BIGINT AS n
+            FROM events GROUP BY dow, hour ORDER BY dow, hour
         """,
         "group_summary": """
             WITH m AS (

@@ -360,3 +360,45 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 5, vec_col="embedding", id_col="v
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+def embedding_norms(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                    digits: int = 6, quant: int = 1_000_000):
+    """Per-vector L2 norm — the embedding-hygiene check (zero /
+    exploded vectors break cosine ops downstream). Components QUANTIZE
+    to int64 (round half away at 1e-6) before squaring, so the per-row
+    sum is exact integer arithmetic: numpy's pairwise summation and an
+    engine's sequential list_sum would otherwise disagree in the last
+    ulp on plain floats. One streaming pass over the flattened Arrow
+    list buffer (offsets + reduceat — no per-row Python)."""
+
+    def norms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64) * quant
+        q = (np.sign(flat) * np.floor(np.abs(flat) + 0.5)).astype(np.int64)
+        # offsets from lengths, not col.offsets: a sliced ListArray's
+        # raw offsets don't start at 0 while flatten() compacts
+        lens = np.asarray(pc.fill_null(pc.list_value_length(col), 0),
+                          dtype=np.int64)
+        starts = np.r_[0, np.cumsum(lens)][:-1]
+        sq = q * q
+        if len(sq):
+            # reduceat rejects start == len (trailing empty rows): clip,
+            # then zero the empty rows the clip mis-reads
+            sums = np.add.reduceat(sq, np.minimum(starts, len(sq) - 1))
+        else:
+            sums = np.zeros(batch.num_rows, np.int64)
+        sums = np.where(lens == 0, 0, sums)
+        norm = np.sqrt(sums.astype(np.float64)) / quant
+        return pa.table({
+            id_col: batch.column(id_col),
+            "l2_norm": pc.round(pa.array(norm, pa.float64()),
+                                ndigits=digits,
+                                round_mode="half_towards_infinity"),
+        })
+
+    return ds.map_batches(norms, batch_format="pyarrow")

@@ -476,3 +476,28 @@ def hopping_windows(events_ds, ts_col: str, value_col: str,
             .groupby("window_start").sum(["n", "s"])
             .map_batches(finalize, batch_format="pyarrow")
             .sort("window_start"))
+
+
+def calendar_profile(events_ds, ts_col: str = "ts"):
+    """Event counts by (day-of-week, hour) — the load-calendar heatmap.
+    dow/hour derive ARITHMETICALLY from the epoch (Sunday=0 via the
+    +4-day Thursday offset) so both engines share one integer formula
+    instead of two libraries' calendar conventions; per-batch partial
+    counts bound the shuffle to O(168 × blocks)."""
+    DAY_US, HOUR_US = 86_400_000_000, 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch.column(ts_col), pa.int64()))
+        t = pa.table({
+            "dow": pa.array((ts // DAY_US + 4) % 7, pa.int64()),
+            "hour": pa.array((ts // HOUR_US) % 24, pa.int64()),
+            "one": pa.array(np.ones(len(ts), np.int64)),
+        })
+        g = t.group_by(["dow", "hour"]).aggregate([("one", "sum")])
+        return g.rename_columns(["dow", "hour", "n"])
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["dow", "hour"]).sum("n")
+            .map_batches(lambda t: t.rename_columns(["dow", "hour", "n"]),
+                         batch_format="pyarrow")
+            .sort(["dow", "hour"]))

@@ -38,7 +38,7 @@ FAST_QUERIES = [
     "mode_event_type", "bloom_semi_join",
     "graph_triangles", "mad_outliers", "distinct_users", "dist_windows",
     "char_entropy", "partition_prune", "hopping_windows", "first_last",
-    "group_summary", "weighted_mean",
+    "group_summary", "weighted_mean", "embedding_norms", "calendar_profile",
 ]
 
 

@@ -460,3 +460,39 @@ def test_weighted_mean_exact(ray_session):
     # (1*0.1 + 3*0.2)/4 = 0.175 exactly (fixed-point, no float drift)
     assert out.to_pylist() == [{"g": "x", "wavg": 0.175},
                                {"g": "y", "wavg": 0.05}]
+
+
+def test_embedding_norms_exact(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.similarity import embedding_norms
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[3.0, 4.0], [0.0, 0.0], []],
+                              pa.list_(pa.float32())),
+    })
+    out = _tt(embedding_norms(ray.data.from_arrow(t).repartition(2))
+              .sort("vec_id"))
+    rows = {r["vec_id"]: r["l2_norm"] for r in out.to_pylist()}
+    assert rows[0] == 5.0
+    assert rows[1] == 0.0
+    assert rows[2] == 0.0  # empty vector: norm 0, not a reduceat artifact
+
+
+def test_calendar_profile_epoch_arithmetic(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import calendar_profile
+
+    DAY, HOUR = 86_400_000_000, 3_600_000_000
+    # 1970-01-01 was a Thursday (dow 4 with Sunday=0)
+    ev = pa.table({"ts": pa.array(
+        [0, HOUR, 3 * DAY + 5 * HOUR, 3 * DAY + 5 * HOUR + 1],
+        pa.timestamp("us"))})
+    out = _tt(calendar_profile(ray.data.from_arrow(ev).repartition(2)))
+    assert out.to_pylist() == [
+        {"dow": 0, "hour": 5, "n": 2},   # Thu+3 = Sunday
+        {"dow": 4, "hour": 0, "n": 1},
+        {"dow": 4, "hour": 1, "n": 1},
+    ]
