@@ -2159,6 +2159,36 @@ def _q_calendar_profile(sf_dir: str):
     return calendar_profile(_read(sf_dir, "events", columns=["ts"]))
 
 
+def _q_type_token_ratio(sf_dir: str):
+    """Per-doc lexical diversity (functions/textstats.py::
+    type_token_ratio): dictionary-encode + uint64 (doc, code) keys +
+    one np.unique per batch."""
+    from scrappy_ray.functions.textstats import type_token_ratio
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return type_token_ratio(ds).sort("doc_id")
+
+
+def _q_vocab_by_source(sf_dir: str):
+    """Exact vocabulary size per source (functions/webtext.py::
+    vocab_by_source): block-side deduped (source, token) pairs over
+    the exploded token stream."""
+    from scrappy_ray.functions.webtext import vocab_by_source
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return vocab_by_source(ds)
+
+
+def _q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise source vocabulary Jaccard (functions/webtext.py::
+    source_vocab_jaccard): distinct-pair self-join on token, final
+    math on the O(sources²) table."""
+    from scrappy_ray.functions.webtext import source_vocab_jaccard
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return source_vocab_jaccard(ds)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2306,6 +2336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_mean": _q_weighted_mean,
         "embedding_norms": _q_embedding_norms,
         "calendar_profile": _q_calendar_profile,
+        "type_token_ratio": _q_type_token_ratio,
+        "vocab_by_source": _q_vocab_by_source,
+        "source_vocab_jaccard": _q_source_vocab_jaccard,
     }
 
 
@@ -2634,6 +2667,39 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "type_token_ratio": """
+            SELECT doc_id,
+                   LEN(string_split(text, ' '))::BIGINT AS n_tokens,
+                   LEN(list_distinct(string_split(text, ' ')))::BIGINT
+                     AS n_types,
+                   ROUND(LEN(list_distinct(string_split(text, ' ')))::DOUBLE
+                         / LEN(string_split(text, ' ')), 6) AS ttr
+            FROM documents ORDER BY doc_id
+        """,
+        "vocab_by_source": """
+            SELECT source, COUNT(DISTINCT token)::BIGINT AS n_distinct
+            FROM (SELECT source, UNNEST(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY source ORDER BY source
+        """,
+        "source_vocab_jaccard": """
+            WITH p AS (
+              SELECT DISTINCT source, token
+              FROM (SELECT source, UNNEST(string_split(text, ' '))
+                      AS token FROM documents)),
+            s AS (SELECT source, COUNT(*) AS sz FROM p GROUP BY source),
+            i AS (SELECT a.source AS src_a, b.source AS src_b,
+                         COUNT(*) AS n_common
+                  FROM p a JOIN p b
+                    ON a.token = b.token AND a.source < b.source
+                  GROUP BY a.source, b.source)
+            SELECT i.src_a, i.src_b, i.n_common::BIGINT AS n_common,
+                   ROUND(i.n_common::DOUBLE
+                         / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+            FROM i JOIN s sa ON sa.source = i.src_a
+                   JOIN s sb ON sb.source = i.src_b
+            ORDER BY src_a, src_b
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -594,3 +594,39 @@ def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id",
         return out
 
     return ds.map_batches(ent, batch_format="pyarrow")
+
+
+def type_token_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
+                     digits: int = 6):
+    """Per-document type-token ratio (distinct tokens / tokens) — the
+    classic lexical-diversity signal; near-zero TTR marks repeated-
+    phrase spam. Vectorized like char_entropy: tokens dictionary-encode
+    once per batch, (doc, token-code) pairs fold into uint64 keys, one
+    np.unique counts the types — no per-row Python."""
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column(text_col),
+                                        pa.string()), " ")
+        lens = np.asarray(pc.fill_null(pc.list_value_length(toks), 0),
+                          dtype=np.int64)
+        flat = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        codes = np.asarray(pc.dictionary_encode(flat.flatten()).indices,
+                           dtype=np.uint64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.uint64), lens)
+        keys = (doc_of << np.uint64(32)) | codes
+        uniq = np.unique(keys)
+        docs = (uniq >> np.uint64(32)).astype(np.int64)
+        types = np.bincount(docs, minlength=len(lens)).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = types / lens
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_types": pa.array(types, pa.int64()),
+            "ttr": pc.round(pa.array(r, pa.float64(), mask=lens == 0),
+                            ndigits=digits,
+                            round_mode="half_towards_infinity"),
+        })
+
+    return ds.map_batches(ttr, batch_format="pyarrow")

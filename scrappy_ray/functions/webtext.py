@@ -763,3 +763,110 @@ def source_overlap(ds, source_a: str, source_b: str,
         })
 
     return flags.map_batches(op_of, batch_format="pyarrow")
+
+
+def vocab_by_source(ds, text_col: str = "text", source_col: str = "source"):
+    """Exact vocabulary size per source: per-block deduped
+    (source, token) pairs (the distinct_count_by_group discipline over
+    an EXPLODED token stream — the shuffle moves distinct pairs per
+    block, never the token stream itself), then two hash aggregates."""
+    from .stats import distinct_count_by_group
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column(text_col),
+                                        pa.string()), " ")
+        lens = pc.fill_null(pc.list_value_length(toks), 0)
+        flat = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        src = pc.cast(batch.column(source_col), pa.string())
+        t = pa.table({
+            "source": pa.array(np.repeat(
+                np.asarray(src, dtype=object),
+                np.asarray(lens, dtype=np.int64)), pa.string()),
+            "token": flat.flatten(),
+        })
+        # block-side dedup before anything crosses the wire
+        return t.group_by(["source", "token"]).aggregate([])
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    return distinct_count_by_group(pairs, "source", "token")
+
+
+def source_vocab_jaccard(ds, text_col: str = "text",
+                         source_col: str = "source", digits: int = 6):
+    """Vocabulary Jaccard similarity between every PAIR of sources —
+    the corpus-audit view of near-mirror hosts. Distinct
+    (source, token) pairs SELF-JOIN on token for the intersections (one
+    distributed hash join — output O(Σ per-token source-count²),
+    bounded because sources ≪ tokens; a token shared by all S sources
+    fans out S², not corpus-sized); per-source vocab sizes come from
+    the same pair table; the final |A∩B| / (|A|+|B|−|A∩B|) runs on the
+    O(sources²) table."""
+    from ..pipelines.analytics import _to_table
+    from .stats import distinct_count_by_group
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column(text_col),
+                                        pa.string()), " ")
+        lens = pc.fill_null(pc.list_value_length(toks), 0)
+        flat = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        src = pc.cast(batch.column(source_col), pa.string())
+        t = pa.table({
+            "source": pa.array(np.repeat(
+                np.asarray(src, dtype=object),
+                np.asarray(lens, dtype=np.int64)), pa.string()),
+            "token": flat.flatten(),
+        })
+        return t.group_by(["source", "token"]).aggregate([])
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby(["source", "token"]).count()
+             .drop_columns(["count()"])
+             .materialize())  # feeds sizes AND the self-join
+
+    sizes_t = _to_table(distinct_count_by_group(pairs, "source", "token"))
+    size_of = {sizes_t.column("source")[i].as_py():
+               sizes_t.column("n_distinct")[i].as_py()
+               for i in range(sizes_t.num_rows)}
+
+    from ..common import drop_empty_blocks
+
+    def ren_a(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["src_a", "token"])
+
+    def ren_b(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["src_b", "token"])
+
+    joined = drop_empty_blocks(
+        pairs.map_batches(ren_a, batch_format="pyarrow")).join(
+        drop_empty_blocks(pairs.map_batches(ren_b, batch_format="pyarrow")),
+        "inner", 8, on=("token",))
+
+    def keep_ordered(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("src_a"),
+                                    batch.column("src_b")))
+
+    inter = _to_table(
+        joined.map_batches(keep_ordered, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"]).count())
+    if inter.num_rows == 0:
+        return pa.table({"src_a": pa.array([], pa.string()),
+                         "src_b": pa.array([], pa.string()),
+                         "n_common": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    inter = inter.rename_columns(["src_a", "src_b", "n_common"])
+    a = inter.column("src_a").to_pylist()
+    b = inter.column("src_b").to_pylist()
+    common = np.asarray(inter.column("n_common"), dtype=np.int64)
+    union = np.array([size_of[x] for x in a], np.int64) + \
+        np.array([size_of[x] for x in b], np.int64) - common
+    jac = pc.round(pa.array(common / union.astype(np.float64),
+                            pa.float64()),
+                   ndigits=digits, round_mode="half_towards_infinity")
+    return pa.table({
+        "src_a": inter.column("src_a"),
+        "src_b": inter.column("src_b"),
+        "n_common": pa.array(common, pa.int64()),
+        "jaccard": jac,
+    }).sort_by([("src_a", "ascending"), ("src_b", "ascending")])

@@ -39,6 +39,7 @@ FAST_QUERIES = [
     "graph_triangles", "mad_outliers", "distinct_users", "dist_windows",
     "char_entropy", "partition_prune", "hopping_windows", "first_last",
     "group_summary", "weighted_mean", "embedding_norms", "calendar_profile",
+    "type_token_ratio", "vocab_by_source", "source_vocab_jaccard",
 ]
 
 

@@ -496,3 +496,40 @@ def test_calendar_profile_epoch_arithmetic(ray_session):
         {"dow": 4, "hour": 0, "n": 1},
         {"dow": 4, "hour": 1, "n": 1},
     ]
+
+
+def test_type_token_ratio(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.textstats import type_token_ratio
+
+    docs = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(["a b a b", "x y z w", "q q q q"]),
+    })
+    out = _tt(type_token_ratio(ray.data.from_arrow(docs).repartition(2))
+              .sort("doc_id"))
+    assert [r["ttr"] for r in out.to_pylist()] == [0.5, 1.0, 0.25]
+    assert [r["n_types"] for r in out.to_pylist()] == [2, 4, 1]
+
+
+def test_vocab_and_jaccard_by_source(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import (source_vocab_jaccard,
+                                               vocab_by_source)
+
+    docs = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(["a b c", "b c d", "x y"]),
+        "source": pa.array(["s1", "s2", "s3"]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    v = _tt(vocab_by_source(ds))
+    assert v.to_pylist() == [{"source": "s1", "n_distinct": 3},
+                             {"source": "s2", "n_distinct": 3},
+                             {"source": "s3", "n_distinct": 2}]
+    j = source_vocab_jaccard(ds)
+    # s1={a,b,c} vs s2={b,c,d}: 2 common / 4 union; s3 disjoint -> no row
+    assert j.to_pylist() == [{"src_a": "s1", "src_b": "s2",
+                              "n_common": 2, "jaccard": 0.5}]
