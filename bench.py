@@ -419,29 +419,47 @@ def scaling_main():
             # An explicit SCALING_WORKLOADS overrides rep0 too (dist-only
             # runs keep every attempt short).
             wl = os.environ.get("SCALING_WORKLOADS") or ("full" if rep == 0 else "dist")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one-scale", str(n)],
-                capture_output=True,
-                text=True,
-                env={
-                    **os.environ,
-                    "RAY_GRAFT_CPUS": str(n),
-                    "SCALING_WORKLOADS": wl,
-                    # cap BLAS/OpenMP pools in the driver process too (set
-                    # before numpy import, hence via the child env)
-                    "OMP_NUM_THREADS": str(n),
-                    "OPENBLAS_NUM_THREADS": str(n),
-                    "MKL_NUM_THREADS": str(n),
-                },
-                timeout=3600,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            attempts_by_n[n].append(json.loads(line))
+            # a child that lands in a deep steal window can exceed the
+            # timeout (measured: a 2-CPU dist+control attempt normally
+            # ~8 min ran 56 min on 2026-08-19) — losing ONE attempt must
+            # not destroy every attempt already collected, so timeouts
+            # and unparsable child output skip the attempt, loudly.
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one-scale", str(n)],
+                    capture_output=True,
+                    text=True,
+                    env={
+                        **os.environ,
+                        "RAY_GRAFT_CPUS": str(n),
+                        "SCALING_WORKLOADS": wl,
+                        # cap BLAS/OpenMP pools in the driver process too (set
+                        # before numpy import, hence via the child env)
+                        "OMP_NUM_THREADS": str(n),
+                        "OPENBLAS_NUM_THREADS": str(n),
+                        "MKL_NUM_THREADS": str(n),
+                    },
+                    timeout=int(os.environ.get("SCALING_CHILD_TIMEOUT", "5400")),
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                attempts_by_n[n].append(json.loads(line))
+            except subprocess.TimeoutExpired:
+                print(f"scaling: rep {rep} @ {n} cpus timed out, skipped",
+                      file=sys.stderr)
+            except (IndexError, json.JSONDecodeError):
+                print(f"scaling: rep {rep} @ {n} cpus produced no JSON "
+                      f"(stderr tail: {out.stderr[-500:]!r}), skipped",
+                      file=sys.stderr)
 
     def _median(xs):
         xs = sorted(xs)
         m = len(xs) // 2
         return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    for n in pair:
+        if not attempts_by_n[n]:
+            print(json.dumps({"error": f"no successful attempt at {n} cpus"}))
+            sys.exit(1)
 
     results = []
     for n in pair:
