@@ -2189,6 +2189,17 @@ def _q_source_vocab_jaccard(sf_dir: str):
     return source_vocab_jaccard(ds)
 
 
+def _q_global_rank(sf_dir: str):
+    """Distributed global ROW_NUMBER + uniform quantile transform
+    (pipelines/relational.py::global_rank): O(distinct values) driver
+    prefix-sum, per-value-group local ranks — zipWithIndex without a
+    global sort materialization."""
+    from scrappy_ray.pipelines.relational import global_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", "doc_id").sort("doc_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2339,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,
         "vocab_by_source": _q_vocab_by_source,
         "source_vocab_jaccard": _q_source_vocab_jaccard,
+        "global_rank": _q_global_rank,
     }
 
 
@@ -2667,6 +2679,15 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "global_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS rn,
+                   ROUND((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                          - 1)
+                         / (COUNT(*) OVER () - 1.0), 6) AS qnorm
+            FROM documents ORDER BY doc_id
         """,
         "type_token_ratio": """
             SELECT doc_id,

@@ -553,3 +553,42 @@ def first_last_per_group(ds, group_col: str, order_cols: list[str],
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col).map_groups(cut, batch_format="pyarrow"))
+
+
+def global_rank(ds, value_col: str, id_col: str, digits: int = 6):
+    """Distributed global ROW_NUMBER over (value, id) — the
+    zipWithIndex primitive Ray Data lacks — plus the uniform quantile
+    transform (rank−1)/(n−1). No global sort materialization: a tiny
+    groupby(value).count() gives per-VALUE offsets, the driver
+    prefix-sums that O(distinct values) table (the pack_sequences
+    bucket discipline), and each value-group ranks its own rows by id
+    inside map_groups against its broadcast offset. Works at any row
+    count whose VALUE cardinality fits the driver — for a continuous
+    column quantize first (sketch.value_buckets shares the trick)."""
+    from .analytics import _to_table
+
+    counts = _to_table(ds.groupby(value_col).count())
+    order = np.argsort(np.asarray(pc.cast(counts.column(value_col),
+                                          pa.int64()), dtype=np.int64),
+                       kind="stable")
+    vals = np.asarray(pc.cast(counts.column(value_col), pa.int64()),
+                      dtype=np.int64)[order]
+    ns = np.asarray(counts.column(1), dtype=np.int64)[order]
+    offsets = np.r_[0, np.cumsum(ns)][:-1]  # rows before each value
+    total = int(ns.sum())
+
+    def rank(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_col, "ascending")])
+        v = int(pc.cast(g.column(value_col), pa.int64())[0].as_py())
+        base = int(offsets[np.searchsorted(vals, v)])
+        rn = base + 1 + np.arange(g.num_rows, dtype=np.int64)
+        q = (rn - 1) / (total - 1) if total > 1 else np.zeros(g.num_rows)
+        return pa.table({
+            id_col: g.column(id_col),
+            value_col: g.column(value_col),
+            "rn": pa.array(rn, pa.int64()),
+            "qnorm": pc.round(pa.array(q, pa.float64()), ndigits=digits,
+                              round_mode="half_towards_infinity"),
+        })
+
+    return ds.groupby(value_col).map_groups(rank, batch_format="pyarrow")

@@ -533,3 +533,19 @@ def test_vocab_and_jaccard_by_source(ray_session):
     # s1={a,b,c} vs s2={b,c,d}: 2 common / 4 union; s3 disjoint -> no row
     assert j.to_pylist() == [{"src_a": "s1", "src_b": "s2",
                               "n_common": 2, "jaccard": 0.5}]
+
+
+def test_global_rank_dense_and_quantile(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import global_rank
+
+    t = pa.table({
+        "id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "v": pa.array([30, 10, 20, 10, 30], pa.int64()),
+    })
+    out = _tt(global_rank(ray.data.from_arrow(t).repartition(3),
+                          "v", "id").sort("id"))
+    # (v, id) total order: (10,11)=1 (10,13)=2 (20,12)=3 (30,10)=4 (30,14)=5
+    assert [r["rn"] for r in out.to_pylist()] == [4, 1, 3, 2, 5]
+    assert [r["qnorm"] for r in out.to_pylist()] == [0.75, 0.0, 0.5, 0.25, 1.0]
