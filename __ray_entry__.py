@@ -2200,6 +2200,34 @@ def _q_global_rank(sf_dir: str):
     return global_rank(ds, "n_chars", "doc_id").sort("doc_id")
 
 
+def _q_user_growth(sf_dir: str):
+    """Cumulative-distinct user growth (pipelines/analytics.py::
+    user_growth): first-seen day per user via one min aggregate, then
+    an O(days) driver cumsum — never a per-day distinct over prefixes."""
+    from scrappy_ray.pipelines.analytics import user_growth
+
+    return user_growth(_read(sf_dir, "events",
+                             columns=["user_id", "ts"]))
+
+
+def _q_longest_session(sf_dir: str):
+    """Longest session per user — a composition: session_ids assigns
+    per-event sessions, a count aggregate sizes them, and
+    top_k_per_group cuts the max (ties -> lowest session id)."""
+    from scrappy_ray.pipelines.analytics import session_ids
+    from scrappy_ray.pipelines.relational import top_k_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    sized = (session_ids(ds)
+             .groupby(["user_id", "session_id"]).count()
+             .map_batches(lambda t: t.rename_columns(
+                 ["user_id", "session_id", "n_events"]),
+                 batch_format="pyarrow"))
+    return top_k_per_group(sized, "user_id", key="n_events", k=1,
+                           descending=True,
+                           tiebreak="session_id").sort("user_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2351,6 +2379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_by_source": _q_vocab_by_source,
         "source_vocab_jaccard": _q_source_vocab_jaccard,
         "global_rank": _q_global_rank,
+        "user_growth": _q_user_growth,
+        "longest_session": _q_longest_session,
     }
 
 
@@ -2679,6 +2709,43 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "user_growth": """
+            WITH f AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts) // 86400000000) AS day
+              FROM events GROUP BY user_id),
+            c AS (SELECT day, COUNT(*)::BIGINT AS new_users
+                  FROM f GROUP BY day)
+            SELECT CAST(day AS BIGINT) AS day, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM c ORDER BY day
+        """,
+        "longest_session": """
+            WITH s AS (
+              SELECT event_id, user_id,
+                     SUM(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev)
+                                 > 1800000000
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM (SELECT event_id, user_id, ts,
+                           LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+                    FROM events)),
+            c AS (SELECT user_id, CAST(session_id AS BIGINT)
+                           AS session_id,
+                         COUNT(*)::BIGINT AS n_events
+                  FROM s GROUP BY user_id, session_id),
+            r AS (SELECT user_id, session_id, n_events,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY n_events DESC,
+                                                     session_id) AS rn
+                  FROM c)
+            SELECT user_id, session_id, n_events FROM r WHERE rn = 1
+            ORDER BY user_id
         """,
         "global_rank": """
             SELECT doc_id, n_chars,

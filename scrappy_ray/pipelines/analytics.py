@@ -501,3 +501,45 @@ def calendar_profile(events_ds, ts_col: str = "ts"):
             .map_batches(lambda t: t.rename_columns(["dow", "hour", "n"]),
                          batch_format="pyarrow")
             .sort(["dow", "hour"]))
+
+
+def user_growth(events_ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Cumulative-distinct growth accounting: per day, how many users
+    appear for the FIRST time and how many have been seen so far. The
+    cumulative-distinct window (naively a per-day distinct over an
+    ever-growing prefix) reduces to one groupby: each user's first-day
+    (per-block partial mins, then a min aggregate), per-day new-user
+    counts, and an O(days) driver-side cumsum. Day is the epoch-floor
+    index (shared integer formula with calendar_profile)."""
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            user_col: batch.column(user_col),
+            "d": pa.array(np.asarray(pc.cast(batch.column(ts_col),
+                                             pa.int64())) // DAY_US,
+                          pa.int64()),
+        })
+        g = t.group_by([user_col]).aggregate([("d", "min")])
+        return g.rename_columns([user_col, "d"])
+
+    firsts = (events_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(user_col).min("d"))
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch.column("min(d)"),
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["day"]).aggregate([("one", "sum")])
+        return g.rename_columns(["day", "new_users"])
+
+    per_day = _to_table(firsts.map_batches(day_counts,
+                                           batch_format="pyarrow")
+                        .groupby("day").sum("new_users"))
+    per_day = per_day.rename_columns(["day", "new_users"]).sort_by(
+        [("day", "ascending")])
+    new = np.asarray(per_day.column("new_users"), dtype=np.int64)
+    return pa.table({
+        "day": pc.cast(per_day.column("day"), pa.int64()),
+        "new_users": pa.array(new, pa.int64()),
+        "cum_users": pa.array(np.cumsum(new), pa.int64()),
+    })

@@ -549,3 +549,22 @@ def test_global_rank_dense_and_quantile(ray_session):
     # (v, id) total order: (10,11)=1 (10,13)=2 (20,12)=3 (30,10)=4 (30,14)=5
     assert [r["rn"] for r in out.to_pylist()] == [4, 1, 3, 2, 5]
     assert [r["qnorm"] for r in out.to_pylist()] == [0.75, 0.0, 0.5, 0.25, 1.0]
+
+
+def test_user_growth_cumulative(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import user_growth
+
+    DAY = 86_400_000_000
+    ev = pa.table({
+        "user_id": pa.array([1, 2, 1, 3, 2, 4], pa.int64()),
+        "ts": pa.array([0, 0, DAY, DAY, 2 * DAY, 2 * DAY],
+                       pa.timestamp("us")),
+    })
+    out = user_growth(ray.data.from_arrow(ev).repartition(3))
+    assert out.to_pylist() == [
+        {"day": 0, "new_users": 2, "cum_users": 2},
+        {"day": 1, "new_users": 1, "cum_users": 3},   # user 1 returns
+        {"day": 2, "new_users": 1, "cum_users": 4},   # user 2 returns
+    ]
