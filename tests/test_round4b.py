@@ -568,3 +568,23 @@ def test_user_growth_cumulative(ray_session):
         {"day": 1, "new_users": 1, "cum_users": 3},   # user 1 returns
         {"day": 2, "new_users": 1, "cum_users": 4},   # user 2 returns
     ]
+
+
+def test_profile_table_approx_distinct(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import profile_table
+
+    n = 5000
+    t = pa.table({
+        "pk": pa.array(range(n), pa.int64()),          # all distinct
+        "cat": pa.array([f"c{i % 7}" for i in range(n)]),
+    })
+    out = profile_table(ray.data.from_arrow(t).repartition(4),
+                        ["pk", "cat"], approx=True)
+    rows = {r["col_name"]: r for r in out.to_pylist()}
+    # HLL p=12: ~1.6% expected error; allow 5%
+    assert abs(rows["pk"]["n_distinct"] - n) / n < 0.05
+    assert rows["cat"]["n_distinct"] == 7  # small sets are near-exact
+    # the non-distinct fields are unchanged by the approx path
+    assert rows["pk"]["n_rows"] == n and rows["pk"]["min_v"] == "0"
