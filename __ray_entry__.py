@@ -2228,6 +2228,29 @@ def _q_longest_session(sf_dir: str):
                            tiebreak="session_id").sort("user_id")
 
 
+def _q_daily_quantiles(sf_dir: str):
+    """Quantile bands over time — p50/p95 of value per epoch-day
+    (composition: a day-bucket map + relational.group_quantiles).
+    The time-series twin of value_quantiles."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.relational import group_quantiles
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({
+            "day": pc.divide(ts, DAY_US),
+            "value": batch.column("value"),
+        })
+
+    return group_quantiles(ds.map_batches(day_of, batch_format="pyarrow"),
+                           "day", "value", [0.5, 0.95],
+                           digits=4).sort("day")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2381,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": _q_global_rank,
         "user_growth": _q_user_growth,
         "longest_session": _q_longest_session,
+        "daily_quantiles": _q_daily_quantiles,
     }
 
 
@@ -2709,6 +2733,15 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "daily_quantiles": """
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   round(percentile_disc(0.5)
+                         WITHIN GROUP (ORDER BY value), 4) AS p50,
+                   round(percentile_disc(0.95)
+                         WITHIN GROUP (ORDER BY value), 4) AS p95,
+                   COUNT(*)::BIGINT AS n
+            FROM events GROUP BY day ORDER BY day
         """,
         "user_growth": """
             WITH f AS (

@@ -40,7 +40,7 @@ FAST_QUERIES = [
     "char_entropy", "partition_prune", "hopping_windows", "first_last",
     "group_summary", "weighted_mean", "embedding_norms", "calendar_profile",
     "type_token_ratio", "vocab_by_source", "source_vocab_jaccard",
-    "global_rank", "user_growth", "longest_session",
+    "global_rank", "user_growth", "longest_session", "daily_quantiles",
 ]
 
 
