@@ -404,8 +404,47 @@ def reciprocity_table(edges, src: str = "src", dst: str = "dst",
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _triangles_local(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Driver-side triangle counting over canonical (a < b) distinct
+    edges: degree-oriented neighbor lists + one np.intersect1d per
+    edge — O(E·d̄·log d̄), no Ray jobs. Same output as the distributed
+    path (parity-tested)."""
+    nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ca, cb = codes[: len(a)], codes[len(a):]
+    deg = np.bincount(codes, minlength=len(nodes))
+    # orient low (deg, id) -> high; node codes are id-ordered already
+    key = deg.astype(np.int64) * (len(nodes) + 1) + np.arange(len(nodes))
+    a_low = key[ca] <= key[cb]
+    u = np.where(a_low, ca, cb)
+    v = np.where(a_low, cb, ca)
+    order = np.argsort(u, kind="stable")
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    ends = np.r_[starts[1:], len(u)]
+    nbr = {int(u[s]): np.sort(v[s:e]) for s, e in zip(starts, ends)}
+    tri = np.zeros(len(nodes), np.int64)
+    for x, ys in nbr.items():
+        for y in ys:
+            common = np.intersect1d(ys, nbr.get(int(y), _EMPTY_I64),
+                                    assume_unique=True)
+            if len(common):
+                tri[x] += len(common)
+                tri[int(y)] += len(common)
+                np.add.at(tri, common, 1)
+    hit = tri > 0
+    return pa.table({
+        "node": pa.array(nodes[hit], pa.int64()),
+        "n_triangles": pa.array(tri[hit], pa.int64()),
+    })
+
+
+_EMPTY_I64 = np.zeros(0, np.int64)
+
+
 def triangle_counts(edges, src: str = "src", dst: str = "dst",
-                    num_partitions: int = 8):
+                    num_partitions: int = 8,
+                    small_graph_threshold: int = 1_000_000,
+                    force_distributed: bool = False):
     """Per-node triangle participation counts over the UNDIRECTED
     distinct edge set — the classic cohesion / link-farm density
     signal. Output ``(node, n_triangles)`` for every node in ≥1
@@ -434,6 +473,22 @@ def triangle_counts(edges, src: str = "src", dst: str = "dst",
     und = (edges.map_batches(canon, batch_format="pyarrow")
            .groupby(["a", "b"]).count().drop_columns(["count()"])
            .materialize())  # feeds degrees, orientation and the close join
+
+    if not force_distributed and und.count() <= small_graph_threshold:
+        # toy/medium graphs: the three distributed joins cost ~9 s of
+        # per-job overhead on a 13k-edge graph (measured, bench r4s4)
+        # that one driver-side pass replaces — the pagerank local-path
+        # precedent; the distinct edge set is small by the gate
+        import pyarrow as _pa
+
+        t = _pa.concat_tables(list(und.iter_batches(batch_format="pyarrow")))
+        if t.num_rows == 0:
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "n_triangles": pa.array([], pa.int64())}))
+        return ray.data.from_arrow(_triangles_local(
+            np.asarray(pc.cast(t.column("a"), pa.int64()), dtype=np.int64),
+            np.asarray(pc.cast(t.column("b"), pa.int64()), dtype=np.int64)))
 
     def endpoints(batch: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays([

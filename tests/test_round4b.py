@@ -588,3 +588,30 @@ def test_profile_table_approx_distinct(ray_session):
     assert rows["cat"]["n_distinct"] == 7  # small sets are near-exact
     # the non-distinct fields are unchanged by the approx path
     assert rows["pk"]["n_rows"] == n and rows["pk"]["min_v"] == "0"
+
+
+def test_triangle_counts_local_equals_distributed(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.graph import triangle_counts
+
+    # pseudo-random-ish deterministic graph + a planted K5 (10 triangles)
+    n = 60
+    src, dst = [], []
+    for i in range(n):
+        src += [i, i]
+        dst += [(i * 7 + 3) % n, (i * 13 + 5) % n]
+        if i % 4 == 0:
+            src.append(i)
+            dst.append((i + 1) % n)
+    for x in range(5):
+        for y in range(x + 1, 5):
+            src.append(x)
+            dst.append(y)
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+    ds = ray.data.from_arrow(edges).repartition(4)
+    local = _tt(triangle_counts(ds))  # gate: local path
+    dist = _tt(triangle_counts(ds, force_distributed=True))
+    assert local.to_pylist() == dist.to_pylist()
+    assert local.num_rows > 0  # the graph actually has triangles
