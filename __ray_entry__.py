@@ -2251,6 +2251,108 @@ def _q_daily_quantiles(sf_dir: str):
                            digits=4).sort("day")
 
 
+def _q_type_cooccurrence(sf_dir: str):
+    """Unordered event-type co-occurrence per user (pipelines/
+    analytics.py::type_cooccurrence): distinct-pair self-join on user,
+    fanout ≤ types² per user."""
+    from scrappy_ray.pipelines.analytics import type_cooccurrence
+
+    return type_cooccurrence(_read(sf_dir, "events",
+                                   columns=["user_id", "event_type"]))
+
+
+def _q_rfm_customers(sf_dir: str):
+    """RFM segmentation inputs per customer: most recent order day
+    (epoch-day), order count, exact-cents monetary total — one
+    partial-aggregated groupby over orders."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _cents
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "d": pc.divide(pc.cast(batch.column("o_orderdate"),
+                                   pa.int64()), DAY_US),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "c": _cents(batch.column("o_totalprice"), 2),
+        })
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("d", "max"), ("one", "sum"), ("c", "sum")])
+        return g.rename_columns(["o_custkey", "last_day", "n_orders",
+                                 "cents"])
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Max("last_day", alias_name="last_day"),
+                      Sum("n_orders", alias_name="n_orders"),
+                      Sum("cents", alias_name="cents")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "last_day": pc.cast(batch.column("last_day"), pa.int64()),
+            "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+            "total_spend": pc.divide(
+                pc.cast(batch.column("cents"), pa.float64()), 100.0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "o_custkey")
+
+
+def _q_dup_rate_by_source(sf_dir: str):
+    """Duplication audit per source: docs vs distinct content keys,
+    dup_ratio = 1 − distinct/docs — per-block deduped pairs + two hash
+    aggregates (the distinct_count_by_group discipline over the shared
+    md5-prefix fingerprint)."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.dedup import _md5_col
+    from scrappy_ray.functions.stats import distinct_count_by_group
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column("text"), pa.string()),
+                                " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, 8), " ")
+        return pa.table({
+            "source": batch.column("source"),
+            "content_key": _md5_col(prefix.to_pylist()),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    counts = _to_table(keyed_ds.groupby("source").count()).rename_columns(
+        ["source", "n_docs"])
+    distinct = _to_table(distinct_count_by_group(keyed_ds, "source",
+                                                 "content_key"))
+    n_by = {counts.column("source")[i].as_py():
+            counts.column("n_docs")[i].as_py()
+            for i in range(counts.num_rows)}
+    src = sorted(n_by)
+    nd = {distinct.column("source")[i].as_py():
+          distinct.column("n_distinct")[i].as_py()
+          for i in range(distinct.num_rows)}
+    n = np.array([n_by[s] for s in src], np.int64)
+    d = np.array([nd[s] for s in src], np.int64)
+    return pa.table({
+        "source": pa.array(src, pa.string()),
+        "n_docs": pa.array(n, pa.int64()),
+        "n_distinct": pa.array(d, pa.int64()),
+        "dup_ratio": pc.round(
+            pa.array(1.0 - d / n, pa.float64()), ndigits=6,
+            round_mode="half_towards_infinity"),
+    })
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2405,6 +2507,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth": _q_user_growth,
         "longest_session": _q_longest_session,
         "daily_quantiles": _q_daily_quantiles,
+        "type_cooccurrence": _q_type_cooccurrence,
+        "rfm_customers": _q_rfm_customers,
+        "dup_rate_by_source": _q_dup_rate_by_source,
     }
 
 
@@ -2733,6 +2838,35 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "type_cooccurrence": """
+            WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*)::BIGINT AS n_users
+            FROM p a JOIN p b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY type_a, type_b ORDER BY type_a, type_b
+        """,
+        "rfm_customers": """
+            SELECT o_custkey,
+                   CAST(MAX(epoch_us(o_orderdate) // 86400000000)
+                        AS BIGINT) AS last_day,
+                   COUNT(*)::BIGINT AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS total_spend
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "dup_rate_by_source": """
+            WITH k AS (
+              SELECT source,
+                     md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS content_key
+              FROM documents)
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT content_key)::BIGINT AS n_distinct,
+                   ROUND(1.0 - COUNT(DISTINCT content_key) / COUNT(*), 6)
+                     AS dup_ratio
+            FROM k GROUP BY source ORDER BY source
         """,
         "daily_quantiles": """
             SELECT epoch_us(ts) // 86400000000 AS day,

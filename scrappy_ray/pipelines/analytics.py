@@ -543,3 +543,41 @@ def user_growth(events_ds, user_col: str = "user_id", ts_col: str = "ts"):
         "new_users": pa.array(new, pa.int64()),
         "cum_users": pa.array(np.cumsum(new), pa.int64()),
     })
+
+
+def type_cooccurrence(events_ds, user_col: str = "user_id",
+                      type_col: str = "event_type"):
+    """How often two event types co-occur within one user's history —
+    the unordered companion of event_transitions. Distinct
+    (user, type) pairs (block-side deduped), one self-join on user
+    (fanout ≤ types² per user, never events²), ordered pair filter,
+    one count aggregate."""
+    from ..common import drop_empty_blocks
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({user_col: batch.column(user_col),
+                      type_col: pc.cast(batch.column(type_col),
+                                        pa.string())})
+        return t.group_by([user_col, type_col]).aggregate([])
+
+    dedup = (events_ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby([user_col, type_col]).count()
+             .drop_columns(["count()"])
+             .materialize())
+
+    a = dedup.map_batches(lambda t: t.rename_columns([user_col, "type_a"]),
+                          batch_format="pyarrow")
+    b = dedup.map_batches(lambda t: t.rename_columns([user_col, "type_b"]),
+                          batch_format="pyarrow")
+    joined = drop_empty_blocks(a).join(drop_empty_blocks(b), "inner", 8,
+                                       on=(user_col,))
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("type_a"),
+                                    batch.column("type_b")))
+
+    return (joined.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["type_a", "type_b"]).count()
+            .map_batches(lambda t: t.rename_columns(
+                ["type_a", "type_b", "n_users"]), batch_format="pyarrow")
+            .sort(["type_a", "type_b"]))

@@ -615,3 +615,20 @@ def test_triangle_counts_local_equals_distributed(ray_session):
     dist = _tt(triangle_counts(ds, force_distributed=True))
     assert local.to_pylist() == dist.to_pylist()
     assert local.num_rows > 0  # the graph actually has triangles
+
+
+def test_type_cooccurrence_pairs(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import type_cooccurrence
+
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "c", "a"]),
+    })
+    out = _tt(type_cooccurrence(ray.data.from_arrow(ev).repartition(3)))
+    # user1 {a,b}, user2 {a,c}, user3 {a}: pairs (a,b)=1, (a,c)=1
+    assert out.to_pylist() == [
+        {"type_a": "a", "type_b": "b", "n_users": 1},
+        {"type_a": "a", "type_b": "c", "n_users": 1},
+    ]
