@@ -2353,6 +2353,16 @@ def _q_dup_rate_by_source(sf_dir: str):
     })
 
 
+def _q_late_events(sf_dir: str):
+    """Per-user event-time watermark flags (pipelines/analytics.py::
+    late_events): running-max accumulate per arrival order; late =
+    watermark already passed the event's own time."""
+    from scrappy_ray.pipelines.analytics import late_events
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return late_events(ds).sort("event_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2510,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cooccurrence": _q_type_cooccurrence,
         "rfm_customers": _q_rfm_customers,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "late_events": _q_late_events,
     }
 
 
@@ -2838,6 +2849,18 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "late_events": """
+            SELECT event_id, user_id,
+                   CASE WHEN COALESCE(
+                          MAX(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                          -4611686018427387904) - 1800000000
+                        > epoch_us(ts)
+                        THEN 1 ELSE 0 END AS is_late
+            FROM events ORDER BY event_id
         """,
         "type_cooccurrence": """
             WITH p AS (SELECT DISTINCT user_id, event_type FROM events)

@@ -581,3 +581,35 @@ def type_cooccurrence(events_ds, user_col: str = "user_id",
             .map_batches(lambda t: t.rename_columns(
                 ["type_a", "type_b", "n_users"]), batch_format="pyarrow")
             .sort(["type_a", "type_b"]))
+
+
+def late_events(events_ds, user_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id",
+                lateness_us: int = 1_800_000_000):
+    """Event-time watermark / late-data flagging — the streaming
+    semantics a batch engine expresses per key: within each user's
+    ARRIVAL order (the id column), the watermark is the running max
+    event time seen so far minus the allowed lateness; an event whose
+    own timestamp has already been passed by the watermark is late
+    (its window was closed when it arrived). One vectorized
+    maximum.accumulate per group — the per-key decomposition is what
+    makes watermarks shardable at 100 TB; a global watermark would be
+    a single sequential scan."""
+
+    def flag(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_col, "ascending")])
+        ts = np.asarray(pc.cast(g.column(ts_col), pa.int64()))
+        if len(ts) == 0:
+            prev_max = ts
+        else:
+            run = np.maximum.accumulate(ts)
+            prev_max = np.r_[np.int64(-(1 << 62)), run[:-1]]  # exclusive
+        late = (prev_max - lateness_us) > ts
+        return pa.table({
+            id_col: g.column(id_col),
+            user_col: g.column(user_col),
+            "is_late": pa.array(late.astype(np.int64), pa.int64()),
+        })
+
+    return events_ds.groupby(user_col).map_groups(
+        flag, batch_format="pyarrow")

@@ -632,3 +632,23 @@ def test_type_cooccurrence_pairs(ray_session):
         {"type_a": "a", "type_b": "b", "n_users": 1},
         {"type_a": "a", "type_b": "c", "n_users": 1},
     ]
+
+
+def test_late_events_watermark(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import late_events
+
+    US = 1_000_000
+    # arrival order = event_id; event 3 arrives carrying a timestamp
+    # 40 min older than the watermark (max seen 3600s - 1800s) -> late;
+    # event 4 is only 10 min behind the max -> on time
+    ev = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "ts": pa.array([s * US for s in [0, 3600, 1200, 600, 3000]],
+                       pa.timestamp("us")),
+    })
+    out = _tt(late_events(ray.data.from_arrow(ev).repartition(2))
+              .sort("event_id"))
+    assert out.column("is_late").to_pylist() == [0, 0, 1, 1, 0]
