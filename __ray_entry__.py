@@ -2363,6 +2363,16 @@ def _q_late_events(sf_dir: str):
     return late_events(ds).sort("event_id")
 
 
+def _q_json_field_stats(sf_dir: str):
+    """Per-type aggregate of the JSON props field (pipelines/
+    analytics.py::json_field_stats): vectorized RE2 extract, exact
+    int64 sums, no per-row json.loads."""
+    from scrappy_ray.pipelines.analytics import json_field_stats
+
+    return json_field_stats(_read(sf_dir, "events",
+                                  columns=["event_type", "props"]))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2521,6 +2531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_customers": _q_rfm_customers,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "late_events": _q_late_events,
+        "json_field_stats": _q_json_field_stats,
     }
 
 
@@ -2849,6 +2860,19 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "json_field_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS v
+              FROM events)
+            SELECT event_type, COUNT(*)::BIGINT AS n,
+                   SUM(COALESCE(v, 0))::BIGINT AS sum_v,
+                   SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_missing,
+                   ROUND(CAST(SUM(COALESCE(v, 0)) AS DOUBLE) / COUNT(*), 6)
+                     AS mean_v
+            FROM e GROUP BY event_type ORDER BY event_type
         """,
         "late_events": """
             SELECT event_id, user_id,

@@ -652,3 +652,20 @@ def test_late_events_watermark(ray_session):
     out = _tt(late_events(ray.data.from_arrow(ev).repartition(2))
               .sort("event_id"))
     assert out.column("is_late").to_pylist() == [0, 0, 1, 1, 0]
+
+
+def test_json_field_stats_missing_field(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import json_field_stats
+
+    ev = pa.table({
+        "event_type": pa.array(["a", "a", "b", "b"]),
+        "props": pa.array(['{"k": 5}', '{"k": -2}', '{"other": 1}',
+                           '{"k": 10}']),
+    })
+    out = json_field_stats(ray.data.from_arrow(ev).repartition(2))
+    rows = {r["event_type"]: r for r in out.to_pylist()}
+    assert rows["a"] == {"event_type": "a", "n": 2, "sum_v": 3,
+                         "n_missing": 0, "mean_v": 1.5}
+    assert rows["b"]["n_missing"] == 1 and rows["b"]["sum_v"] == 10
