@@ -2373,6 +2373,26 @@ def _q_json_field_stats(sf_dir: str):
                                   columns=["event_type", "props"]))
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding mean/variance (functions/similarity.py::
+    embedding_dim_stats): quantized-exact int64 moments per dimension —
+    the embedding-drift monitor."""
+    from scrappy_ray.functions.similarity import embedding_dim_stats
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_dim_stats(ds, dims=64)
+
+
+def _q_chi_square(sf_dir: str):
+    """Chi-square contingency audit over (source, lang) (functions/
+    stats.py::chi_square_cells): observed vs independence-expected per
+    cell, one O(cells) shuffle."""
+    from scrappy_ray.functions.stats import chi_square_cells
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    return chi_square_cells(ds, "source", "lang")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2532,6 +2552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "late_events": _q_late_events,
         "json_field_stats": _q_json_field_stats,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "chi_square": _q_chi_square,
     }
 
 
@@ -2860,6 +2882,43 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "embedding_dim_stats": """
+            WITH q AS (
+              SELECT i,
+                     CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS v
+              FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+            m AS (SELECT i, COUNT(*) AS n, SUM(v) AS sx,
+                         SUM(v * v) AS sxx
+                  FROM q GROUP BY i)
+            SELECT CAST(i AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+                   ROUND((CAST(sx AS DOUBLE) / n) / 1000000.0, 6)
+                     AS mean_v,
+                   ROUND(((CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                         / (1000000.0 * 1000000.0), 6) AS var_v
+            FROM m ORDER BY dim
+        """,
+        "chi_square": """
+            WITH o AS (SELECT source, lang, COUNT(*)::BIGINT AS obs
+                       FROM documents GROUP BY source, lang),
+            grid AS (SELECT r.source, c.lang, COALESCE(o.obs, 0) AS obs
+                     FROM (SELECT DISTINCT source FROM o) r
+                     CROSS JOIN (SELECT DISTINCT lang FROM o) c
+                     LEFT JOIN o ON o.source = r.source
+                                AND o.lang = c.lang),
+            r AS (SELECT source, SUM(obs) AS rt FROM grid GROUP BY source),
+            c AS (SELECT lang, SUM(obs) AS ct FROM grid GROUP BY lang),
+            n AS (SELECT SUM(obs) AS tot FROM grid),
+            e AS (SELECT g.source, g.lang, g.obs,
+                         CAST(r.rt AS DOUBLE) * c.ct / n.tot AS exp
+                  FROM grid g, r, c, n
+                  WHERE r.source = g.source AND c.lang = g.lang)
+            SELECT source, lang, CAST(obs AS BIGINT) AS obs,
+                   ROUND(exp, 6) AS expected,
+                   ROUND((obs - exp) * (obs - exp) / exp, 6) AS contrib
+            FROM e ORDER BY source, lang
         """,
         "json_field_stats": """
             WITH e AS (

@@ -402,3 +402,51 @@ def embedding_norms(ds, emb_col: str = "embedding", id_col: str = "vec_id",
         })
 
     return ds.map_batches(norms, batch_format="pyarrow")
+
+
+def embedding_dim_stats(ds, emb_col: str = "embedding", dims: int = 64,
+                        digits: int = 6, quant: int = 1_000_000):
+    """Per-dimension mean and sample variance across the whole
+    embedding table — the drift monitor for an embedding pipeline (a
+    dimension whose variance collapses or mean wanders flags a model /
+    preprocessing change). Components quantize to int64 (the
+    embedding_norms discipline) so the per-dimension (n, Σq, Σq²)
+    partial sums are exact and order-free; the shuffle carries one
+    O(dims) row set per block and the float math runs once."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64) * quant
+        q = (np.sign(flat) * np.floor(np.abs(flat) + 0.5)).astype(np.int64)
+        m = q.reshape(-1, dims)
+        return pa.table({
+            "dim": pa.array(np.arange(1, dims + 1, dtype=np.int64)),
+            "n": pa.array(np.full(dims, m.shape[0], np.int64)),
+            "sx": pa.array(m.sum(axis=0)),
+            "sxx": pa.array((m * m).sum(axis=0)),
+        })
+
+    from ..pipelines.analytics import _to_table
+
+    agg = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                    .groupby("dim").sum(["n", "sx", "sxx"])
+                    ).rename_columns(["dim", "n", "sx", "sxx"])
+    n = np.asarray(agg.column("n"), dtype=np.int64)
+    sx = np.asarray(agg.column("sx"), dtype=np.int64)
+    sxx = np.asarray(agg.column("sxx"), dtype=np.int64)
+    qf = float(quant)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = (sx.astype(np.float64) / n) / qf
+        var = ((sxx.astype(np.float64) - sx.astype(np.float64) * sx / n)
+               / np.maximum(n - 1, 1)) / (qf * qf)
+    rnd = lambda a: pc.round(pa.array(a, pa.float64()), ndigits=digits,
+                             round_mode="half_towards_infinity")
+    return pa.table({
+        "dim": agg.column("dim"),
+        "n": pa.array(n, pa.int64()),
+        "mean_v": rnd(mean),
+        "var_v": rnd(var),
+    }).sort_by([("dim", "ascending")])

@@ -475,3 +475,54 @@ def weighted_mean(ds, group_col: str, value_col: str, weight_col: str,
         "wavg": _round_half_away(
             pa.array(m, pa.float64(), mask=~(w > 0)), digits),
     }).sort_by([(group_col, "ascending")])
+
+
+# ----------------------------------------------------------- chi-square
+
+
+def chi_square_cells(ds, row_col: str, col_col: str, digits: int = 6):
+    """Chi-square contingency audit over two categorical columns: per
+    cell the observed count, the independence-expected count
+    (row_total × col_total / n), and the (O−E)²/E contribution — the
+    drift test for 'did the source mix change per language'. One
+    partial-aggregated count shuffle to an O(cells) table; margins and
+    the float math run driver-side on that tiny table in oracle
+    operation order."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({row_col: batch.column(row_col),
+                      col_col: batch.column(col_col)})
+        g = t.group_by([row_col, col_col]).aggregate([([], "count_all")])
+        return g.rename_columns([row_col, col_col, "obs"])
+
+    cells = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                      .groupby([row_col, col_col]).sum("obs")
+                      ).rename_columns([row_col, col_col, "obs"])
+    r = np.asarray(cells.column(row_col).to_pylist(), dtype=object)
+    c = np.asarray(cells.column(col_col).to_pylist(), dtype=object)
+    sparse = np.asarray(cells.column("obs"), dtype=np.int64)
+    tot = int(sparse.sum())
+    rkeys, ridx = np.unique(r, return_inverse=True)
+    ckeys, cidx = np.unique(c, return_inverse=True)
+    # DENSIFY to the full keys × keys grid: a zero-observed cell still
+    # contributes E to the statistic (the fully-dependent case would
+    # otherwise read half its true chi²)
+    grid = np.zeros((len(rkeys), len(ckeys)), np.int64)
+    grid[ridx, cidx] = sparse
+    rt = grid.sum(axis=1)
+    ct = grid.sum(axis=0)
+    ri, ci = np.meshgrid(np.arange(len(rkeys)), np.arange(len(ckeys)),
+                         indexing="ij")
+    ri, ci = ri.ravel(), ci.ravel()
+    obs = grid[ri, ci]
+    e = rt[ri].astype(np.float64) * ct[ci] / tot
+    d = obs - e
+    contrib = d * d / e
+    return pa.table({
+        row_col: pa.array(rkeys[ri], pa.string()),
+        col_col: pa.array(ckeys[ci], pa.string()),
+        "obs": pa.array(obs, pa.int64()),
+        "expected": _round_half_away(pa.array(e, pa.float64()), digits),
+        "contrib": _round_half_away(pa.array(contrib, pa.float64()),
+                                    digits),
+    })

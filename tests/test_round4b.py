@@ -669,3 +669,38 @@ def test_json_field_stats_missing_field(ray_session):
     assert rows["a"] == {"event_type": "a", "n": 2, "sum_v": 3,
                          "n_missing": 0, "mean_v": 1.5}
     assert rows["b"]["n_missing"] == 1 and rows["b"]["sum_v"] == 10
+
+
+def test_embedding_dim_stats_known(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.similarity import embedding_dim_stats
+
+    t = pa.table({
+        "embedding": pa.array([[1.0, 0.0], [3.0, 0.0], [5.0, 0.0]],
+                              pa.list_(pa.float32())),
+    })
+    out = embedding_dim_stats(ray.data.from_arrow(t).repartition(2),
+                              dims=2)
+    rows = {r["dim"]: r for r in out.to_pylist()}
+    assert rows[1]["mean_v"] == 3.0 and rows[1]["var_v"] == 4.0
+    assert rows[2]["mean_v"] == 0.0 and rows[2]["var_v"] == 0.0
+
+
+def test_chi_square_independent_vs_skewed(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import chi_square_cells
+
+    # perfectly independent 2x2 -> every contribution 0
+    t = pa.table({"r": pa.array(["a"] * 4 + ["b"] * 4),
+                  "c": pa.array(["x", "x", "y", "y"] * 2)})
+    out = chi_square_cells(ray.data.from_arrow(t).repartition(3), "r", "c")
+    assert all(r["contrib"] == 0.0 for r in out.to_pylist())
+    assert all(r["expected"] == 2.0 for r in out.to_pylist())
+    # fully dependent -> large contributions
+    t2 = pa.table({"r": pa.array(["a"] * 4 + ["b"] * 4),
+                   "c": pa.array(["x"] * 4 + ["y"] * 4)})
+    out2 = chi_square_cells(ray.data.from_arrow(t2).repartition(3),
+                            "r", "c")
+    assert sum(r["contrib"] for r in out2.to_pylist()) == 8.0  # = n
