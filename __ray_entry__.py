@@ -2393,6 +2393,80 @@ def _q_chi_square(sf_dir: str):
     return chi_square_cells(ds, "source", "lang")
 
 
+def _q_daily_change(sf_dir: str):
+    """Day-over-day event-count change per type: O(types × days)
+    partial counts, then a per-type LAG inside map_groups (composition
+    of the analytics primitives)."""
+    import pyarrow.compute as pc
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                             DAY_US),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"]).sum("n")
+              .map_batches(lambda t: t.rename_columns(
+                  ["event_type", "day", "n"]), batch_format="pyarrow"))
+
+    def lagged(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("day", "ascending")])
+        n = np.asarray(pc.cast(g.column("n"), pa.int64()))
+        prev = np.r_[np.int64(-1), n[:-1]]
+        have = prev >= 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chg = (n - prev) / prev
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "day": pc.cast(g.column("day"), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "prev_n": pa.array(np.where(have, prev, 0), pa.int64(),
+                               mask=~have),
+            "pct_change": pc.round(
+                pa.array(chg, pa.float64(), mask=~have), ndigits=6,
+                round_mode="half_towards_infinity"),
+        })
+
+    return (counts.groupby("event_type")
+            .map_groups(lagged, batch_format="pyarrow")
+            .sort(["event_type", "day"]))
+
+
+def _q_dedup_best(sf_dir: str):
+    """Exact dedup keeping the BEST representative (longest text, tie →
+    lowest id) instead of min-id — the content-key groups cut by
+    top_k_per_group on (n_chars desc, doc_id asc)."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.dedup import _md5_col
+    from scrappy_ray.pipelines.relational import top_k_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(batch.column("text"), pa.string()),
+                                " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, 8), " ")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "content_key": _md5_col(prefix.to_pylist()),
+        })
+
+    kept = top_k_per_group(ds.map_batches(keyed, batch_format="pyarrow"),
+                           "content_key", key="n_chars", k=1,
+                           descending=True, tiebreak="doc_id")
+    return kept.select_columns(["doc_id", "n_chars"]).sort("doc_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2554,6 +2628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_stats": _q_json_field_stats,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "chi_square": _q_chi_square,
+        "daily_change": _q_daily_change,
+        "dedup_best": _q_dedup_best,
     }
 
 
@@ -2882,6 +2958,34 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "daily_change": """
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     COUNT(*)::BIGINT AS n
+              FROM events GROUP BY event_type, day),
+            l AS (SELECT event_type, CAST(day AS BIGINT) AS day, n,
+                         LAG(n) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS prev_n
+                  FROM c)
+            SELECT event_type, day, n, prev_n,
+                   ROUND((n - prev_n) / CAST(prev_n AS DOUBLE), 6)
+                     AS pct_change
+            FROM l ORDER BY event_type, day
+        """,
+        "dedup_best": """
+            WITH k AS (
+              SELECT doc_id, n_chars,
+                     md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS content_key
+              FROM documents),
+            r AS (SELECT doc_id, n_chars,
+                         ROW_NUMBER() OVER (PARTITION BY content_key
+                                            ORDER BY n_chars DESC, doc_id)
+                           AS rn
+                  FROM k)
+            SELECT doc_id, n_chars FROM r WHERE rn = 1 ORDER BY doc_id
         """,
         "embedding_dim_stats": """
             WITH q AS (
