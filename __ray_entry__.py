@@ -2467,6 +2467,21 @@ def _q_dedup_best(sf_dir: str):
     return kept.select_columns(["doc_id", "n_chars"]).sort("doc_id")
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC source+sink round trip (sources/orcfile.py): one atomic
+    shard per block out, per-file parse with column pruning back —
+    the Hive/Spark-warehouse interchange format."""
+    import glob as _g
+
+    from scrappy_ray.sources.orcfile import read_orc, write_orc
+
+    out_dir = tempfile.mkdtemp(prefix="orc_roundtrip_", dir="/tmp")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    write_orc(docs.repartition(4), out_dir)
+    files = sorted(_g.glob(os.path.join(out_dir, "*.orc")))
+    return read_orc(files, columns=["doc_id", "text"]).sort("doc_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2630,6 +2645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi_square": _q_chi_square,
         "daily_change": _q_daily_change,
         "dedup_best": _q_dedup_best,
+        "orc_roundtrip": _q_orc_roundtrip,
     }
 
 
@@ -2958,6 +2974,9 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "orc_roundtrip": """
+            SELECT doc_id, text FROM documents ORDER BY doc_id
         """,
         "daily_change": """
             WITH c AS (

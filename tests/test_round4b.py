@@ -704,3 +704,29 @@ def test_chi_square_independent_vs_skewed(ray_session):
     out2 = chi_square_cells(ray.data.from_arrow(t2).repartition(3),
                             "r", "c")
     assert sum(r["contrib"] for r in out2.to_pylist()) == 8.0  # = n
+
+
+def test_orc_roundtrip_source_sink(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    from scrappy_ray.sources.orcfile import read_orc, write_orc
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array([f"doc {i} ø" for i in range(10)]),
+        "payload": pa.array([bytes([i]) * 3 for i in range(10)],
+                            pa.binary()),
+    })
+    out_dir = str(tmp_path / "orc")
+    n = write_orc(ray.data.from_arrow(tbl).repartition(3), out_dir)
+    assert n == 10
+    files = sorted(glob.glob(out_dir + "/*.orc"))
+    assert len(files) == 3  # one atomic shard per block
+    back = _tt(read_orc(files).sort("doc_id")).combine_chunks()
+    assert back.select(["doc_id", "text", "payload"]).equals(
+        tbl.select(["doc_id", "text", "payload"]))
+    # column pruning: unrequested columns never decoded
+    pruned = _tt(read_orc(files, columns=["doc_id"]).sort("doc_id"))
+    assert pruned.column_names == ["doc_id"]
