@@ -2482,6 +2482,30 @@ def _q_orc_roundtrip(sf_dir: str):
     return read_orc(files, columns=["doc_id", "text"]).sort("doc_id")
 
 
+def _q_rolling_median(sf_dir: str):
+    """Trailing 5-row moving median per user (pipelines/relational.py::
+    rolling_median): one np.median over a sliding window view — the
+    robust smoother."""
+    from scrappy_ray.pipelines.relational import rolling_median
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return rolling_median(ds, "user_id", "ts", "value", "event_id",
+                          window=5).sort("event_id")
+
+
+def _q_longest_streak(sf_dir: str):
+    """Gaps-and-islands per user (pipelines/relational.py::
+    longest_streak): longest run of the same event type under the
+    (ts, id) order, deterministic tie-break."""
+    from scrappy_ray.pipelines.relational import longest_streak
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return longest_streak(ds, "user_id", "ts", "event_type",
+                          "event_id").sort("user_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2646,6 +2670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_change": _q_daily_change,
         "dedup_best": _q_dedup_best,
         "orc_roundtrip": _q_orc_roundtrip,
+        "rolling_median": _q_rolling_median,
+        "longest_streak": _q_longest_streak,
     }
 
 
@@ -2974,6 +3000,35 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "rolling_median": """
+            SELECT event_id, user_id,
+                   ROUND(median(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                         6) AS med
+            FROM events ORDER BY event_id
+        """,
+        "longest_streak": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn_t
+              FROM events),
+            runs AS (SELECT user_id, event_type,
+                            COUNT(*)::BIGINT AS len, MIN(rn) AS start_rn
+                     FROM o GROUP BY user_id, event_type, rn - rn_t),
+            r AS (SELECT user_id, event_type AS streak_value,
+                         len AS streak_len,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY len DESC,
+                                                     event_type,
+                                                     start_rn) AS pick
+                  FROM runs)
+            SELECT user_id, streak_value, streak_len FROM r
+            WHERE pick = 1 ORDER BY user_id
         """,
         "orc_roundtrip": """
             SELECT doc_id, text FROM documents ORDER BY doc_id

@@ -592,3 +592,68 @@ def global_rank(ds, value_col: str, id_col: str, digits: int = 6):
         })
 
     return ds.groupby(value_col).map_groups(rank, batch_format="pyarrow")
+
+
+def rolling_median(ds, key_col: str, order_col: str, value_col: str,
+                   id_col: str, window: int = 5, digits: int = 6):
+    """Trailing moving MEDIAN per key (ROWS window-1 PRECEDING..CURRENT)
+    — the robust smoother a moving average isn't (one spike shifts the
+    mean for `window` rows; the median shrugs). Full windows compute as
+    ONE np.median over a sliding_window_view (no per-row Python); only
+    the first window-1 warm-up rows per group loop, bounded by the
+    window, not the data. Median of an even count averages the two
+    middles (percentile_cont semantics, matching SQL MEDIAN)."""
+
+    def win(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(order_col, "ascending"), (id_col, "ascending")])
+        v = np.asarray(pc.cast(g.column(value_col), pa.float64()))
+        n = len(v)
+        out = np.empty(n, np.float64)
+        head = min(window - 1, n)
+        for i in range(head):  # warm-up only: ≤ window-1 iterations
+            out[i] = np.median(v[: i + 1])
+        if n >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(v, window)
+            out[window - 1:] = np.median(sw, axis=1)
+        return pa.table({
+            id_col: g.column(id_col),
+            key_col: g.column(key_col),
+            "med": pc.round(pa.array(out, pa.float64()), ndigits=digits,
+                            round_mode="half_towards_infinity"),
+        })
+
+    return ds.groupby(key_col).map_groups(win, batch_format="pyarrow")
+
+
+def longest_streak(ds, key_col: str, order_col: str, value_col: str,
+                   id_col: str):
+    """Gaps-and-islands: the longest run of consecutive equal values
+    per key under the (order, id) total order; ties broken by the
+    lexicographically smallest value then earliest start. One
+    vectorized run-length pass per group."""
+
+    def streak(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(order_col, "ascending"), (id_col, "ascending")])
+        v = np.asarray(pc.cast(g.column(value_col), pa.string())
+                       .to_pylist(), dtype=object)
+        if len(v) == 0:
+            return pa.table({key_col: g.column(key_col).slice(0, 0),
+                             "streak_value": pa.array([], pa.string()),
+                             "streak_len": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        lens = np.diff(np.r_[starts, len(v)])
+        vals = v[starts]
+        # deterministic champion: max len, then smallest value, then
+        # earliest start (lexsort can't key object arrays — narrow in
+        # three vectorized steps instead)
+        m = lens == lens.max()
+        vmin = min(vals[m])
+        m &= vals == vmin
+        best = np.flatnonzero(m)[np.argmin(starts[m])]
+        return pa.table({
+            key_col: g.column(key_col).slice(0, 1),
+            "streak_value": pa.array([str(vals[best])], pa.string()),
+            "streak_len": pa.array([int(lens[best])], pa.int64()),
+        })
+
+    return ds.groupby(key_col).map_groups(streak, batch_format="pyarrow")

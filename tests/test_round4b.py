@@ -730,3 +730,44 @@ def test_orc_roundtrip_source_sink(ray_session, tmp_path):
     # column pruning: unrequested columns never decoded
     pruned = _tt(read_orc(files, columns=["doc_id"]).sort("doc_id"))
     assert pruned.column_names == ["doc_id"]
+
+
+def test_rolling_median_spike_resistant(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import rolling_median
+
+    ev = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "ts": pa.array(range(6), pa.int64()),
+        "value": pa.array([10.0, 10.0, 1000.0, 10.0, 10.0, 10.0],
+                          pa.float64()),
+    })
+    out = _tt(rolling_median(ray.data.from_arrow(ev).repartition(2),
+                             "user_id", "ts", "value", "event_id",
+                             window=3).sort("event_id"))
+    # the spike never moves the median (warm-up rows 0-1 use prefixes)
+    assert [r["med"] for r in out.to_pylist()] == [
+        10.0, 10.0, 10.0, 10.0, 10.0, 10.0]
+
+
+def test_longest_streak_islands(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import longest_streak
+
+    ev = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "user_id": pa.array([1] * 5 + [2] * 2, pa.int64()),
+        "ts": pa.array([0, 1, 2, 3, 4, 0, 1], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b", "b", "x", "y"]),
+    })
+    out = _tt(longest_streak(ray.data.from_arrow(ev).repartition(3),
+                             "user_id", "ts", "event_type", "event_id")
+              .sort("user_id"))
+    assert out.to_pylist() == [
+        {"user_id": 1, "streak_value": "b", "streak_len": 3},
+        # user 2 ties at len 1: lexicographically smallest value wins
+        {"user_id": 2, "streak_value": "x", "streak_len": 1},
+    ]
