@@ -2506,6 +2506,17 @@ def _q_longest_streak(sf_dir: str):
                           "event_id").sort("user_id")
 
 
+def _q_winsorize(sf_dir: str):
+    """Per-source winsorization of n_chars to the exact [p05, p95]
+    percentile_disc band (functions/stats.py::winsorize): two grouped
+    percentiles broadcast around one streaming clip."""
+    from scrappy_ray.functions.stats import winsorize
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return winsorize(ds, "source", "n_chars", "doc_id",
+                     lo_q=0.05, hi_q=0.95).sort("doc_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2672,6 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "rolling_median": _q_rolling_median,
         "longest_streak": _q_longest_streak,
+        "winsorize": _q_winsorize,
     }
 
 
@@ -3000,6 +3012,20 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "winsorize": """
+            WITH c AS (
+              SELECT source,
+                     percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)
+                       AS lo,
+                     percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+                       AS hi
+              FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CAST(LEAST(GREATEST(d.n_chars, c.lo), c.hi) AS BIGINT)
+                     AS clipped
+            FROM documents d JOIN c USING (source)
+            ORDER BY d.doc_id
         """,
         "rolling_median": """
             SELECT event_id, user_id,

@@ -526,3 +526,53 @@ def chi_square_cells(ds, row_col: str, col_col: str, digits: int = 6):
         "contrib": _round_half_away(pa.array(contrib, pa.float64()),
                                     digits),
     })
+
+
+# ------------------------------------------------------------- winsorize
+
+
+def winsorize(ds, group_col: str, value_col: str, id_col: str,
+              lo_q: float = 0.05, hi_q: float = 0.95):
+    """Per-group winsorization: clip values to the group's exact
+    [lo_q, hi_q] percentile_disc band — the standard tail-taming step
+    before moment-based stats (a z-score AFTER winsorizing is robust;
+    see mad_outliers for the rank-based alternative). Two exact grouped
+    percentiles (O(groups) broadcast) around one streaming clip pass;
+    disc percentiles are actual data values, so integer columns stay
+    integer and the oracle compare is exact."""
+
+    def cuts(group: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(pc.cast(group.column(value_col),
+                                       pa.int64())))
+        n = len(v)
+        lo = int(v[max(int(np.ceil(lo_q * n)) - 1, 0)])
+        hi = int(v[max(int(np.ceil(hi_q * n)) - 1, 0)])
+        return pa.table({
+            group_col: group.column(group_col).slice(0, 1),
+            "lo": pa.array([lo], pa.int64()),
+            "hi": pa.array([hi], pa.int64()),
+        })
+
+    cut_t = _to_table(ds.groupby(group_col).map_groups(
+        cuts, batch_format="pyarrow"))
+    gkeys = cut_t.column(group_col).combine_chunks()
+    lo_v = np.asarray(cut_t.column("lo"), dtype=np.int64)
+    hi_v = np.asarray(cut_t.column("hi"), dtype=np.int64)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(batch.column(group_col), gkeys.type),
+                          value_set=gkeys)
+        i = np.asarray(pc.fill_null(idx, -1).cast(pa.int64()),
+                       dtype=np.int64)
+        have = i >= 0
+        x = np.asarray(pc.cast(batch.column(value_col), pa.int64()))
+        clipped = np.clip(x, lo_v[np.maximum(i, 0)],
+                          hi_v[np.maximum(i, 0)])
+        return pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            value_col: batch.column(value_col),
+            "clipped": pa.array(np.where(have, clipped, x), pa.int64()),
+        }).filter(pa.array(have))
+
+    return ds.map_batches(clip, batch_format="pyarrow")

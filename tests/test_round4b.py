@@ -771,3 +771,22 @@ def test_longest_streak_islands(ray_session):
         # user 2 ties at len 1: lexicographically smallest value wins
         {"user_id": 2, "streak_value": "x", "streak_len": 1},
     ]
+
+
+def test_winsorize_clips_tails(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import winsorize
+
+    t = pa.table({
+        "g": pa.array(["a"] * 10),
+        "v": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 100], pa.int64()),
+        "id": pa.array(range(10), pa.int64()),
+    })
+    out = _tt(winsorize(ray.data.from_arrow(t).repartition(3),
+                        "g", "v", "id", lo_q=0.2, hi_q=0.8)
+              .sort("id"))
+    # p20 = 2, p80 = 8 (percentile_disc: actual data values)
+    assert [r["clipped"] for r in out.to_pylist()] == [
+        2, 2, 3, 4, 5, 6, 7, 8, 8, 8]
+    assert [r["v"] for r in out.to_pylist()][-1] == 100  # original kept
