@@ -68,6 +68,9 @@ def test_query_matches_oracle(name, oracle_con):
     b = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
     for c in a.columns:
         if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
-            assert np.allclose(a[c].astype(float), b[c].astype(float), atol=1e-9), c
+            # equal_nan: nullable numerics (e.g. LAG's first row) reach
+            # pandas as NaN on BOTH sides and must compare equal
+            assert np.allclose(a[c].astype(float), b[c].astype(float),
+                               atol=1e-9, equal_nan=True), c
         else:
             assert (a[c].astype(str).to_numpy() == b[c].astype(str).to_numpy()).all(), c
