@@ -2517,6 +2517,26 @@ def _q_winsorize(sf_dir: str):
                      lo_q=0.05, hi_q=0.95).sort("doc_id")
 
 
+def _q_user_entropy(sf_dir: str):
+    """Per-user behavioral entropy (pipelines/analytics.py::
+    user_entropy): exact (user, type) counts, -Σ p·log2 p once per
+    user — the single-action-bot signal."""
+    from scrappy_ray.pipelines.analytics import user_entropy
+
+    return user_entropy(_read(sf_dir, "events",
+                              columns=["user_id", "event_type"]))
+
+
+def _q_conversion_time(sf_dir: str):
+    """Funnel latency view→purchase (pipelines/analytics.py::
+    conversion_time): O(users) first-seen pair table, exact disc
+    percentiles of the delay in seconds."""
+    from scrappy_ray.pipelines.analytics import conversion_time
+
+    return conversion_time(_read(
+        sf_dir, "events", columns=["user_id", "event_type", "ts"]))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2684,6 +2704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": _q_rolling_median,
         "longest_streak": _q_longest_streak,
         "winsorize": _q_winsorize,
+        "user_entropy": _q_user_entropy,
+        "conversion_time": _q_conversion_time,
     }
 
 
@@ -3012,6 +3034,36 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "user_entropy": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY user_id, event_type),
+            t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+            SELECT c.user_id, CAST(t.tot AS BIGINT) AS n_events,
+                   ROUND(-SUM((c.n / CAST(t.tot AS DOUBLE))
+                              * log2(c.n / CAST(t.tot AS DOUBLE)))
+                         + 0.0, 6) AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.tot ORDER BY c.user_id
+        """,
+        "conversion_time": """
+            WITH m AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       AS t0,
+                     MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t1
+              FROM events GROUP BY user_id),
+            d AS (SELECT (epoch_us(t1) - epoch_us(t0)) / 1000000.0
+                           AS delta
+                  FROM m WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+                        AND t1 > t0)
+            SELECT COUNT(*)::BIGINT AS n_converted,
+                   ROUND(percentile_disc(0.5)
+                         WITHIN GROUP (ORDER BY delta), 4) AS p50_s,
+                   ROUND(percentile_disc(0.95)
+                         WITHIN GROUP (ORDER BY delta), 4) AS p95_s
+            FROM d
         """,
         "winsorize": """
             WITH c AS (

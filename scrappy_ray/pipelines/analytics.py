@@ -656,3 +656,97 @@ def json_field_stats(events_ds, json_col: str = "props",
                            ndigits=digits,
                            round_mode="half_towards_infinity"),
     }).sort_by([(group_col, "ascending")])
+
+
+def user_entropy(events_ds, user_col: str = "user_id",
+                 type_col: str = "event_type", digits: int = 6):
+    """Behavioral diversity per user: Shannon entropy of the user's
+    event-type distribution — near-zero entropy marks single-action
+    bots. Exact integer (user, type) partial counts bound the shuffle
+    to O(users × types × blocks); the -Σ p·log2(p) float math runs once
+    per user on the aggregated table, terms summed in type order
+    (deterministic) and rounded like the oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({user_col: batch.column(user_col),
+                      type_col: pc.cast(batch.column(type_col),
+                                        pa.string())})
+        g = t.group_by([user_col, type_col]).aggregate([([], "count_all")])
+        return g.rename_columns([user_col, type_col, "n"])
+
+    counts = _to_table(
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([user_col, type_col]).sum("n")
+    ).rename_columns([user_col, type_col, "n"])
+    counts = counts.sort_by([(user_col, "ascending"),
+                             (type_col, "ascending")])
+    u = np.asarray(pc.cast(counts.column(user_col), pa.int64()),
+                   dtype=np.int64)
+    n = np.asarray(counts.column("n"), dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    sizes = np.diff(np.r_[starts, len(u)])
+    tot = np.repeat(np.add.reduceat(n, starts), sizes).astype(np.float64)
+    p = n / tot
+    terms = p * np.log2(p)
+    # + 0.0 folds IEEE -0.0 (single-type users: -(0.0)) to +0.0, the
+    # same normalization the oracle applies
+    ent = -np.add.reduceat(terms, starts) + 0.0
+    return pa.table({
+        user_col: pa.array(u[starts], pa.int64()),
+        "n_events": pa.array(np.add.reduceat(n, starts), pa.int64()),
+        "entropy": pc.round(pa.array(ent, pa.float64()), ndigits=digits,
+                            round_mode="half_towards_infinity"),
+    })
+
+
+def conversion_time(events_ds, user_col: str = "user_id",
+                    type_col: str = "event_type", ts_col: str = "ts",
+                    from_type: str = "view", to_type: str = "purchase",
+                    digits: int = 4):
+    """Funnel latency: for users whose first ``to_type`` follows their
+    first ``from_type``, the distribution of the conversion delay —
+    n converters plus exact percentile_disc p50/p95 in SECONDS. The
+    per-user (first_from, first_to) pair table is O(users) (funnel
+    partial-min discipline); the delta percentiles run once on it."""
+    step_arr = pa.array([from_type, to_type], pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.is_in(batch.column(type_col),
+                                  value_set=step_arr))
+        g = m.group_by([user_col, type_col]).aggregate([(ts_col, "min")])
+        return g.rename_columns([user_col, type_col, "t"])
+
+    mins = _to_table(
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([user_col, type_col]).min("t")
+    ).rename_columns([user_col, type_col, "t"])
+    u = np.asarray(pc.cast(mins.column(user_col), pa.int64()),
+                   dtype=np.int64)
+    ty = np.asarray(mins.column(type_col).to_pylist(), dtype=object)
+    # normalize precision FIRST: Ray's min aggregate may hand back a
+    # coarser timestamp unit than the input (observed: 's' for
+    # second-aligned values), and a bare int64 cast would then be in
+    # the wrong unit
+    tcol = mins.column("t")
+    if pa.types.is_timestamp(tcol.type):
+        tcol = pc.cast(tcol, pa.timestamp("us"))
+    t = np.asarray(pc.cast(tcol, pa.int64()), dtype=np.int64)
+    from_t = {int(a): int(b) for a, b, c in zip(u, t, ty) if c == from_type}
+    deltas = sorted(
+        (int(b) - from_t[int(a)]) / 1_000_000.0
+        for a, b, c in zip(u, t, ty)
+        if c == to_type and int(a) in from_t and int(b) > from_t[int(a)]
+    )
+    nn = len(deltas)
+
+    def disc(q: float) -> float:
+        return deltas[max(int(np.ceil(q * nn)) - 1, 0)] if nn else None
+
+    rnd = lambda v: None if v is None else float(
+        pc.round(pa.scalar(v, pa.float64()), ndigits=digits,
+                 round_mode="half_towards_infinity").as_py())
+    return pa.table({
+        "n_converted": pa.array([nn], pa.int64()),
+        "p50_s": pa.array([rnd(disc(0.5))], pa.float64()),
+        "p95_s": pa.array([rnd(disc(0.95))], pa.float64()),
+    })

@@ -790,3 +790,43 @@ def test_winsorize_clips_tails(ray_session):
     assert [r["clipped"] for r in out.to_pylist()] == [
         2, 2, 3, 4, 5, 6, 7, 8, 8, 8]
     assert [r["v"] for r in out.to_pylist()][-1] == 100  # original kept
+
+
+def test_user_entropy_diversity(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import user_entropy
+
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d", "x", "x"]),
+    })
+    out = user_entropy(ray.data.from_arrow(ev).repartition(3))
+    rows = {r["user_id"]: r for r in out.to_pylist()}
+    assert rows[1]["entropy"] == 2.0  # 4 equiprobable types
+    assert rows[2]["entropy"] == 0.0  # single-action user (not -0.0)
+    assert str(rows[2]["entropy"])[0] != "-"
+
+
+def test_conversion_time_percentiles(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import conversion_time
+
+    US = 1_000_000
+    rows = []
+    # users 1..3 convert after 10/20/30 s; user 4 purchases BEFORE
+    # viewing (no conversion); user 5 never purchases
+    for uid, (tv, tp) in enumerate([(0, 10), (0, 20), (0, 30),
+                                    (50, 40), (0, None)], start=1):
+        rows.append((uid, "view", tv))
+        if tp is not None:
+            rows.append((uid, "purchase", tp))
+    ev = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] * US for r in rows], pa.timestamp("us")),
+    })
+    out = conversion_time(ray.data.from_arrow(ev).repartition(3))
+    assert out.to_pylist() == [
+        {"n_converted": 3, "p50_s": 20.0, "p95_s": 30.0}]
