@@ -2537,6 +2537,143 @@ def _q_conversion_time(sf_dir: str):
         sf_dir, "events", columns=["user_id", "event_type", "ts"]))
 
 
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority top-10): segment-filtered
+    customers gate orders (broadcast keep-set), the filtered order
+    side broadcast-joins into lineitem, exact-cents revenue per order,
+    distributed top-10. Revenue stays integer through the cut so the
+    top-k boundary can't flip on float drift."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.relational import broadcast_join, top_k
+
+    cust = _read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"])
+    keep = cust.filter(pc.equal(cust.column("c_mktsegment"),
+                                "BUILDING")).column("c_custkey")
+    keep = keep.combine_chunks()
+    orders = _read_table(sf_dir, "orders",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.filter(pc.is_in(orders.column("o_custkey"),
+                                    value_set=keep))
+    small = pa.table({
+        "l_orderkey": orders.column("o_orderkey"),
+        "o_orderdate": orders.column("o_orderdate"),
+    })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.multiply(batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    batch.column("l_discount"))),
+            pa.scalar(100.0))
+        c = pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                    pa.int64())
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "o_orderdate": batch.column("o_orderdate"),
+                      "c": c})
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("c", "sum")])
+        return g.rename_columns(["l_orderkey", "o_orderdate", "c"])
+
+    joined = broadcast_join(li, small, on="l_orderkey")
+    agg = (joined.map_batches(cents, batch_format="pyarrow")
+           .groupby(["l_orderkey", "o_orderdate"]).sum("c")
+           .map_batches(lambda t: t.rename_columns(
+               ["l_orderkey", "o_orderdate", "c"]), batch_format="pyarrow"))
+    top = top_k(agg, key="c", k=10, descending=True, tiebreak="l_orderkey")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "revenue": pc.divide(pc.cast(batch.column("c"), pa.float64()),
+                                 100.0),
+            "o_orderdate": pc.strftime(batch.column("o_orderdate"),
+                                       "%Y-%m-%d"),
+        })
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier volume per nation): ONE
+    distributed hash join (lineitem ⋈ orders — the two corpus-sized
+    sides), every dimension broadcast (customer/supplier nation maps,
+    nation names), exact-cents revenue, O(nations) output."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.common import drop_empty_blocks
+
+    cust = _read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_nationkey"])
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_nationkey"])
+    nat = _read_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name"])
+    ckeys = cust.column("c_custkey").combine_chunks()
+    cnat = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
+    skeys = supp.column("s_suppkey").combine_chunks()
+    snat = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+    nkeys = nat.column("n_nationkey").combine_chunks()
+    nnames = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(li).join(drop_empty_blocks(orders),
+                                        "inner", 8, on=("l_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ci = np.asarray(pc.fill_null(pc.index_in(
+            batch.column("o_custkey"), value_set=ckeys), -1).cast(
+                pa.int64()), dtype=np.int64)
+        si = np.asarray(pc.fill_null(pc.index_in(
+            batch.column("l_suppkey"), value_set=skeys), -1).cast(
+                pa.int64()), dtype=np.int64)
+        ok = (ci >= 0) & (si >= 0)
+        ok &= cnat[np.maximum(ci, 0)] == snat[np.maximum(si, 0)]
+        b = batch.filter(pa.array(ok))
+        if b.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ni = np.asarray(pc.fill_null(pc.index_in(
+            pa.array(cnat[np.asarray(pc.cast(pc.index_in(
+                b.column("o_custkey"), value_set=ckeys), pa.int64()),
+                dtype=np.int64)], pa.int64()),
+            value_set=nkeys), -1).cast(pa.int64()), dtype=np.int64)
+        rev = pc.multiply(
+            pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    b.column("l_discount"))),
+            pa.scalar(100.0))
+        c = np.asarray(pc.cast(pc.round(
+            rev, round_mode="half_towards_infinity"), pa.int64()),
+            dtype=np.int64)
+        t = pa.table({"n_name": pa.array(nnames[ni], pa.string()),
+                      "c": pa.array(c, pa.int64())})
+        g = t.group_by(["n_name"]).aggregate([("c", "sum")])
+        return g.rename_columns(["n_name", "c"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name").sum("c"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "revenue": pc.divide(
+                pc.cast(batch.column("sum(c)"), pa.float64()), 100.0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("n_name")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2706,6 +2843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": _q_winsorize,
         "user_entropy": _q_user_entropy,
         "conversion_time": _q_conversion_time,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
     }
 
 
@@ -3034,6 +3173,35 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents d JOIN m USING (source) WHERE m.n > 1)
             SELECT doc_id, source, n_chars, z FROM z
             WHERE ABS(z) > 1.5 ORDER BY doc_id
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey,
+                   SUM(CAST(ROUND(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY SUM(CAST(ROUND(l.l_extendedprice
+                                    * (1 - l.l_discount) * 100)
+                              AS BIGINT)) DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   SUM(CAST(ROUND(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+                         AND s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "user_entropy": """
             WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n

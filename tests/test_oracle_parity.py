@@ -41,7 +41,7 @@ FAST_QUERIES = [
     "group_summary", "weighted_mean", "embedding_norms", "calendar_profile",
     "type_token_ratio", "vocab_by_source", "source_vocab_jaccard",
     "global_rank", "user_growth", "longest_session", "daily_quantiles",
-    "type_cooccurrence", "rfm_customers", "dup_rate_by_source", "late_events", "json_field_stats", "embedding_dim_stats", "chi_square", "daily_change", "dedup_best", "orc_roundtrip", "rolling_median", "longest_streak", "winsorize", "user_entropy", "conversion_time",
+    "type_cooccurrence", "rfm_customers", "dup_rate_by_source", "late_events", "json_field_stats", "embedding_dim_stats", "chi_square", "daily_change", "dedup_best", "orc_roundtrip", "rolling_median", "longest_streak", "winsorize", "user_entropy", "conversion_time", "tpch_q3", "tpch_q5",
 ]
 
 
