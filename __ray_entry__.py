@@ -2674,6 +2674,75 @@ def _q_tpch_q5(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow").sort("n_name")
 
 
+def _q_type_sequences(sf_dir: str):
+    """Per-user ordered event-type trajectory (pipelines/analytics.py::
+    type_sequences): the SQL string_agg(... ORDER BY) shape as one
+    binary_join per group, O(users) output rows."""
+    from scrappy_ray.pipelines.analytics import type_sequences
+
+    return type_sequences(_read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                   "event_type"]))
+
+
+def _q_full_outer_daily(sf_dir: str):
+    """FULL OUTER JOIN of two per-day grouped slices, rewritten
+    join-free (pipelines/analytics.py::daily_compare): per-block
+    partial (day, views, purchases) counts + one O(days) groupby-sum;
+    missing days coalesce to 0 without any join."""
+    from scrappy_ray.pipelines.analytics import daily_compare
+
+    return daily_compare(_read(sf_dir, "events",
+                               columns=["ts", "event_type"]),
+                         "view", "purchase")
+
+
+def _q_event_gaps(sf_dir: str):
+    """Inter-event gap percentiles per type (pipelines/analytics.py::
+    event_gaps): vectorized int64-µs diffs inside map_groups, exact
+    disc percentiles — the engagement-cadence view."""
+    from scrappy_ray.pipelines.analytics import event_gaps
+
+    return event_gaps(_read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                   "event_type"]))
+
+
+def _q_redirect_chains(sf_dir: str):
+    """Redirect-chain resolution (functions/graph.py::
+    resolve_pointers): pointer doubling over a synthetic acyclic
+    301-graph (doc_id → doc_id-1 where doc_id % 4 ≠ 0) — chain length
+    halves per all-to-all, the distributed list-ranking shape; oracled
+    against a DuckDB recursive CTE."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.graph import resolve_pointers
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("doc_id"), pa.int64())
+        keep = pc.not_equal(pc.bit_wise_and(d, pa.scalar(3, pa.int64())),
+                            pa.scalar(0, pa.int64()))
+        t = pa.table({"src": d, "dst": pc.subtract(
+            d, pa.scalar(1, pa.int64()))})
+        return t.filter(keep)
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return resolve_pointers(edges)
+
+
+def _q_badwords_filter(sf_dir: str):
+    """C4-style blocklist policy report (functions/webtext.py::
+    badword_stats): one pc.is_in over the flattened token array per
+    batch, O(sources) partial rows per block."""
+    from scrappy_ray.functions.webtext import badword_stats
+
+    return badword_stats(_read(sf_dir, "documents",
+                               columns=["text", "source"]),
+                         ["dup", "spark", "stream"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2845,6 +2914,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_time": _q_conversion_time,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "type_sequences": _q_type_sequences,
+        "full_outer_daily": _q_full_outer_daily,
+        "event_gaps": _q_event_gaps,
+        "redirect_chains": _q_redirect_chains,
+        "badwords_filter": _q_badwords_filter,
     }
 
 
@@ -3202,6 +3276,76 @@ def _oracle_sql_static() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
                          AND s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "type_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                     AS type_seq,
+                   COUNT(*)::BIGINT AS n
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "full_outer_daily": """
+            WITH v AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              COUNT(*)::BIGINT AS c
+                       FROM events WHERE event_type = 'view'
+                       GROUP BY day),
+            p AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                         COUNT(*)::BIGINT AS c
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY day)
+            SELECT COALESCE(v.day, p.day) AS day,
+                   COALESCE(v.c, 0)::BIGINT AS views,
+                   COALESCE(p.c, 0)::BIGINT AS purchases
+            FROM v FULL OUTER JOIN p ON v.day = p.day ORDER BY day
+        """,
+        "event_gaps": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_us
+              FROM events)
+            SELECT event_type,
+                   CAST(percentile_disc(0.5)
+                        WITHIN GROUP (ORDER BY gap_us) AS DOUBLE)
+                     AS p50,
+                   CAST(percentile_disc(0.9)
+                        WITHIN GROUP (ORDER BY gap_us) AS DOUBLE)
+                     AS p90,
+                   CAST(percentile_disc(0.99)
+                        WITHIN GROUP (ORDER BY gap_us) AS DOUBLE)
+                     AS p99,
+                   COUNT(gap_us)::BIGINT AS n
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "redirect_chains": """
+            WITH RECURSIVE edges AS (
+              SELECT doc_id AS src, doc_id - 1 AS dst
+              FROM documents WHERE doc_id % 4 <> 0),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON w.cur = e.src)
+            SELECT w.src AS src, w.cur AS final,
+                   CAST(w.hops AS BIGINT) AS hops
+            FROM walk w
+            WHERE w.cur NOT IN (SELECT src FROM edges)
+            ORDER BY src
+        """,
+        "badwords_filter": """
+            SELECT source, COUNT(*)::BIGINT AS docs,
+                   SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS flagged,
+                   SUM(nb)::BIGINT AS bad_tokens
+            FROM (SELECT source,
+                         len(list_filter(
+                             str_split(text, ' '),
+                             x -> list_contains(['dup','spark','stream'],
+                                                x))) AS nb
+                  FROM documents)
+            GROUP BY source ORDER BY source
         """,
         "user_entropy": """
             WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n

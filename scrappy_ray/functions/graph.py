@@ -562,3 +562,67 @@ def triangle_counts(edges, src: str = "src", dst: str = "dst",
             .map_batches(ren(["node", "n_triangles"]),
                          batch_format="pyarrow")
             .sort("node"))
+
+
+def resolve_pointers(edges, src: str = "src", dst: str = "dst",
+                     max_iters: int = 32, num_partitions: int = 8):
+    """Terminal resolution over an acyclic pointer table — redirect
+    chains (HTTP 301 graphs a crawler accumulates), alias tables,
+    union-find parent arrays: for every ``src`` the final node reached
+    by following pointers, plus the hop count.
+
+    Pointer doubling (the Wyllie-style list-ranking jump): each round
+    joins the label table AGAINST ITSELF on (cur == src), so unresolved
+    chain length HALVES per round — a length-L chain resolves in
+    ⌈log2 L⌉ all-to-alls instead of L. Per round: one inner join
+    (advance), one left-anti (rows already at a terminal), one union;
+    labels stay O(V) rows of three int64s in the object store and the
+    driver holds only the moved-row count. Cycles would never resolve —
+    ``max_iters`` guards; callers feed acyclic pointer sets.
+    """
+    import ray.data
+
+    from ..common import drop_empty_blocks
+
+    def init(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(batch.column(src), pa.int64()),
+            "cur": pc.cast(batch.column(dst), pa.int64()),
+            "hops": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    labels = drop_empty_blocks(
+        edges.map_batches(init, batch_format="pyarrow")).materialize()
+
+    def as_map(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["m_src", "m_cur", "m_hops"])
+
+    for _ in range(max_iters):
+        pmap = labels.map_batches(as_map, batch_format="pyarrow")
+        moved = drop_empty_blocks(labels).join(
+            drop_empty_blocks(pmap), "inner", num_partitions,
+            on=("cur",), right_on=("m_src",))
+        if moved.count() == 0:
+            break
+
+        def advance(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": batch.column("src"),
+                "cur": batch.column("m_cur"),
+                "hops": pc.add(batch.column("hops"),
+                               batch.column("m_hops")),
+            })
+
+        done = drop_empty_blocks(labels).join(
+            drop_empty_blocks(pmap), "left_anti", num_partitions,
+            on=("cur",), right_on=("m_src",))
+        labels = (
+            moved.map_batches(advance, batch_format="pyarrow")
+            .union(done.select_columns(["src", "cur", "hops"]))
+            .materialize()
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["src", "final", "hops"])
+
+    return labels.map_batches(final, batch_format="pyarrow").sort("src")

@@ -870,3 +870,46 @@ def source_vocab_jaccard(ds, text_col: str = "text",
         "n_common": pa.array(common, pa.int64()),
         "jaccard": jac,
     }).sort_by([("src_a", "ascending"), ("src_b", "ascending")])
+
+
+def badword_stats(ds, words, text_col: str = "text",
+                  source_col: str = "source"):
+    """Dictionary-based policy filter report (the C4 "bad words list"
+    pass, Raffel et al. 2020 §2.2): per source, how many documents
+    contain ≥1 blocklisted token and the total flagged-token count.
+    Token membership is ONE ``pc.is_in`` over the flattened token
+    array per batch (stays in C), per-doc counts fold with a
+    bincount, and each block emits O(sources) partial rows — the
+    shuffle never sees document text."""
+    arr = pa.array(sorted(set(words)), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(text_col), pa.string())
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        hit = pc.is_in(flat, value_set=arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = np.repeat(np.arange(len(lens)), lens)
+        nb = np.bincount(idx, weights=hit, minlength=len(lens)).astype(np.int64)
+        t = pa.table({
+            source_col: batch.column(source_col),
+            "docs": pa.array(np.ones(len(lens), np.int64)),
+            "flagged": pa.array((nb > 0).astype(np.int64)),
+            "bad_tokens": pa.array(nb),
+        })
+        g = t.group_by([source_col]).aggregate(
+            [("docs", "sum"), ("flagged", "sum"), ("bad_tokens", "sum")])
+        return g.rename_columns([source_col, "docs", "flagged", "bad_tokens"])
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(source_col)
+           .aggregate(Sum("docs", alias_name="docs"),
+                      Sum("flagged", alias_name="flagged"),
+                      Sum("bad_tokens", alias_name="bad_tokens")))
+    return out.map_batches(
+        lambda t: t.rename_columns([source_col, "docs", "flagged",
+                                    "bad_tokens"]),
+        batch_format="pyarrow").sort(source_col)

@@ -750,3 +750,92 @@ def conversion_time(events_ds, user_col: str = "user_id",
         "p50_s": pa.array([rnd(disc(0.5))], pa.float64()),
         "p95_s": pa.array([rnd(disc(0.95))], pa.float64()),
     })
+
+
+def type_sequences(events_ds, user_col: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   id_col: str = "event_id"):
+    """Ordered per-user event-type sequence (the SQL ``string_agg(...
+    ORDER BY ts, id)`` shape) — the session-trajectory view behind
+    clickstream mining. The concat is one pyarrow ``binary_join``
+    after an in-group vectorized sort; each user contributes ONE
+    output row, so the shuffle result is O(users) rows regardless of
+    event volume. At 100 TB the per-group payload is bounded by the
+    busiest user's stream — cap upstream if a key can be adversarial."""
+
+    def concat(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        t = pc.cast(g.column(type_col), pa.string()).combine_chunks()
+        seq = pc.binary_join(
+            pa.ListArray.from_arrays([0, len(t)], t), ",")
+        return pa.table({
+            user_col: group.column(user_col).slice(0, 1),
+            "type_seq": seq,
+            "n": pa.array([group.num_rows], pa.int64()),
+        })
+
+    return (events_ds.groupby(user_col)
+            .map_groups(concat, batch_format="pyarrow")
+            .sort(user_col))
+
+
+def daily_compare(events_ds, type_a: str, type_b: str,
+                  ts_col: str = "ts", type_col: str = "event_type"):
+    """Per-day counts of two event types side by side — the FULL OUTER
+    JOIN of two grouped subqueries, rewritten join-free: one streaming
+    pass emits per-block partial (day, a, b) counts and a single
+    O(days × blocks) groupby-sum aligns them, days missing on either
+    side coalescing to 0 naturally. The all-to-all moves bounded
+    partials, never event rows — the scale-safe shape for any
+    "compare two slices over time" report."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tcol = batch.column(type_col)
+        m = pc.or_(pc.equal(tcol, type_a), pc.equal(tcol, type_b))
+        f = batch.filter(m)
+        day = pc.strftime(f.column(ts_col), format="%Y-%m-%d")
+        isa = pc.cast(pc.equal(f.column(type_col), type_a), pa.int64())
+        t = pa.table({"day": day, "a": isa,
+                      "b": pc.subtract(pa.scalar(1, pa.int64()), isa)})
+        g = t.group_by(["day"]).aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["day", "a", "b"])
+
+    out = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").aggregate(*_sum_aliases([("a", "a"), ("b", "b")])))
+    return out.map_batches(
+        lambda t: t.rename_columns(["day", type_a + "s", type_b + "s"]),
+        batch_format="pyarrow").sort("day")
+
+
+def _sum_aliases(pairs):
+    from ray.data.aggregate import Sum
+
+    return [Sum(src, alias_name=alias) for src, alias in pairs]
+
+
+def event_gaps(events_ds, user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", id_col: str = "event_id"):
+    """Inter-event gap distribution per event type: for every event
+    with a predecessor in its user's (ts, id)-ordered stream, the gap
+    in whole microseconds (exact int64 — no float time math), then
+    exact disc percentiles per type of the LATER event. Gap extraction
+    is a vectorized diff inside map_groups (O(user stream) rows in, 
+    O(stream-1) narrow rows out); the quantile stage shuffles only
+    (type, gap) pairs."""
+    from ..pipelines.relational import group_quantiles
+
+    def gaps(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        t = np.asarray(pc.cast(pc.cast(g.column(ts_col), pa.timestamp("us")),
+                               pa.int64()), dtype=np.int64)
+        if len(t) < 2:
+            return pa.table({type_col: pa.array([], pa.string()),
+                             "gap_us": pa.array([], pa.int64())})
+        ty = pc.cast(g.column(type_col), pa.string()).combine_chunks()
+        return pa.table({type_col: ty.slice(1),
+                         "gap_us": pa.array(np.diff(t), pa.int64())})
+
+    pairs = events_ds.groupby(user_col).map_groups(
+        gaps, batch_format="pyarrow")
+    return group_quantiles(pairs, type_col, "gap_us",
+                           [0.5, 0.9, 0.99]).sort(type_col)

@@ -42,6 +42,8 @@ FAST_QUERIES = [
     "type_token_ratio", "vocab_by_source", "source_vocab_jaccard",
     "global_rank", "user_growth", "longest_session", "daily_quantiles",
     "type_cooccurrence", "rfm_customers", "dup_rate_by_source", "late_events", "json_field_stats", "embedding_dim_stats", "chi_square", "daily_change", "dedup_best", "orc_roundtrip", "rolling_median", "longest_streak", "winsorize", "user_entropy", "conversion_time", "tpch_q3", "tpch_q5",
+    "type_sequences", "full_outer_daily", "event_gaps", "redirect_chains",
+    "badwords_filter",
 ]
 
 

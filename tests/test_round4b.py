@@ -830,3 +830,105 @@ def test_conversion_time_percentiles(ray_session):
     out = conversion_time(ray.data.from_arrow(ev).repartition(3))
     assert out.to_pylist() == [
         {"n_converted": 3, "p50_s": 20.0, "p95_s": 30.0}]
+
+
+def test_resolve_pointers_chain(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.graph import resolve_pointers
+
+    # 10→9→8(terminal), 5→4(terminal), 2→1→0(terminal)
+    edges = pa.table({"src": pa.array([10, 9, 5, 2, 1], pa.int64()),
+                      "dst": pa.array([9, 8, 4, 1, 0], pa.int64())})
+    out = _tt(resolve_pointers(ray.data.from_arrow(edges)))
+    got = {r["src"]: (r["final"], r["hops"]) for r in out.to_pylist()}
+    assert got == {10: (8, 2), 9: (8, 1), 5: (4, 1), 2: (0, 2), 1: (0, 1)}
+
+
+def test_resolve_pointers_long_chain_log_rounds(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.graph import resolve_pointers
+
+    # one 64-link chain: 64→63→…→0 — must resolve within the
+    # max_iters=8 pointer-doubling budget (⌈log2 64⌉ = 6 < 8), which a
+    # one-hop-per-round walk could not
+    n = 64
+    edges = pa.table({"src": pa.array(range(1, n + 1), pa.int64()),
+                      "dst": pa.array(range(0, n), pa.int64())})
+    out = _tt(resolve_pointers(ray.data.from_arrow(edges), max_iters=8))
+    got = {r["src"]: (r["final"], r["hops"]) for r in out.to_pylist()}
+    assert got[n] == (0, n)
+    assert got[1] == (0, 1)
+    assert len(got) == n
+
+
+def test_daily_compare_missing_side_is_zero(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import daily_compare
+
+    ts = pa.array([1_700_000_000_000_000 + d * 86_400_000_000
+                   for d in [0, 0, 0, 1, 2, 2]], pa.timestamp("us"))
+    ty = pa.array(["view", "view", "purchase", "view", "purchase",
+                   "purchase"])
+    out = _tt(daily_compare(
+        ray.data.from_arrow(pa.table({"ts": ts, "event_type": ty})),
+        "view", "purchase"))
+    rows = out.to_pylist()
+    assert [(r["views"], r["purchases"]) for r in rows] == [
+        (2, 1), (1, 0), (0, 2)]
+
+
+def test_badword_stats_counts(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import badword_stats
+
+    tbl = pa.table({
+        "text": pa.array(["bad bad good", "good fine", "bad x", "clean"]),
+        "source": pa.array(["a", "a", "b", "b"]),
+    })
+    out = _tt(badword_stats(ray.data.from_arrow(tbl), ["bad"]))
+    rows = {r["source"]: r for r in out.to_pylist()}
+    assert rows["a"]["docs"] == 2 and rows["a"]["flagged"] == 1
+    assert rows["a"]["bad_tokens"] == 2
+    assert rows["b"]["docs"] == 2 and rows["b"]["flagged"] == 1
+    assert rows["b"]["bad_tokens"] == 1
+
+
+def test_event_gaps_known_values(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import event_gaps
+
+    base = 1_700_000_000_000_000
+    # user 1: events at +0s, +10s, +40s  → gaps 10s, 30s
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([base, base + 10_000_000, base + 40_000_000],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "b"]),
+    })
+    out = _tt(event_gaps(ray.data.from_arrow(tbl)))
+    rows = {r["event_type"]: r for r in out.to_pylist()}
+    assert set(rows) == {"b"}  # only later events carry a gap
+    assert rows["b"]["n"] == 2
+    assert rows["b"]["p50"] == 10_000_000.0
+    assert rows["b"]["p99"] == 30_000_000.0
+
+
+def test_type_sequences_order(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import type_sequences
+
+    tbl = pa.table({
+        "event_id": pa.array([3, 1, 2], pa.int64()),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "ts": pa.array([30, 10, 20], pa.timestamp("us")),
+        "event_type": pa.array(["c", "a", "b"]),
+    })
+    out = _tt(type_sequences(ray.data.from_arrow(tbl)))
+    assert out.to_pylist() == [{"user_id": 7, "type_seq": "a,b,c", "n": 3}]
