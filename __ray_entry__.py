@@ -2743,6 +2743,83 @@ def _q_badwords_filter(sf_dir: str):
                          ["dup", "spark", "stream"])
 
 
+def _q_graph_bfs(sf_dir: str):
+    """Multi-source BFS link distance (functions/graph.py::
+    bfs_depths): min hops from the seed set (doc_id % 16 == 0) over a
+    synthetic chain+skip graph (doc_id → +1 and → +4) — frontier
+    expansion, one all-to-all per round, every node expanded once;
+    oracled against a DuckDB recursive CTE with UNION dedup."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.graph import bfs_depths
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    mx = docs.max("doc_id")
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("doc_id"), pa.int64())
+        parts = []
+        for step in (1, 4):
+            dst = pc.add(d, pa.scalar(step, pa.int64()))
+            t = pa.table({"src": d, "dst": dst})
+            parts.append(t.filter(pc.less_equal(
+                dst, pa.scalar(mx, pa.int64()))))
+        return pa.concat_tables(parts)
+
+    def mk_seeds(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("doc_id"), pa.int64())
+        keep = pc.equal(pc.bit_wise_and(d, pa.scalar(15, pa.int64())),
+                        pa.scalar(0, pa.int64()))
+        return pa.table({"v": d}).filter(keep)
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    seeds = docs.map_batches(mk_seeds, batch_format="pyarrow")
+    return bfs_depths(edges, seeds)
+
+
+def _q_weekly_active(sf_dir: str):
+    """Trailing-7-day distinct users per day — WAU
+    (pipelines/analytics.py::weekly_active): sliding DISTINCT via
+    deduped (day, user) pairs fanned out to their windows, one hash
+    dedup + count; shuffles narrow int pairs, never events."""
+    from scrappy_ray.pipelines.analytics import weekly_active
+
+    return weekly_active(_read(sf_dir, "events",
+                               columns=["ts", "user_id"]))
+
+
+def _q_length_gini(sf_dir: str):
+    """Per-source Gini of document length (functions/stats.py::
+    group_gini): sorted-index identity with exact int64 moments —
+    the inequality-of-attention audit."""
+    from scrappy_ray.functions.stats import group_gini
+
+    return group_gini(_read(sf_dir, "documents",
+                            columns=["source", "n_chars"]),
+                      "source", "n_chars")
+
+
+def _q_source_kl(sf_dir: str):
+    """Per-source token-distribution KL vs the corpus
+    (functions/webtext.py::source_kl): exact count tables, distributed
+    token join, 1e-9-quantized int64 term sums so the float total is
+    order-independent — the domain-drift monitor."""
+    from scrappy_ray.functions.webtext import source_kl
+
+    return source_kl(_read(sf_dir, "documents",
+                           columns=["text", "source"]))
+
+
+def _q_bounce_rate(sf_dir: str):
+    """Single-event-session share per day (pipelines/analytics.py::
+    bounce_rate): the 30-min-gap session split shared with
+    session_ids, rolled up by the day each session starts."""
+    from scrappy_ray.pipelines.analytics import bounce_rate
+
+    return bounce_rate(_read(sf_dir, "events",
+                             columns=["event_id", "user_id", "ts"]))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2919,6 +2996,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "redirect_chains": _q_redirect_chains,
         "badwords_filter": _q_badwords_filter,
+        "graph_bfs": _q_graph_bfs,
+        "weekly_active": _q_weekly_active,
+        "length_gini": _q_length_gini,
+        "source_kl": _q_source_kl,
+        "bounce_rate": _q_bounce_rate,
     }
 
 
@@ -3346,6 +3428,92 @@ def _oracle_sql_static() -> dict[str, str]:
                                                 x))) AS nb
                   FROM documents)
             GROUP BY source ORDER BY source
+        """,
+        "graph_bfs": """
+            WITH RECURSIVE m AS (SELECT MAX(doc_id) AS mx FROM documents),
+            e AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst
+              FROM documents, m WHERE doc_id + 1 <= mx
+              UNION ALL
+              SELECT doc_id, doc_id + 4 FROM documents, m
+              WHERE doc_id + 4 <= mx),
+            bfs(v, d) AS (
+              SELECT doc_id, 0 FROM documents WHERE doc_id % 16 = 0
+              UNION
+              SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.v
+              WHERE b.d < 8)
+            SELECT v, CAST(MIN(d) AS BIGINT) AS depth
+            FROM bfs GROUP BY v ORDER BY v
+        """,
+        "weekly_active": """
+            WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000
+                                 AS day, user_id
+                        FROM events),
+            dd AS (SELECT DISTINCT day FROM du)
+            SELECT dd.day AS day,
+                   COUNT(DISTINCT du.user_id)::BIGINT AS wau
+            FROM dd JOIN du ON du.day BETWEEN dd.day - 6 AND dd.day
+            GROUP BY dd.day ORDER BY dd.day
+        """,
+        "length_gini": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS i,
+                     COUNT(*) OVER (PARTITION BY source) AS n,
+                     SUM(n_chars) OVER (PARTITION BY source) AS s
+              FROM documents)
+            SELECT source, MAX(n)::BIGINT AS n,
+                   ROUND(2.0 * SUM(i * n_chars) / (MAX(n) * MAX(s))
+                         - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+            FROM r GROUP BY source ORDER BY source
+        """,
+        "source_kl": """
+            WITH st AS (
+              SELECT source, tok, COUNT(*)::BIGINT AS c
+              FROM (SELECT source, unnest(str_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY source, tok),
+            s AS (SELECT source, SUM(c)::BIGINT AS n
+                  FROM st GROUP BY source),
+            gt AS (SELECT tok, SUM(c)::BIGINT AS gc FROM st GROUP BY tok),
+            g AS (SELECT SUM(c)::DOUBLE AS gn FROM st)
+            SELECT st.source,
+                   ROUND(SUM(CAST(ROUND(
+                       (st.c / CAST(s.n AS DOUBLE))
+                       * log2((st.c / CAST(s.n AS DOUBLE))
+                              / (gt.gc / g.gn)) * 1e9) AS BIGINT))
+                     / 1e9, 6) AS kl_bits
+            FROM st JOIN s USING (source) JOIN gt USING (tok)
+                 CROSS JOIN g
+            GROUP BY st.source ORDER BY st.source
+        """,
+        "bounce_rate": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       AS prev
+              FROM events),
+            s AS (
+              SELECT user_id, t,
+                     SUM(CASE WHEN prev IS NULL
+                              OR t - prev > 1800000000
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o),
+            ses AS (SELECT user_id, sid,
+                           MIN(t) // 86400000000 AS day,
+                           COUNT(*) AS sz
+                    FROM s GROUP BY user_id, sid)
+            SELECT CAST(day AS BIGINT) AS day,
+                   COUNT(*)::BIGINT AS n_sessions,
+                   SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_bounces,
+                   ROUND(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+            FROM ses GROUP BY day ORDER BY day
         """,
         "user_entropy": """
             WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n

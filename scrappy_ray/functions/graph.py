@@ -626,3 +626,70 @@ def resolve_pointers(edges, src: str = "src", dst: str = "dst",
         return batch.rename_columns(["src", "final", "hops"])
 
     return labels.map_batches(final, batch_format="pyarrow").sort("src")
+
+
+def bfs_depths(edges, seeds, src: str = "src", dst: str = "dst",
+               seed_col: str = "v", max_rounds: int = 64,
+               num_partitions: int = 8):
+    """Multi-source BFS over a directed edge Dataset: minimum hop
+    count from ANY seed to every reachable node — the crawl-depth /
+    link-distance primitive (how far is each page from the seed list).
+
+    Classic frontier expansion on the data plane: each round joins the
+    current frontier against the edge table (one all-to-all over
+    O(frontier-adjacent edges)), dedups candidate nodes with a
+    min-depth hash aggregate, and anti-joins against the visited label
+    table so every node is expanded EXACTLY once — total work is
+    O(E + V·rounds) rows shuffled across ≤ diameter rounds. Labels
+    live in the object store; the driver sees only per-round counts.
+    """
+    import ray.data
+
+    from ..common import drop_empty_blocks
+
+    def as_labels(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(seed_col), pa.int64())
+        return pa.table({"v": v, "depth": pa.array(
+            np.zeros(len(v), np.int64))})
+
+    labels = drop_empty_blocks(
+        seeds.map_batches(as_labels, batch_format="pyarrow")).materialize()
+    frontier = labels
+
+    for _ in range(max_rounds):
+        def ren_edge(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "e_src": pc.cast(batch.column(src), pa.int64()),
+                "e_dst": pc.cast(batch.column(dst), pa.int64()),
+            })
+
+        nxt = drop_empty_blocks(frontier).join(
+            drop_empty_blocks(edges.map_batches(ren_edge,
+                                                batch_format="pyarrow")),
+            "inner", num_partitions, on=("v",), right_on=("e_src",))
+        if nxt.count() == 0:
+            break
+
+        def step(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "v": batch.column("e_dst"),
+                "depth": pc.add(batch.column("depth"),
+                                pa.scalar(1, pa.int64())),
+            })
+
+        # min-depth per candidate (a node can arrive from several
+        # frontier parents in the same round), then drop already-
+        # visited nodes
+        cand = (nxt.map_batches(step, batch_format="pyarrow")
+                .groupby("v").min("depth")
+                .map_batches(lambda t: t.rename_columns(["v", "depth"]),
+                             batch_format="pyarrow"))
+        new = drop_empty_blocks(cand).join(
+            drop_empty_blocks(labels), "left_anti", num_partitions,
+            on=("v",)).materialize()
+        if new.count() == 0:
+            break
+        labels = labels.union(new).materialize()
+        frontier = new
+
+    return labels.sort("v")

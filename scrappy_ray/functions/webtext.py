@@ -913,3 +913,80 @@ def badword_stats(ds, words, text_col: str = "text",
         lambda t: t.rename_columns([source_col, "docs", "flagged",
                                     "bad_tokens"]),
         batch_format="pyarrow").sort(source_col)
+
+
+def source_kl(ds, text_col: str = "text", source_col: str = "source",
+              digits: int = 6, num_partitions: int = 8):
+    """Per-source KL divergence (bits) of the token distribution vs
+    the whole corpus — the domain-drift monitor: a source whose
+    language diverges from the corpus mix scores high. Exact counts
+    end to end: per-block (source, token) partials → one hash
+    aggregate; global token counts are a second aggregate over the
+    SAME (vocab-bounded) table, joined back distributed on token.
+    Each term p·log2(p/q) is quantized to 1e-9 and summed as int64 —
+    the float sum is order-independent, so the result hash-matches a
+    SQL oracle computing the identical quantized terms. (q > 0
+    wherever p > 0 because the corpus contains every source.)"""
+    from ray.data.aggregate import Sum
+
+    from ..common import drop_empty_blocks
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(text_col), pa.string())
+        toks = pc.split_pattern(text, " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        srcs = pc.cast(batch.column(source_col), pa.string())
+        t = pa.table({
+            source_col: srcs.take(pa.array(
+                np.repeat(np.arange(len(lens)), lens), pa.int64())),
+            "tok": pc.list_flatten(toks),
+        })
+        g = t.group_by([source_col, "tok"]).aggregate([([], "count_all")])
+        return g.rename_columns([source_col, "tok", "c"])
+
+    st = (ds.map_batches(tok_counts, batch_format="pyarrow")
+          .groupby([source_col, "tok"]).sum("c")
+          .map_batches(lambda t: t.rename_columns([source_col, "tok", "c"]),
+                       batch_format="pyarrow"))
+    st = drop_empty_blocks(st).materialize()
+
+    gt = (st.groupby("tok").sum("c")
+          .map_batches(lambda t: t.rename_columns(["tok", "gc"]),
+                       batch_format="pyarrow"))
+    from ..pipelines.analytics import _to_table
+
+    per_source = _to_table(st.groupby(source_col).sum("c"))
+    n_by_src = {r[source_col]: int(r["sum(c)"])
+                for r in per_source.to_pylist()}
+    gn = float(sum(n_by_src.values()))
+
+    joined = drop_empty_blocks(st).join(
+        drop_empty_blocks(gt), "inner", num_partitions, on=("tok",))
+
+    def terms(batch: pa.Table) -> pa.Table:
+        # per-source totals looked up via dictionary codes — Python
+        # touches O(distinct sources) labels, not O(rows)
+        enc = batch.column(source_col).combine_chunks().dictionary_encode()
+        lut = np.asarray([n_by_src[s] for s in enc.dictionary.to_pylist()],
+                         dtype=np.float64)
+        c = np.asarray(batch.column("c"), dtype=np.float64)
+        gc = np.asarray(batch.column("gc"), dtype=np.float64)
+        n = lut[np.asarray(enc.indices, dtype=np.int64)]
+        p = c / n
+        q = gc / gn
+        term = p * np.log2(p / q)
+        qterm = np.round(term * 1e9).astype(np.int64)
+        return pa.table({source_col: batch.column(source_col),
+                         "qt": pa.array(qterm)})
+
+    out = (joined.map_batches(terms, batch_format="pyarrow")
+           .groupby(source_col).aggregate(Sum("qt", alias_name="qt")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        kl = pc.round(
+            pc.divide(pc.cast(batch.column("qt"), pa.float64()), 1e9),
+            ndigits=digits, round_mode="half_towards_infinity")
+        return pa.table({source_col: batch.column(source_col),
+                         "kl_bits": kl})
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort(source_col)

@@ -839,3 +839,102 @@ def event_gaps(events_ds, user_col: str = "user_id", ts_col: str = "ts",
         gaps, batch_format="pyarrow")
     return group_quantiles(pairs, type_col, "gap_us",
                            [0.5, 0.9, 0.99]).sort(type_col)
+
+
+def weekly_active(events_ds, user_col: str = "user_id",
+                  ts_col: str = "ts", window_days: int = 7):
+    """Trailing-window distinct-user count per day (the WAU metric):
+    for each day present in the data, how many distinct users acted in
+    the ``window_days`` ending that day. Sliding DISTINCT cannot sum
+    daily distincts, so: dedup (day, user) pairs per block, fan each
+    pair out to the ≤7 window-end days it supports (vectorized
+    np.repeat), dedup (window, user) with one hash aggregate, count
+    per window, and semi-filter windows to days that actually exist
+    (broadcast day set — O(days), tiny). Shuffle volume is
+    O(active-days × users × window) narrow int rows, never events."""
+    from ray.data.aggregate import Count
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                    pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))
+        t = pa.table({"day": day,
+                      "user": pc.cast(batch.column(user_col), pa.int64())})
+        return t.group_by(["day", "user"]).aggregate([])
+
+    pairs = events_ds.map_batches(day_pairs, batch_format="pyarrow")
+    pairs = pairs.groupby(["day", "user"]).count().map_batches(
+        lambda t: t.select(["day", "user"]), batch_format="pyarrow")
+
+    days_tbl = _to_table(pairs.groupby("day").count())
+    days = np.sort(np.asarray(pc.cast(days_tbl.column("day"), pa.int64()),
+                              dtype=np.int64))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("day"), dtype=np.int64)
+        u = np.asarray(batch.column("user"), dtype=np.int64)
+        reps = np.full(len(d), window_days, np.int64)
+        w = np.repeat(d, reps) + np.tile(np.arange(window_days,
+                                                   dtype=np.int64), len(d))
+        uu = np.repeat(u, reps)
+        keep = np.isin(w, days)  # vectorized existing-day filter
+        return pa.table({"day": pa.array(w[keep]),
+                         "user": pa.array(uu[keep])})
+
+    wau = (pairs.map_batches(fan_out, batch_format="pyarrow")
+           .groupby(["day", "user"]).count()
+           .map_batches(lambda t: t.select(["day"]),
+                        batch_format="pyarrow")
+           .groupby("day").aggregate(Count(alias_name="wau")))
+    return wau.map_batches(
+        lambda t: t.rename_columns(["day", "wau"]),
+        batch_format="pyarrow").sort("day")
+
+
+def bounce_rate(events_ds, user_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", gap_minutes: int = 30,
+                digits: int = 6):
+    """Single-event-session share per day: sessions (the 30-minute-gap
+    split shared with ``session_ids``) grouped by the day their FIRST
+    event lands on; a bounce is a session with exactly one event. Per
+    user the gap split is one vectorized pass in map_groups emitting
+    O(sessions) rows; the day rollup shuffles session stubs only."""
+
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        t = np.asarray(pc.cast(pc.cast(g.column(ts_col), pa.timestamp("us")),
+                               pa.int64()), dtype=np.int64)
+        new = np.ones(len(t), dtype=bool)
+        if len(t) > 1:
+            new[1:] = np.diff(t) > gap_us
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(t)])
+        day = t[starts] // 86_400_000_000
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "n_sessions": pa.array(np.ones(len(starts), np.int64)),
+            "n_bounces": pa.array((sizes == 1).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    per_day = (events_ds.groupby(user_col)
+               .map_groups(sessions, batch_format="pyarrow")
+               .groupby("day")
+               .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                          Sum("n_bounces", alias_name="n_bounces")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rate = pc.round(
+            pc.divide(pc.cast(batch.column("n_bounces"), pa.float64()),
+                      pc.cast(batch.column("n_sessions"), pa.float64())),
+            ndigits=digits, round_mode="half_towards_infinity")
+        return pa.table({"day": batch.column("day"),
+                         "n_sessions": batch.column("n_sessions"),
+                         "n_bounces": batch.column("n_bounces"),
+                         "bounce_rate": rate})
+
+    return per_day.map_batches(finalize, batch_format="pyarrow").sort("day")

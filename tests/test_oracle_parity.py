@@ -44,6 +44,8 @@ FAST_QUERIES = [
     "type_cooccurrence", "rfm_customers", "dup_rate_by_source", "late_events", "json_field_stats", "embedding_dim_stats", "chi_square", "daily_change", "dedup_best", "orc_roundtrip", "rolling_median", "longest_streak", "winsorize", "user_entropy", "conversion_time", "tpch_q3", "tpch_q5",
     "type_sequences", "full_outer_daily", "event_gaps", "redirect_chains",
     "badwords_filter",
+    "graph_bfs", "weekly_active", "length_gini", "source_kl",
+    "bounce_rate",
 ]
 
 

@@ -932,3 +932,87 @@ def test_type_sequences_order(ray_session):
     })
     out = _tt(type_sequences(ray.data.from_arrow(tbl)))
     assert out.to_pylist() == [{"user_id": 7, "type_seq": "a,b,c", "n": 3}]
+
+
+def test_bfs_depths_min_over_sources(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.graph import bfs_depths
+
+    # seeds {0, 10}; 0→1→2→3, 10→3 — node 3 must take the 1-hop path
+    edges = pa.table({"src": pa.array([0, 1, 2, 10], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 3], pa.int64())})
+    seeds = pa.table({"v": pa.array([0, 10], pa.int64())})
+    out = _tt(bfs_depths(ray.data.from_arrow(edges),
+                         ray.data.from_arrow(seeds)))
+    got = {r["v"]: r["depth"] for r in out.to_pylist()}
+    assert got == {0: 0, 10: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_weekly_active_sliding_distinct(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import weekly_active
+
+    day = 86_400_000_000
+    # user 1 on days 0 and 2; user 2 on day 2 — WAU(0)=1, WAU(2)=2;
+    # day 1 absent from data ⇒ no row for it
+    tbl = pa.table({
+        "ts": pa.array([0, 2 * day, 2 * day + 5], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+    })
+    out = _tt(weekly_active(ray.data.from_arrow(tbl)))
+    assert out.to_pylist() == [{"day": 0, "wau": 1}, {"day": 2, "wau": 2}]
+
+
+def test_group_gini_extremes(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.stats import group_gini
+
+    tbl = pa.table({
+        "source": pa.array(["eq"] * 4 + ["uneq"] * 4),
+        "v": pa.array([5, 5, 5, 5, 0, 0, 0, 100], pa.int64()),
+    })
+    out = _tt(group_gini(ray.data.from_arrow(tbl), "source", "v"))
+    rows = {r["source"]: r["gini"] for r in out.to_pylist()}
+    assert rows["eq"] == 0.0
+    assert rows["uneq"] == 0.75  # one holder of everything among 4
+
+
+def test_source_kl_identical_distribution_is_zero(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.webtext import source_kl
+
+    # both sources have the exact same token distribution → corpus
+    # distribution equals each source's → KL = 0 for both
+    tbl = pa.table({
+        "text": pa.array(["a a b", "a a b"]),
+        "source": pa.array(["s1", "s2"]),
+    })
+    out = _tt(source_kl(ray.data.from_arrow(tbl)))
+    assert [r["kl_bits"] for r in out.to_pylist()] == [0.0, 0.0]
+
+
+def test_bounce_rate_known_sessions(ray_session):
+    import ray.data
+
+    from scrappy_ray.pipelines.analytics import bounce_rate
+
+    day = 86_400_000_000
+    hour = 3_600_000_000
+    # user 1: two events 5 min apart on day 0 (one session, not a
+    # bounce); user 2: one event day 0 (bounce) + one event day 1
+    # after a >30-min gap (second session, bounce)
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([0, 300_000_000, 2 * hour, day + hour],
+                       pa.timestamp("us")),
+    })
+    out = _tt(bounce_rate(ray.data.from_arrow(tbl)))
+    rows = {r["day"]: r for r in out.to_pylist()}
+    assert rows[0]["n_sessions"] == 2 and rows[0]["n_bounces"] == 1
+    assert rows[0]["bounce_rate"] == 0.5
+    assert rows[1]["n_sessions"] == 1 and rows[1]["n_bounces"] == 1
