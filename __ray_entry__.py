@@ -2674,6 +2674,164 @@ def _q_tpch_q5(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow").sort("n_name")
 
 
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): per-order quantity sums
+    via per-block partial aggregates (the one O(orders) shuffle Q18
+    inherently needs), HAVING-filter BEFORE any join so only the tiny
+    qualifying set (threshold-bounded by construction) is gathered and
+    broadcast back over orders; customer names resolved from a
+    broadcast dim. No order row ever crosses a second shuffle."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "q": pc.cast(batch.column("l_quantity"), pa.int64()),
+        })
+        return t.group_by(["l_orderkey"]).aggregate(
+            [("q", "sum")]).rename_columns(["l_orderkey", "q"])
+
+    sums = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_orderkey").sum("q")
+            .map_batches(lambda t: t.rename_columns(["l_orderkey", "q"])
+                         .filter(pc.greater(t.column(1), 250)),
+                         batch_format="pyarrow"))
+    big = _to_table(sums)  # ≤ the HAVING-qualifying orders: tiny
+    okeys = big.column("l_orderkey").combine_chunks()
+    oqty = np.asarray(big.column("q"), dtype=np.int64)
+
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ckeys = cust.column("c_custkey").combine_chunks()
+    cnames = np.asarray(cust.column("c_name").to_pylist(), dtype=object)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        oi = np.asarray(pc.fill_null(pc.index_in(
+            batch.column("o_orderkey"), value_set=okeys), -1).cast(
+                pa.int64()), dtype=np.int64)
+        b = batch.filter(pa.array(oi >= 0))
+        if b.num_rows == 0:
+            return pa.table({
+                "c_name": pa.array([], pa.string()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_totalprice": pa.array([], pa.float64()),
+                "sum_qty": pa.array([], pa.int64()),
+            })
+        oi = oi[oi >= 0]
+        ci = np.asarray(pc.cast(pc.index_in(
+            b.column("o_custkey"), value_set=ckeys), pa.int64()),
+            dtype=np.int64)
+        return pa.table({
+            "c_name": pa.array(cnames[ci], pa.string()),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_orderdate": pc.cast(b.column("o_orderdate"),
+                                   pa.timestamp("us")),
+            "o_totalprice": pc.cast(b.column("o_totalprice"), pa.float64()),
+            "sum_qty": pa.array(oqty[oi], pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    out = _to_table(orders.map_batches(pick, batch_format="pyarrow"))
+    return out.sort_by([("o_totalprice", "descending"),
+                        ("o_orderkey", "ascending")]).slice(0, 100)
+
+
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join + aggregate): orders with at
+    least one returned lineitem, counted per priority. The matching
+    orderkey set is ~half the orders — far too big to broadcast — so:
+    block-local dedup of filtered lineitem keys, one hash-distinct
+    shuffle, a distributed inner join against a 2-column orders
+    projection (semi-join via pre-distincted keys), then per-block
+    partial priority counts into an O(priorities) groupby."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.common import drop_empty_blocks
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def rkeys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        return (t.select(["l_orderkey"])
+                .group_by(["l_orderkey"]).aggregate([]))
+
+    keys = (li.map_batches(rkeys, batch_format="pyarrow")
+            .groupby("l_orderkey").count()
+            .map_batches(lambda t: t.select(["l_orderkey"]),
+                         batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(keys).join(drop_empty_blocks(orders),
+                                          "inner", 8, on=("l_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "c"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority").sum("c"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["o_orderpriority", "order_count"]),
+        batch_format="pyarrow").sort("o_orderpriority")
+
+
+def _q_group_linreg(sf_dir: str):
+    """Per-source OLS fit of n_tokens on n_chars (functions/stats.py::
+    group_linreg): exact int64 moment partials per batch, O(sources)
+    shuffle, slope/intercept/R² float math once in oracle op order."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.stats import group_linreg
+
+    ds = _read(sf_dir, "documents", columns=["source", "text", "n_chars"])
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(
+            pc.split_pattern(pc.cast(batch.column("text"), pa.string()), " "))
+        return pa.table({
+            "source": batch.column("source"),
+            "n_chars": batch.column("n_chars"),
+            "n_tokens": pc.cast(nt, pa.int64()),
+        })
+
+    return group_linreg(ds.map_batches(with_tokens, batch_format="pyarrow"),
+                        "source", "n_chars", "n_tokens", digits=6)
+
+
+def _q_autocorr(sf_dir: str):
+    """Lag-1 value autocorrelation per (event_type, day)
+    (pipelines/analytics.py::lag1_autocorr): day-bounded map_groups,
+    exact cents-quantized integer moments, one float pass per group."""
+    from scrappy_ray.pipelines.analytics import lag1_autocorr
+
+    return lag1_autocorr(_read(sf_dir, "events",
+                               columns=["event_id", "ts", "event_type",
+                                        "value"]))
+
+
+def _q_skyline(sf_dir: str):
+    """Pareto frontier of parts — cheapest price for the largest size
+    (pipelines/relational.py::skyline): per-block vectorized local
+    frontier, tiny union gathered once, one final pass; driver memory
+    O(frontier) regardless of table size."""
+    from scrappy_ray.pipelines.relational import skyline
+
+    out = skyline(_read(sf_dir, "part",
+                        columns=["p_partkey", "p_retailprice", "p_size"]),
+                  "p_retailprice", "p_size")
+    return out.sort_by([("p_partkey", "ascending")])
+
+
 def _q_type_sequences(sf_dir: str):
     """Per-user ordered event-type trajectory (pipelines/analytics.py::
     type_sequences): the SQL string_agg(... ORDER BY) shape as one
@@ -3001,6 +3159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_gini": _q_length_gini,
         "source_kl": _q_source_kl,
         "bounce_rate": _q_bounce_rate,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q4": _q_tpch_q4,
+        "group_linreg": _q_group_linreg,
+        "autocorr": _q_autocorr,
+        "skyline": _q_skyline,
     }
 
 
@@ -3514,6 +3677,92 @@ def _oracle_sql_static() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
                          / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
             FROM ses GROUP BY day ORDER BY day
+        """,
+        "tpch_q18": """
+            WITH s AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, s.sum_qty
+            FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "group_linreg": """
+            WITH d AS (
+              SELECT source, n_chars AS x,
+                     len(string_split(text, ' ')) AS y
+              FROM documents),
+            m AS (SELECT source, COUNT(*)::BIGINT AS n,
+                         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                         SUM(x*x)::BIGINT AS sxx, SUM(y*y)::BIGINT AS syy,
+                         SUM(x*y)::BIGINT AS sxy
+                  FROM d GROUP BY source)
+            SELECT source, n,
+                   ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                   ROUND(CAST(sy AS DOUBLE)/n
+                         - (CAST(n*sxy - sx*sy AS DOUBLE)
+                            / CAST(n*sxx - sx*sx AS DOUBLE))
+                           * (CAST(sx AS DOUBLE)/n), 6) AS intercept,
+                   CASE WHEN n*syy - sy*sy > 0 THEN
+                     ROUND((CAST(n*sxy - sx*sy AS DOUBLE)
+                            * CAST(n*sxy - sx*sy AS DOUBLE))
+                           / (CAST(n*sxx - sx*sx AS DOUBLE)
+                              * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                   END AS r2
+            FROM m WHERE n*sxx - sx*sx > 0
+            ORDER BY source
+        """,
+        "autocorr": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                       AS q,
+                     ts, event_id
+              FROM events),
+            l AS (
+              SELECT event_type, day, q AS y,
+                     LAG(q) OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS x
+              FROM e),
+            p AS (SELECT event_type, day, x, y FROM l WHERE x IS NOT NULL),
+            m AS (SELECT event_type, day, COUNT(*)::BIGINT AS n,
+                         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                         SUM(x*x)::BIGINT AS sxx, SUM(y*y)::BIGINT AS syy,
+                         SUM(x*y)::BIGINT AS sxy
+                  FROM p GROUP BY event_type, day)
+            SELECT event_type, CAST(day AS BIGINT) AS day,
+                   n AS n_pairs,
+                   ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                     AS autocorr
+            FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+            ORDER BY event_type, day
+        """,
+        "skyline": """
+            SELECT p.p_partkey, p.p_retailprice, p.p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice
+                AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice
+                     OR q.p_size > p.p_size))
+            ORDER BY p.p_partkey
         """,
         "user_entropy": """
             WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n

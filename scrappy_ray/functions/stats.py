@@ -220,6 +220,72 @@ def group_corr(ds, group_col: str, x_col: str, y_col: str,
     }).sort_by([(group_col, "ascending")])
 
 
+# ------------------------------------------------------ grouped OLS regression
+
+
+def group_linreg(ds, group_col: str, x_col: str, y_col: str,
+                 digits: int = 6):
+    """Per-group ordinary-least-squares fit y = slope·x + intercept of
+    two INTEGER columns, plus R², via the same exact-int64-moment
+    discipline as :func:`group_corr` (the two share a moment table; the
+    extra cost over corr is zero shuffle bytes). Formulas run once on
+    the O(groups) aggregate in oracle operation order:
+
+        slope     = (nΣxy − ΣxΣy) / double(nΣx² − ΣxΣx)
+        intercept = Σy/n − slope·(Σx/n)
+        r2        = (nΣxy − ΣxΣy)² / (double(nΣx²−ΣxΣx)·double(nΣy²−ΣyΣy))
+
+    Groups with zero x-variance are dropped (slope undefined, matching
+    the SQL oracle's WHERE n·Σx²−ΣxΣx > 0 guard); zero y-variance keeps
+    slope/intercept but nulls r2."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.int64())
+        y = pc.cast(batch.column(y_col), pa.int64())
+        t = pa.table({
+            group_col: batch.column(group_col),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        g = t.group_by([group_col]).aggregate(
+            [(c, "sum") for c in ("one", "sx", "sy", "sxx", "syy", "sxy")])
+        return g.rename_columns([group_col, "n", "sx", "sy", "sxx", "syy",
+                                 "sxy"])
+
+    agg = _to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col).sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    ).rename_columns([group_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    n = np.asarray(agg.column("n"), dtype=np.int64)
+    sx = np.asarray(agg.column("sx"), dtype=np.int64)
+    sy = np.asarray(agg.column("sy"), dtype=np.int64)
+    sxx = np.asarray(agg.column("sxx"), dtype=np.int64)
+    syy = np.asarray(agg.column("syy"), dtype=np.int64)
+    sxy = np.asarray(agg.column("sxy"), dtype=np.int64)
+    num = (n * sxy - sx * sy).astype(np.float64)
+    vx = (n * sxx - sx * sx).astype(np.float64)
+    vy = (n * syy - sy * sy).astype(np.float64)
+    keep = vx > 0
+    agg, n, sx, sy = agg.filter(pa.array(keep)), n[keep], sx[keep], sy[keep]
+    num, vx, vy = num[keep], vx[keep], vy[keep]
+    slope = num / vx
+    intercept = sy.astype(np.float64) / n - slope * (sx.astype(np.float64) / n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r2 = np.where(vy > 0, (num * num) / (vx * vy), np.nan)
+    return pa.table({
+        group_col: agg.column(group_col),
+        "n": pa.array(n, pa.int64()),
+        "slope": _round_half_away(pa.array(slope, pa.float64()), digits),
+        "intercept": _round_half_away(pa.array(intercept, pa.float64()),
+                                      digits),
+        "r2": _round_half_away(pa.array(r2, pa.float64(), mask=~(vy > 0)),
+                               digits),
+    }).sort_by([(group_col, "ascending")])
+
+
 # ----------------------------------------------------------- z-score outliers
 
 

@@ -14,6 +14,8 @@ never drift from the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -839,6 +841,87 @@ def event_gaps(events_ds, user_col: str = "user_id", ts_col: str = "ts",
         gaps, batch_format="pyarrow")
     return group_quantiles(pairs, type_col, "gap_us",
                            [0.5, 0.9, 0.99]).sort(type_col)
+
+
+def lag1_autocorr(events_ds, type_col: str = "event_type",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value", digits: int = 6):
+    """Lag-1 autocorrelation of the value stream per (type, day): for
+    each (event_type, UTC day) the Pearson correlation between
+    consecutive values in (ts, id) order — the standard signal for
+    "is this metric a random walk or mean-reverting today".
+
+    Day-bounded grouping is the scale contract: a (type, day) group is
+    O(one day's traffic for one type), so the whole group fits one
+    ``map_groups`` task at any corpus size (a per-type-only grouping
+    would concentrate the full history of a hot type in one task).
+    Values are quantized to exact int64 cents (ROUND(value·100), half
+    away from zero — mirrored in the oracle SQL) so the moment sums
+    (n, Σx, Σy, Σx², Σy², Σxy) are integer-exact and order-free; the
+    correlation float math runs once per group, single-threaded, in
+    oracle operation order. Groups with <2 events or zero variance on
+    either side are dropped (matching the oracle's variance guard).
+    Moment magnitudes: cents ≤ ~5e6 ⇒ x² ≤ 2.5e13; n·Σx² stays inside
+    int64 for day-groups up to ~10⁸ rows — beyond that, shard days
+    into hour buckets upstream."""
+
+    def with_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        q = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column(value_col), pa.float64()),
+            pa.scalar(100.0)), round_mode="half_towards_infinity"),
+            pa.int64())
+        return pa.table({
+            type_col: batch.column(type_col),
+            "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+            ts_col: batch.column(ts_col),
+            id_col: batch.column(id_col),
+            "q": q,
+        })
+
+    def per_group(group: pa.Table) -> pa.Table:
+        empty = pa.table({type_col: pa.array([], pa.string()),
+                          "day": pa.array([], pa.int64()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "autocorr": pa.array([], pa.float64())})
+        if group.num_rows < 2:
+            return empty
+        g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        q = np.asarray(pc.cast(g.column("q"), pa.int64()), dtype=np.int64)
+        x, y = q[:-1], q[1:]
+        n = int(len(x))
+        sx, sy = int(x.sum()), int(y.sum())
+        # Python-int moment products: immune to the one-hot-day int64
+        # edge the docstring bounds describe
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return empty
+        r = float(num) / math.sqrt(float(vx) * float(vy))
+        return pa.table({
+            type_col: pa.array([g.column(type_col)[0].as_py()], pa.string()),
+            "day": pa.array([g.column("day")[0].as_py()], pa.int64()),
+            "n_pairs": pa.array([n], pa.int64()),
+            "autocorr": pa.array([r], pa.float64()),
+        })
+
+    out = (events_ds.map_batches(with_day, batch_format="pyarrow")
+           .groupby([type_col, "day"])
+           .map_groups(per_group, batch_format="pyarrow"))
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("autocorr"), "autocorr",
+            pc.round(t.column("autocorr"), ndigits=digits,
+                     round_mode="half_towards_infinity"))
+
+    return _to_table(out.map_batches(final, batch_format="pyarrow")).sort_by(
+        [(type_col, "ascending"), ("day", "ascending")])
 
 
 def weekly_active(events_ds, user_col: str = "user_id",

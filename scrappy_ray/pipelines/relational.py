@@ -657,3 +657,47 @@ def longest_streak(ds, key_col: str, order_col: str, value_col: str,
         })
 
     return ds.groupby(key_col).map_groups(streak, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- skyline
+
+
+def _skyline_filter(t: pa.Table, min_col: str, max_col: str) -> pa.Table:
+    """Rows of ``t`` on the 2-objective Pareto frontier (minimize
+    ``min_col``, maximize ``max_col``) under SQL NOT-EXISTS dominance:
+    p is dropped iff some q has q.min ≤ p.min AND q.max ≥ p.max with at
+    least one strict — exact duplicates of a frontier point all stay.
+    One lexsort + two vectorized prefix passes, no pairwise loop."""
+    if t.num_rows == 0:
+        return t
+    lo = np.asarray(pc.cast(t.column(min_col), pa.float64()),
+                    dtype=np.float64)
+    hi = np.asarray(pc.cast(t.column(max_col), pa.float64()),
+                    dtype=np.float64)
+    order = np.lexsort((-hi, lo))           # min_col asc, max_col desc
+    lo_s, hi_s = lo[order], hi[order]
+    new_grp = np.r_[True, lo_s[1:] != lo_s[:-1]]
+    gmax = hi_s[new_grp]                    # per-min-value best max
+    gidx = np.cumsum(new_grp) - 1
+    # best max among STRICTLY smaller min values (dominates at ≥)
+    strict = np.r_[-np.inf, np.maximum.accumulate(gmax)[:-1]]
+    dominated = (strict[gidx] >= hi_s) | (hi_s < gmax[gidx])
+    keep_idx = np.sort(order[~dominated])
+    return t.take(pa.array(keep_idx, pa.int64()))
+
+
+def skyline(ds, min_col: str, max_col: str):
+    """Distributed 2-objective skyline. The global frontier is a subset
+    of the union of per-block frontiers (a point dominated only by a
+    point in another block is still undominated inside its own block —
+    so local filtering never drops a global-frontier point), so: one
+    streaming local-skyline pass per block, gather the tiny union, one
+    final pass. Driver memory is O(frontier), never O(rows); at 100 TB
+    the gather is bounded by the frontier size of each block, which the
+    local pass has already cut to the blocks' own Pareto sets."""
+    from .analytics import _to_table
+
+    local = ds.map_batches(
+        lambda b: _skyline_filter(b, min_col, max_col),
+        batch_format="pyarrow")
+    return _skyline_filter(_to_table(local), min_col, max_col)

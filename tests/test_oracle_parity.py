@@ -46,6 +46,7 @@ FAST_QUERIES = [
     "badwords_filter",
     "graph_bfs", "weekly_active", "length_gini", "source_kl",
     "bounce_rate",
+    "tpch_q18", "tpch_q4", "group_linreg", "autocorr", "skyline",
 ]
 
 
