@@ -517,9 +517,16 @@ def bloom_semi_join(big_ds, big_key: str, small_ds, small_key: str,
 
     survivors = big_ds.map_batches(prefilter, batch_format="pyarrow")
     # exact confirm: inner join against the DISTINCT key table is a
-    # semi-join (each survivor matches at most one key row)
-    return survivors.join(keys_ds, join_type="inner",
-                          num_partitions=num_partitions, on=(big_key,))
+    # semi-join (each survivor matches at most one key row). BOTH sides
+    # empty-block-guarded: at larger sf / higher parallelism the
+    # prefilter leaves 0-row survivor blocks and the distinct-key
+    # groupby emits schema-less empty partitions, either of which trips
+    # the Ray 2.49 acero key-resolution defect.
+    from ..common import drop_empty_blocks
+
+    return drop_empty_blocks(survivors).join(
+        drop_empty_blocks(keys_ds), join_type="inner",
+        num_partitions=num_partitions, on=(big_key,))
 
 
 def first_last_per_group(ds, group_col: str, order_cols: list[str],
