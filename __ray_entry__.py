@@ -2978,6 +2978,59 @@ def _q_bounce_rate(sf_dir: str):
                              columns=["event_id", "user_id", "ts"]))
 
 
+def _q_component_sizes(sf_dir: str):
+    """Connected-component sizes (functions/graph.py::component_sizes):
+    distributed min-label propagation (the Kiveris-et-al. MapReduce CC
+    reused from the dedup family) over a synthetic two-rail graph
+    (doc_id → +1 within each 10-block, plus a +10 bridge per 20-block)
+    so every component needs multi-round label merging; edge-less
+    nodes coalesce to singletons via a left-outer join."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.graph import component_sizes
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = np.asarray(pc.cast(batch.column("doc_id"), pa.int64()))
+        chain = d[d % 10 != 9]
+        bridge = d[d % 20 == 0]
+        return pa.table({
+            "src": pa.array(np.concatenate([chain, bridge]), pa.int64()),
+            "dst": pa.array(np.concatenate([chain + 1, bridge + 10]),
+                            pa.int64()),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return component_sizes(edges, docs, node_col="doc_id")
+
+
+def _q_weighted_median(sf_dir: str):
+    """Exact per-group weighted median (functions/stats.py::
+    weighted_median): block-local (group, value)→Σw collapse so the
+    shuffle moves O(distinct values), then a per-group cumsum pick —
+    integer 2·cum ≥ tot, no float compare."""
+    from scrappy_ray.functions.stats import weighted_median
+
+    return weighted_median(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_linenumber"]),
+        "l_returnflag", "l_quantity", "l_linenumber")
+
+
+def _q_last_touch(sf_dir: str):
+    """Last-touch attribution for purchases (pipelines/analytics.py::
+    last_touch): per-user LAG as a vectorized shift inside map_groups,
+    pre-counted per group, O(event types) final rollup."""
+    from scrappy_ray.pipelines.analytics import last_touch
+
+    return last_touch(_read(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type"]))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3164,6 +3217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_linreg": _q_group_linreg,
         "autocorr": _q_autocorr,
         "skyline": _q_skyline,
+        "component_sizes": _q_component_sizes,
+        "weighted_median": _q_weighted_median,
+        "last_touch": _q_last_touch,
     }
 
 
@@ -4947,5 +5003,33 @@ def _oracle_sql_static() -> dict[str, str]:
                      ) AS INTEGER) AS rank
               FROM q, embeddings e WHERE e.vec_id <> q.qid
             ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "component_sizes": """
+            SELECT (doc_id // 20) * 20 AS root, COUNT(*)::BIGINT AS size
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "weighted_median": """
+            WITH c AS (SELECT l_returnflag, l_quantity AS v,
+                              SUM(l_linenumber)::BIGINT AS w
+                       FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT l_returnflag, v,
+                         SUM(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY v) AS cum,
+                         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+                  FROM c)
+            SELECT l_returnflag, MIN(v) AS wmedian
+            FROM r WHERE 2 * cum >= tot
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "last_touch": """
+            WITH o AS (SELECT user_id, event_type,
+                              LAG(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_type
+                       FROM events)
+            SELECT prev_type, COUNT(*)::BIGINT AS n
+            FROM o WHERE event_type = 'purchase'
+                    AND prev_type IS NOT NULL
+            GROUP BY prev_type ORDER BY prev_type
         """,
     }

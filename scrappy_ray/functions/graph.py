@@ -693,3 +693,40 @@ def bfs_depths(edges, seeds, src: str = "src", dst: str = "dst",
         frontier = new
 
     return labels.sort("v")
+
+
+def component_sizes(edges, nodes, node_col: str = "doc_id",
+                    src: str = "src", dst: str = "dst",
+                    num_partitions: int = 8):
+    """Connected-component sizes of an undirected graph: reuses the
+    distributed min-label propagation from the dedup family
+    (functions/dedup.py::connected_components_distributed — Kiveris et
+    al.'s MapReduce CC as join + union + groupby-Min; converges in
+    O(component diameter) rounds, every step a Dataset op). Nodes that
+    appear in no edge become their own singleton component via a
+    left-outer join (coalesce root ← id) — the node table streams, the
+    label table shuffles O(nodes), nothing gathers to the driver.
+    Returns an O(components) table (root, size) sorted by root."""
+    from .dedup import connected_components_distributed
+
+    pairs = edges.map_batches(
+        lambda t: pa.table({"id_a": t.column(src), "id_b": t.column(dst)}),
+        batch_format="pyarrow")
+    labels = connected_components_distributed(pairs)
+    nds = nodes.map_batches(
+        lambda t: pa.table({"id": pc.cast(t.column(node_col), pa.int64())}),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(nds).join(
+        drop_empty_blocks(labels), "left_outer", num_partitions,
+        on=("id",))
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        root = pc.coalesce(pc.cast(batch.column("root"), pa.int64()),
+                           pc.cast(batch.column("id"), pa.int64()))
+        return pa.table({"root": root})
+
+    sizes = (joined.map_batches(coalesce, batch_format="pyarrow")
+             .groupby("root").count())
+    return sizes.map_batches(
+        lambda t: t.rename_columns(["root", "size"]),
+        batch_format="pyarrow").sort("root")

@@ -672,3 +672,45 @@ def group_gini(ds, group_col: str, value_col: str, digits: int = 6):
 
     return (ds.groupby(group_col).map_groups(gini, batch_format="pyarrow")
             .sort(group_col))
+
+
+# ------------------------------------------------------------ weighted median
+
+
+def weighted_median(ds, group_col: str, value_col: str, weight_col: str):
+    """Exact per-group weighted median: the smallest value v whose
+    cumulative weight reaches half the group's total (2·cum ≥ tot —
+    integer arithmetic, no float compare). Weights collapse to one
+    (group, value) → Σweight row per block before the shuffle, so the
+    wide step moves O(distinct values per group), not O(rows); the
+    final cumsum-and-pick runs per group over that collapsed table.
+    Values are compared, never added, so doubles stay exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            group_col: batch.column(group_col),
+            "v": batch.column(value_col),
+            "w": pc.cast(batch.column(weight_col), pa.int64()),
+        })
+        g = t.group_by([group_col, "v"]).aggregate([("w", "sum")])
+        return g.rename_columns([group_col, "v", "w"])
+
+    collapsed = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby([group_col, "v"]).sum("w")
+                 .map_batches(lambda t: t.rename_columns(
+                     [group_col, "v", "w"]), batch_format="pyarrow"))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("v", "ascending")])
+        w = np.asarray(pc.cast(g.column("w"), pa.int64()), dtype=np.int64)
+        cum = np.cumsum(w)
+        i = int(np.searchsorted(2 * cum, cum[-1], side="left"))
+        return pa.table({
+            group_col: g.column(group_col).slice(0, 1),
+            "wmedian": g.column("v").slice(i, 1),
+        })
+
+    from ..pipelines.analytics import _to_table
+
+    return _to_table(collapsed.groupby(group_col).map_groups(
+        pick, batch_format="pyarrow")).sort_by([(group_col, "ascending")])

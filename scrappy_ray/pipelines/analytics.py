@@ -924,6 +924,40 @@ def lag1_autocorr(events_ds, type_col: str = "event_type",
         [(type_col, "ascending"), ("day", "ascending")])
 
 
+def last_touch(events_ds, target_type: str = "purchase",
+               user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", id_col: str = "event_id"):
+    """Last-touch attribution: for every ``target_type`` event with a
+    predecessor in its user's (ts, id)-ordered stream, credit the
+    immediately preceding event's type; return (prev_type, n) counts.
+    The LAG runs as a vectorized shift inside per-user ``map_groups``
+    (O(user stream) in, O(targets) narrow rows out, pre-counted per
+    group before the O(types) final groupby)."""
+
+    def credit(group: pa.Table) -> pa.Table:
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        ty = pc.cast(g.column(type_col), pa.string()).combine_chunks()
+        cur = ty.slice(1)
+        hit = pc.equal(cur, target_type)
+        prev = ty.slice(0, len(ty) - 1).filter(hit)
+        if len(prev) == 0:
+            return empty
+        t = pa.table({"prev_type": prev})
+        return (t.group_by(["prev_type"]).aggregate([([], "count_all")])
+                .rename_columns(["prev_type", "n"]))
+
+    out = (events_ds.groupby(user_col)
+           .map_groups(credit, batch_format="pyarrow")
+           .groupby("prev_type").sum("n"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["prev_type", "n"]),
+        batch_format="pyarrow").sort("prev_type")
+
+
 def weekly_active(events_ds, user_col: str = "user_id",
                   ts_col: str = "ts", window_days: int = 7):
     """Trailing-window distinct-user count per day (the WAU metric):
