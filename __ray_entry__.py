@@ -3031,6 +3031,46 @@ def _q_last_touch(sf_dir: str):
         columns=["event_id", "user_id", "ts", "event_type"]))
 
 
+def _q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape — cheapest supplier per part (pipelines/
+    relational.py::argmin_per_group): per-block one-candidate-per-group
+    cut (O(groups × blocks) rows shuffle, never the fact rows), final
+    per-group pick, then an O(parts) ⋈ supplier hash join for the
+    name; both join sides empty-block-guarded."""
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.relational import argmin_per_group
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    am = argmin_per_group(li, "l_partkey",
+                          ["l_extendedprice", "l_suppkey"],
+                          ["l_suppkey", "l_extendedprice"])
+    am = am.map_batches(
+        lambda t: t.rename_columns(["l_partkey", "s_suppkey",
+                                    "min_price"]),
+        batch_format="pyarrow")
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = drop_empty_blocks(am).join(drop_empty_blocks(sup), "inner", 8,
+                                     on=("s_suppkey",))
+    return out.sort("l_partkey")
+
+
+def _q_revenue_share(sf_dir: str):
+    """Revenue ratio-to-total per ship month (pipelines/relational.py::
+    revenue_share): exact cents²-int64 block partials, one O(months)
+    groupby, share computed on the gathered tiny table — the
+    SUM/SUM-OVER() window without a second pass."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.relational import revenue_share
+
+    return revenue_share(
+        _read(sf_dir, "lineitem",
+              columns=["l_shipdate", "l_extendedprice", "l_discount"]),
+        lambda b: pc.strftime(b.column("l_shipdate"), "%Y-%m"),
+        "ship_month")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3220,6 +3260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "weighted_median": _q_weighted_median,
         "last_touch": _q_last_touch,
+        "cheapest_supplier": _q_cheapest_supplier,
+        "revenue_share": _q_revenue_share,
     }
 
 
@@ -5031,5 +5073,28 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM o WHERE event_type = 'purchase'
                     AND prev_type IS NOT NULL
             GROUP BY prev_type ORDER BY prev_type
+        """,
+        "cheapest_supplier": """
+            WITH r AS (SELECT l_partkey, l_suppkey, l_extendedprice,
+                              ROW_NUMBER() OVER (
+                                PARTITION BY l_partkey
+                                ORDER BY l_extendedprice, l_suppkey
+                              ) AS rn
+                       FROM lineitem)
+            SELECT r.l_partkey, r.l_suppkey AS s_suppkey,
+                   r.l_extendedprice AS min_price, s.s_name
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE rn = 1 ORDER BY l_partkey
+        """,
+        "revenue_share": """
+            WITH g AS (
+              SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                       AS r
+              FROM lineitem GROUP BY 1)
+            SELECT ship_month, ROUND(r / 10000.0, 2) AS revenue,
+                   ROUND(r / SUM(r) OVER (), 6) AS share
+            FROM g ORDER BY ship_month
         """,
     }

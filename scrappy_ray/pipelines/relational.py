@@ -708,3 +708,74 @@ def skyline(ds, min_col: str, max_col: str):
         lambda b: _skyline_filter(b, min_col, max_col),
         batch_format="pyarrow")
     return _skyline_filter(_to_table(local), min_col, max_col)
+
+
+def argmin_per_group(ds, group_col: str, order_cols: list[str],
+                     carry_cols: list[str]):
+    """Join-free per-group ARGMIN: the ``carry_cols`` of each group's
+    first row under the (order_cols) total order — the TPC-H Q2 /
+    "cheapest supplier per part" shape without a window shuffle. Each
+    block contributes one candidate row per group it sees (O(groups ×
+    blocks) rows cross the wire, never the fact rows); the identical
+    cut re-runs per group in map_groups. order_cols must be a TOTAL
+    order (include an id tiebreaker) or the pick is nondeterministic."""
+    keys = [(c, "ascending") for c in order_cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by([(group_col, "ascending")] + keys)
+        g = t.column(group_col)
+        codes = np.asarray(pc.dictionary_encode(
+            g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        ).indices)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        return t.take(pa.array(starts, pa.int64()))
+
+    def cut(group: pa.Table) -> pa.Table:
+        g = group.sort_by(keys)
+        return g.select([group_col] + carry_cols).slice(0, 1)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(cut, batch_format="pyarrow"))
+
+
+def revenue_share(ds, group_fn, group_name: str,
+                  price_col: str = "l_extendedprice",
+                  disc_col: str = "l_discount", digits: int = 6):
+    """Ratio-to-total revenue per group (the SUM(x)/SUM(x) OVER ()
+    window shape): one block-local partial sum in exact cents²-int64
+    (price·100 × (1−disc)·100 both integers, so the distributed sum is
+    order-independent; overflows int64 only past ~10^9 rows per group —
+    switch the partial to a (hi,lo) split pair before that), one
+    O(groups) groupby, and the share computed on the gathered tiny
+    table. ``group_fn(batch) -> pa.Array`` derives the group key."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column(price_col), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(batch.column(disc_col), pa.float64())),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        t = pa.table({group_name: group_fn(batch),
+                      "r": pa.array(p * d, pa.int64())})
+        return (t.group_by([group_name]).aggregate([("r", "sum")])
+                .rename_columns([group_name, "r"]))
+
+    from .analytics import _to_table
+
+    g = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(group_name).sum("r"))
+    r = np.asarray(pc.cast(g.column("sum(r)"), pa.int64()),
+                   dtype=np.int64)
+    total = float(r.sum())
+    out = pa.table({
+        group_name: g.column(group_name),
+        "revenue": pc.round(pa.array(r.astype(np.float64) / 10000.0),
+                            ndigits=2,
+                            round_mode="half_towards_infinity"),
+        "share": pc.round(pa.array(r.astype(np.float64) / total),
+                          ndigits=digits,
+                          round_mode="half_towards_infinity"),
+    })
+    return out.sort_by([(group_name, "ascending")])

@@ -99,3 +99,54 @@ def test_last_touch_orders_within_user():
     out2 = last_touch(ray.data.from_arrow(t2))
     assert {r["prev_type"]: r["n"] for r in out2.take_all()} == {
         "signup": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_argmin_per_group_ties_and_blocks():
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import argmin_per_group
+
+    # group 1: tie on price broken by supplier id; group 2: min lives
+    # in a different block than most rows (repartition forces it)
+    t = pa.table({
+        "pk": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+        "sk": pa.array([9, 4, 7, 1, 2, 3, 5], pa.int64()),
+        "price": pa.array([5.0, 5.0, 8.0, 3.0, 1.0, 2.0, 7.0]),
+    })
+    out = argmin_per_group(ray.data.from_arrow(t).repartition(4),
+                           "pk", ["price", "sk"], ["sk", "price"])
+    rows = sorted(out.take_all(), key=lambda r: r["pk"])
+    assert [(r["pk"], r["sk"], r["price"]) for r in rows] == [
+        (1, 4, 5.0), (2, 2, 1.0), (3, 5, 7.0)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_share_sums_to_one():
+    import pyarrow.compute as pc
+    import ray.data
+
+    from scrappy_ray.pipelines.relational import revenue_share
+
+    rng = np.random.default_rng(11)
+    n = 300
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 4, n).astype(str)),
+        "l_extendedprice": np.round(rng.uniform(1, 1000, n), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n), 2),
+    })
+    out = revenue_share(ray.data.from_arrow(t).repartition(5),
+                        lambda b: b.column("g"), "g")
+    shares = out.column("share").to_pylist()
+    assert abs(sum(shares) - 1.0) < 1e-5
+    # exact per-group check vs numpy int arithmetic
+    p = np.round(np.asarray(t.column("l_extendedprice")) * 100).astype(
+        np.int64)
+    d = np.round((1 - np.asarray(t.column("l_discount"))) * 100).astype(
+        np.int64)
+    r = p * d
+    gcol = np.asarray(t.column("g"))
+    for i, g in enumerate(out.column("g").to_pylist()):
+        want = r[gcol == g].sum()
+        assert out.column("revenue")[i].as_py() == pytest.approx(
+            round(want / 10000.0, 2))
