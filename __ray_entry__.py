@@ -3071,6 +3071,136 @@ def _q_revenue_share(sf_dir: str):
         "ship_month")
 
 
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue percent): lineitems shipped in
+    1996 ⋈ part on partkey — the part side reduced to a 2-column
+    (partkey, is_promo) projection and broadcast (ray.put once,
+    index_in probe per batch; the classic Q14 map-side join) — then
+    one exact cents²-int64 conditional-sum partial per block and a
+    single-row global rollup. No wide shuffle anywhere."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+    from scrappy_ray.pipelines.relational import broadcast_join
+
+    part = _to_table(_read(sf_dir, "part",
+                           columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t.column("p_partkey"),
+            "is_promo": pc.equal(t.column("p_type"), "PROMO"),
+        }), batch_format="pyarrow"))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"),
+                       pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"),
+                       pa.timestamp("us"))
+        return batch.filter(pc.and_(pc.greater_equal(sd, lo),
+                                    pc.less(sd, hi)))
+
+    joined = broadcast_join(li.map_batches(window, batch_format="pyarrow"),
+                            part, on="l_partkey", select=["is_promo"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(batch.column("l_discount"), pa.float64())),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        r = p * d
+        promo = np.asarray(batch.column("is_promo"))
+        return pa.table({"promo": pa.array([int(r[promo].sum())], pa.int64()),
+                         "total": pa.array([int(r.sum())], pa.int64())})
+
+    parts = _to_table(joined.map_batches(partial, batch_format="pyarrow"))
+    promo = float(pc.sum(parts.column("promo")).as_py() or 0)
+    total = float(pc.sum(parts.column("total")).as_py() or 1)
+    return pa.table({"promo_revenue": pc.round(
+        pa.array([100.0 * promo / total], pa.float64()), ndigits=6,
+        round_mode="half_towards_infinity")})
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item customers, top 20 by lost
+    revenue): lineitem(R) ⋈ orders-in-window on orderkey (both sides
+    big → distributed hash join of 2-3-column projections, block-local
+    partial sums BEFORE the join shrink the lineitem side to O(orders
+    touched)), exact cents²-int64 revenue per customer, distributed
+    top-20, then the 20-key table broadcast against customer for the
+    name — the big customer table is probed, never shuffled."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+    from scrappy_ray.pipelines.relational import top_k
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(t.column("l_discount"), pa.float64())),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        g = pa.table({"l_orderkey": t.column("l_orderkey"),
+                      "r": pa.array(p * d, pa.int64())})
+        return (g.group_by(["l_orderkey"]).aggregate([("r", "sum")])
+                .rename_columns(["l_orderkey", "r"]))
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey").sum("r")
+                 .map_batches(lambda t: t.rename_columns(
+                     ["l_orderkey", "r"]), batch_format="pyarrow"))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def owindow(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"),
+                       pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"),
+                       pa.timestamp("us"))
+        t = batch.filter(pc.and_(pc.greater_equal(od, lo),
+                                 pc.less(od, hi)))
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey")})
+
+    joined = drop_empty_blocks(per_order).join(
+        drop_empty_blocks(orders.map_batches(owindow,
+                                             batch_format="pyarrow")),
+        "inner", 8, on=("l_orderkey",))
+    per_cust = (joined.groupby("o_custkey").sum("r")
+                .map_batches(lambda t: pa.table({
+                    "c_custkey": t.column("o_custkey"),
+                    "revenue": pc.round(pc.divide(pc.cast(
+                        t.column("sum(r)"), pa.float64()),
+                        pa.scalar(10000.0)), ndigits=2,
+                        round_mode="half_towards_infinity"),
+                }), batch_format="pyarrow"))
+    top = _to_table(top_k(per_cust, "revenue", 20, descending=True,
+                          tiebreak="c_custkey"))
+
+    from scrappy_ray.pipelines.relational import broadcast_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    named = broadcast_join(cust, top, on="c_custkey",
+                           select=["revenue"])
+    return named.sort(["revenue", "c_custkey"],
+                      descending=[True, False])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3262,6 +3392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch": _q_last_touch,
         "cheapest_supplier": _q_cheapest_supplier,
         "revenue_share": _q_revenue_share,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q10": _q_tpch_q10,
     }
 
 
@@ -5096,5 +5228,36 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT ship_month, ROUND(r / 10000.0, 2) AS revenue,
                    ROUND(r / SUM(r) OVER (), 6) AS share
             FROM g ORDER BY ship_month
+        """,
+        "tpch_q14": """
+            WITH j AS (
+              SELECT (p.p_type = 'PROMO') AS is_promo,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS r
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1997-01-01')
+            SELECT ROUND(100.0 * SUM(CASE WHEN is_promo THEN r
+                                          ELSE 0 END)::DOUBLE
+                         / SUM(r)::DOUBLE, 6) AS promo_revenue
+            FROM j
+        """,
+        "tpch_q10": """
+            WITH rev AS (
+              SELECT o.o_custkey AS c_custkey,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                       AS r
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1),
+            t AS (SELECT c_custkey, ROUND(r / 10000.0, 2) AS revenue
+                  FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20)
+            SELECT c.c_custkey, c.c_name, t.revenue
+            FROM t JOIN customer c USING (c_custkey)
+            ORDER BY t.revenue DESC, c.c_custkey
         """,
     }
