@@ -47,6 +47,8 @@ FAST_QUERIES = [
     "graph_bfs", "weekly_active", "length_gini", "source_kl",
     "bounce_rate",
     "tpch_q18", "tpch_q4", "group_linreg", "autocorr", "skyline",
+    "component_sizes", "weighted_median", "last_touch",
+    "cheapest_supplier", "revenue_share", "tpch_q14", "tpch_q10",
 ]
 
 
