@@ -3201,6 +3201,79 @@ def _q_tpch_q10(sf_dir: str):
                       descending=[True, False])
 
 
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global
+    sum — no join, no shuffle at all. Column-pruned 3-column read,
+    vectorized window/discount/quantity mask per block, exact
+    cents²-int64 partial per block, one-row gather. The shape that
+    shows the read-side pruning story: at 100 TB only the three
+    needed columns and the row groups passing min/max stats move."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"),
+                       pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"),
+                       pa.timestamp("us"))
+        disc = pc.cast(batch.column("l_discount"), pa.float64())
+        mask = pc.and_(pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi)),
+                       pc.and_(pc.greater_equal(disc, pa.scalar(0.05)),
+                               pc.and_(pc.less_equal(disc, pa.scalar(0.07)),
+                                       pc.less(batch.column("l_quantity"),
+                                               pa.scalar(24.0)))))
+        t = batch.filter(mask)
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_discount"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        return pa.table({"r": pa.array([int((p * d).sum())], pa.int64())})
+
+    parts = _to_table(li.map_batches(partial, batch_format="pyarrow"))
+    total = int(pc.sum(parts.column("r")).as_py() or 0)
+    return pa.table({"revenue": pc.round(
+        pa.array([total / 10000.0], pa.float64()), ndigits=2,
+        round_mode="half_towards_infinity")})
+
+
+def _q_nation_revenue_share(sf_dir: str):
+    """Revenue ratio-to-total per supplier nation: the supplier →
+    nation-name mapping reduced to a 2-column projection and broadcast
+    into the lineitem stream (ray.put once, index_in probe per batch),
+    then the same exact cents²-int64 partial + O(nations) rollup as
+    revenue_share — a join-derived group key without shuffling the
+    fact table."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+    from scrappy_ray.pipelines.relational import (broadcast_join,
+                                                  revenue_share)
+
+    sup = _to_table(_read(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"]))
+    nat = _to_table(_read(sf_dir, "nation",
+                          columns=["n_nationkey", "n_name"]))
+    pos = pc.index_in(sup.column("s_nationkey"),
+                      value_set=nat.column("n_nationkey").combine_chunks())
+    sup_nat = pa.table({
+        "l_suppkey": sup.column("s_suppkey"),
+        "n_name": nat.column("n_name").take(pos),
+    })
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, sup_nat, on="l_suppkey",
+                            select=["n_name"])
+    return revenue_share(joined, lambda b: b.column("n_name"), "n_name")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3394,6 +3467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share": _q_revenue_share,
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q6": _q_tpch_q6,
+        "nation_revenue_share": _q_nation_revenue_share,
     }
 
 
@@ -5259,5 +5334,29 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, t.revenue
             FROM t JOIN customer c USING (c_custkey)
             ORDER BY t.revenue DESC, c.c_custkey
+        """,
+        "tpch_q6": """
+            SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * CAST(ROUND(l_discount * 100) AS BIGINT))
+                         / 10000.0, 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "nation_revenue_share": """
+            WITH g AS (
+              SELECT n.n_name,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                       AS r
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              GROUP BY 1)
+            SELECT n_name, ROUND(r / 10000.0, 2) AS revenue,
+                   ROUND(r / SUM(r) OVER (), 6) AS share
+            FROM g ORDER BY n_name
         """,
     }
