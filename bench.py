@@ -274,6 +274,7 @@ def main():
                 "unit": "sec",
                 "queries": queries,
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                "crawl_scale": BENCH_SCALE,
                 "num_cpus": NUM_CPUS,
                 "crawl_urls_per_sec": round(crawl["urls_per_sec"], 2),
                 "crawl_urls": crawl["urls"],
