@@ -3274,6 +3274,118 @@ def _q_nation_revenue_share(sf_dir: str):
     return revenue_share(joined, lambda b: b.column("n_name"), "n_name")
 
 
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity order revenue): the correlated
+    subquery rewritten as aggregate → join-back → filtered aggregate.
+    Pass 1 builds the O(parts) per-part 0.2·avg(qty) threshold table
+    from exact block partials (whole-number quantities sum exactly in
+    float64, so sum/count is order-independent and the threshold double
+    matches DuckDB's AVG bit-for-bit); pass 2 re-reads a 3-column
+    lineitem projection, distributed-joins it against the threshold
+    table on partkey, filters qty < thr per block, and gathers one
+    exact cents-int64 row per block."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "s": pc.cast(batch.column("l_quantity"),
+                                   pa.float64()),
+                      "c": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["l_partkey"]).aggregate([("s", "sum"),
+                                                 ("c", "sum")])
+        return g.rename_columns(["l_partkey", "s", "c"])
+
+    thr = (li.map_batches(avg_partial, batch_format="pyarrow")
+           .groupby("l_partkey").sum(["s", "c"])
+           .map_batches(lambda t: pa.table({
+               "l_partkey": t.column("l_partkey"),
+               "thr": pc.multiply(pa.scalar(0.2), pc.divide(
+                   t.column("sum(s)"),
+                   pc.cast(t.column("sum(c)"), pa.float64()))),
+           }), batch_format="pyarrow"))
+
+    joined = drop_empty_blocks(li).join(drop_empty_blocks(thr), "inner",
+                                        8, on=("l_partkey",))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(pc.cast(batch.column("l_quantity"),
+                                         pa.float64()),
+                                 batch.column("thr")))
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        return pa.table({"r": pa.array([int(p.sum())], pa.int64())})
+
+    parts = _to_table(joined.map_batches(rev_partial,
+                                         batch_format="pyarrow"))
+    total = int(pc.sum(parts.column("r")).as_py() or 0)
+    return pa.table({"avg_yearly": pc.round(
+        pa.array([(total / 100.0) / 7.0], pa.float64()), ndigits=2,
+        round_mode="half_towards_infinity")})
+
+
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (top supplier, ties kept): per-supplier exact
+    cents²-int64 revenue rollup over a ship-date window (block
+    partials → O(suppliers) groupby), global max via Dataset.max (no
+    gather), equality filter keeps every tied winner, and the tiny
+    winner table broadcast-probes supplier for the name."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+    from scrappy_ray.pipelines.relational import broadcast_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"),
+                       pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1996-04-01", "us"),
+                       pa.timestamp("us"))
+        t = batch.filter(pc.and_(pc.greater_equal(sd, lo),
+                                 pc.less(sd, hi)))
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(t.column("l_discount"), pa.float64())),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        g = pa.table({"l_suppkey": t.column("l_suppkey"),
+                      "r": pa.array(p * d, pa.int64())})
+        return (g.group_by(["l_suppkey"]).aggregate([("r", "sum")])
+                .rename_columns(["l_suppkey", "r"]))
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_suppkey").sum("r")
+                .map_batches(lambda t: t.rename_columns(
+                    ["l_suppkey", "r"]), batch_format="pyarrow")
+                .materialize())  # O(suppliers); consumed twice (max + filter)
+    best = per_supp.max("r")
+    winners = _to_table(per_supp.filter(
+        expr=f"r == {int(best)}").map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t.column("l_suppkey"),
+            "total_rev": pc.round(pc.divide(pc.cast(t.column("r"),
+                                                    pa.float64()),
+                                            pa.scalar(10000.0)),
+                                  ndigits=2,
+                                  round_mode="half_towards_infinity"),
+        }), batch_format="pyarrow"))
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return broadcast_join(sup, winners, on="s_suppkey",
+                          select=["total_rev"]).sort("s_suppkey")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3469,6 +3581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": _q_tpch_q10,
         "tpch_q6": _q_tpch_q6,
         "nation_revenue_share": _q_nation_revenue_share,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q15": _q_tpch_q15,
     }
 
 
@@ -5358,5 +5472,30 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT n_name, ROUND(r / 10000.0, 2) AS revenue,
                    ROUND(r / SUM(r) OVER (), 6) AS share
             FROM g ORDER BY n_name
+        """,
+        "tpch_q17": """
+            WITH a AS (SELECT l_partkey, 0.2 * AVG(l_quantity) AS thr
+                       FROM lineitem GROUP BY 1)
+            SELECT ROUND((SUM(CAST(ROUND(l_extendedprice * 100)
+                                   AS BIGINT)) / 100.0) / 7.0, 2)
+                     AS avg_yearly
+            FROM lineitem l JOIN a USING (l_partkey)
+            WHERE l.l_quantity < a.thr
+        """,
+        "tpch_q15": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                       AS tot
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name,
+                   ROUND(tot / 10000.0, 2) AS total_rev
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE tot = (SELECT MAX(tot) FROM r)
+            ORDER BY s.s_suppkey
         """,
     }

@@ -49,7 +49,7 @@ FAST_QUERIES = [
     "tpch_q18", "tpch_q4", "group_linreg", "autocorr", "skyline",
     "component_sizes", "weighted_median", "last_touch",
     "cheapest_supplier", "revenue_share", "tpch_q14", "tpch_q10",
-    "tpch_q6", "nation_revenue_share",
+    "tpch_q6", "nation_revenue_share", "tpch_q17", "tpch_q15",
 ]
 
 
