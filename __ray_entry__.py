@@ -3386,6 +3386,17 @@ def _q_tpch_q15(sf_dir: str):
                           select=["total_rev"]).sort("s_suppkey")
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (functions/similarity.py::
+    label_centroids): the class-prototype vector aggregate —
+    1e-6-quantized int64 per-(label, dim) partials, O(labels × dims)
+    narrow shuffle, one float division at the end."""
+    from scrappy_ray.functions.similarity import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings",
+                                 columns=["label", "embedding"]))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3583,6 +3594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": _q_nation_revenue_share,
         "tpch_q17": _q_tpch_q17,
         "tpch_q15": _q_tpch_q15,
+        "label_centroids": _q_label_centroids,
     }
 
 
@@ -5497,5 +5509,18 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
             WHERE tot = (SELECT MAX(tot) FROM r)
             ORDER BY s.s_suppkey
+        """,
+        "label_centroids": """
+            WITH q AS (
+              SELECT label, i AS dim,
+                     CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS v
+              FROM embeddings CROSS JOIN generate_series(1, 64) t(i))
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   COUNT(*)::BIGINT AS n,
+                   ROUND((CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                         / 1000000.0, 6) AS centroid
+            FROM q GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -450,3 +450,53 @@ def embedding_dim_stats(ds, emb_col: str = "embedding", dims: int = 64,
         "mean_v": rnd(mean),
         "var_v": rnd(var),
     }).sort_by([("dim", "ascending")])
+
+
+def label_centroids(ds, label_col: str = "label",
+                    emb_col: str = "embedding", dims: int = 64,
+                    digits: int = 6, quant: int = 1_000_000):
+    """Per-label centroid of an embedding column — the class-prototype
+    vector aggregate (k-means update step / per-source drift probe).
+    Same exactness discipline as embedding_dim_stats: components
+    quantize to int64 so per-(label, dim) partial sums are exact and
+    order-free; each block ships one O(labels × dims) long-format row
+    set (label, dim, sx, n), the groupby is over that narrow table,
+    and the float division runs once at the end."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64) * quant
+        q = (np.sign(flat) * np.floor(np.abs(flat) + 0.5)).astype(np.int64)
+        m = q.reshape(-1, dims)
+        labels = np.asarray(pc.cast(batch.column(label_col), pa.int64()))
+        uniq, inv = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(uniq), dims), np.int64)
+        np.add.at(acc, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dims)),
+            "dim": pa.array(np.tile(np.arange(1, dims + 1, dtype=np.int64),
+                                    len(uniq))),
+            "sx": pa.array(acc.ravel()),
+            "n": pa.array(np.repeat(cnt, dims)),
+        })
+
+    from ..pipelines.analytics import _to_table
+
+    agg = _to_table(ds.map_batches(partial, batch_format="pyarrow")
+                    .groupby(["label", "dim"]).sum(["sx", "n"])
+                    ).rename_columns(["label", "dim", "sx", "n"])
+    sx = np.asarray(agg.column("sx"), dtype=np.int64)
+    n = np.asarray(agg.column("n"), dtype=np.int64)
+    out = pa.table({
+        "label": agg.column("label"),
+        "dim": agg.column("dim"),
+        "n": agg.column("n"),
+        "centroid": pc.round(
+            pa.array((sx.astype(np.float64) / n) / float(quant)),
+            ndigits=digits, round_mode="half_towards_infinity"),
+    })
+    return out.sort_by([("label", "ascending"), ("dim", "ascending")])
