@@ -3397,6 +3397,55 @@ def _q_label_centroids(sf_dir: str):
                                  columns=["label", "embedding"]))
 
 
+def _q_knn_classify(sf_dir: str):
+    """k-NN majority-vote classification (5-NN cosine, leave-self-out)
+    for the vec_id < 8 query set: the distributed top-k pass is
+    functions/similarity.py::topk_cosine (per-block argpartition
+    against the broadcast query matrix, O(Q·k) rows per block to the
+    final cut); neighbor labels come from one streaming is_in filter
+    over the embeddings table (broadcast key set, O(Q·k) survivors
+    gathered); the majority vote with smallest-label tie-break runs on
+    that tiny table."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.functions.similarity import topk_cosine
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    emb = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qmask = [i for i, v in enumerate(emb.column("vec_id").to_pylist())
+             if v < 8]
+    queries = np.array([emb.column("embedding")[i].as_py() for i in qmask],
+                       dtype=np.float64)
+    qids = [emb.column("vec_id")[i].as_py() for i in qmask]
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    nn = _to_table(topk_cosine(ds, queries, k=5, query_ids=qids)
+                   .select_columns(["query_id", "neighbor_id"]))
+
+    nbr_ids = pc.unique(nn.column("neighbor_id"))
+    lab_ds = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+    labels = _to_table(lab_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"),
+                                    value_set=nbr_ids)),
+        batch_format="pyarrow"))
+
+    lpos = pc.index_in(nn.column("neighbor_id"),
+                       value_set=labels.column("vec_id").combine_chunks())
+    voted = pa.table({
+        "query_id": nn.column("query_id"),
+        "label": pc.cast(labels.column("label").take(lpos), pa.int64()),
+    })
+    counts = (voted.group_by(["query_id", "label"])
+              .aggregate([([], "count_all")])
+              .rename_columns(["query_id", "label", "c"])
+              .sort_by([("query_id", "ascending"), ("c", "descending"),
+                        ("label", "ascending")]))
+    qcol = np.asarray(counts.column("query_id"))
+    first = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+    top = counts.take(pa.array(first, pa.int64()))
+    return pa.table({"query_id": top.column("query_id"),
+                     "pred_label": top.column("label")})
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3595,6 +3644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q15": _q_tpch_q15,
         "label_centroids": _q_label_centroids,
+        "knn_classify": _q_knn_classify,
     }
 
 
@@ -5522,5 +5572,28 @@ def _oracle_sql_static() -> dict[str, str]:
                    ROUND((CAST(SUM(v) AS DOUBLE) / COUNT(*))
                          / 1000000.0, 6) AS centroid
             FROM q GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "knn_classify": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            nn AS (
+              SELECT qid, neighbor_id FROM (
+                SELECT q.qid, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY list_cosine_similarity(
+                           q.qe, e.embedding::DOUBLE[]) DESC, e.vec_id
+                       ) AS rank
+                FROM q, embeddings e WHERE e.vec_id <> q.qid)
+              WHERE rank <= 5),
+            v AS (SELECT qid, l.label, COUNT(*) AS c
+                  FROM nn JOIN embeddings l ON l.vec_id = nn.neighbor_id
+                  GROUP BY 1, 2)
+            SELECT qid AS query_id, CAST(label AS BIGINT) AS pred_label
+            FROM (SELECT qid, label,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY c DESC, label) AS rn
+                  FROM v)
+            WHERE rn = 1 ORDER BY query_id
         """,
     }
