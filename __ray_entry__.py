@@ -3446,6 +3446,66 @@ def _q_knn_classify(sf_dir: str):
                      "pred_label": top.column("label")})
 
 
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive-predicate revenue): the OR-of-ANDs
+    over joined attributes — part's (brand, size) broadcast as a
+    2-extra-column projection into the lineitem stream (map-side
+    join), then ONE vectorized compound mask per block (three
+    (brand, size-range, quantity-range) disjuncts as Arrow boolean
+    kernels — the predicate never leaves the batch), exact
+    cents²-int64 one-row partials, single gather."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+    from scrappy_ray.pipelines.relational import broadcast_join
+
+    part = _to_table(_read(sf_dir, "part",
+                           columns=["p_partkey", "p_brand",
+                                    "p_size"]).map_batches(
+        lambda t: pa.table({"l_partkey": t.column("p_partkey"),
+                            "p_brand": t.column("p_brand"),
+                            "p_size": t.column("p_size")}),
+        batch_format="pyarrow"))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    joined = broadcast_join(li, part, on="l_partkey",
+                            select=["p_brand", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.float64())
+        size = pc.cast(batch.column("p_size"), pa.int64())
+        brand = batch.column("p_brand")
+
+        def disjunct(b, qlo, qhi, slo, shi):
+            return pc.and_(
+                pc.and_(pc.equal(brand, b),
+                        pc.and_(pc.greater_equal(
+                            qty, pa.scalar(float(qlo))),
+                            pc.less_equal(qty, pa.scalar(float(qhi))))),
+                pc.and_(pc.greater_equal(size, pa.scalar(slo, pa.int64())),
+                        pc.less_equal(size, pa.scalar(shi, pa.int64()))))
+
+        mask = pc.or_(pc.or_(disjunct("Brand#1", 1, 11, 1, 5),
+                             disjunct("Brand#2", 10, 20, 1, 10)),
+                      disjunct("Brand#3", 20, 30, 1, 15))
+        t = batch.filter(mask)
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(t.column("l_discount"), pa.float64())),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        return pa.table({"r": pa.array([int((p * d).sum())], pa.int64())})
+
+    parts = _to_table(joined.map_batches(partial, batch_format="pyarrow"))
+    total = int(pc.sum(parts.column("r")).as_py() or 0)
+    return pa.table({"revenue": pc.round(
+        pa.array([total / 10000.0], pa.float64()), ndigits=2,
+        round_mode="half_towards_infinity")})
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3645,6 +3705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "label_centroids": _q_label_centroids,
         "knn_classify": _q_knn_classify,
+        "tpch_q19": _q_tpch_q19,
     }
 
 
@@ -5595,5 +5656,18 @@ def _oracle_sql_static() -> dict[str, str]:
                                             ORDER BY c DESC, label) AS rn
                   FROM v)
             WHERE rn = 1 ORDER BY query_id
+        """,
+        "tpch_q19": """
+            SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * CAST(ROUND((1 - l_discount) * 100)
+                                    AS BIGINT))
+                         / 10000.0, 2) AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1
+                     AND 11 AND p.p_size BETWEEN 1 AND 5)
+               OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10
+                     AND 20 AND p.p_size BETWEEN 1 AND 10)
+               OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20
+                     AND 30 AND p.p_size BETWEEN 1 AND 15)
         """,
     }

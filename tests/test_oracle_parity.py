@@ -50,7 +50,7 @@ FAST_QUERIES = [
     "component_sizes", "weighted_median", "last_touch",
     "cheapest_supplier", "revenue_share", "tpch_q14", "tpch_q10",
     "tpch_q6", "nation_revenue_share", "tpch_q17", "tpch_q15",
-    "label_centroids", "knn_classify",
+    "label_centroids", "knn_classify", "tpch_q19",
 ]
 
 
