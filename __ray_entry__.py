@@ -37,10 +37,12 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
-def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+def _read_table(sf_dir: str, table: str, columns=None,
+                filter=None) -> pa.Table:
     import pyarrow.parquet as pq
 
-    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=columns, filters=filter)
 
 
 # ---------------------------------------------------------------- relational
@@ -2984,7 +2986,14 @@ def _q_component_sizes(sf_dir: str):
     reused from the dedup family) over a synthetic two-rail graph
     (doc_id → +1 within each 10-block, plus a +10 bridge per 20-block)
     so every component needs multi-round label merging; edge-less
-    nodes coalesce to singletons via a left-outer join."""
+    nodes coalesce to singletons via a left-outer join.
+
+    INVARIANT: the oracle SQL's closed form ``(doc_id // 20) * 20 AS
+    root`` is equivalent to min-label CC only while the generator's
+    doc_ids are contiguous 0..N−1 (true today: 0..499 at sf0.001). If
+    the generator ever offsets or sparsifies doc_ids, the chain/bridge
+    construction splits components and parity diverges — re-derive the
+    edges from rank-over-doc_id before blaming the CC engine."""
     import pyarrow.compute as pc
 
     from scrappy_ray.functions.graph import component_sizes
@@ -3371,6 +3380,10 @@ def _q_tpch_q15(sf_dir: str):
                     ["l_suppkey", "r"]), batch_format="pyarrow")
                 .materialize())  # O(suppliers); consumed twice (max + filter)
     best = per_supp.max("r")
+    if best is None:  # ship-date window matched no rows
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_rev": pa.array([], pa.float64())})
     winners = _to_table(per_supp.filter(
         expr=f"r == {int(best)}").map_batches(
         lambda t: pa.table({
@@ -3411,12 +3424,14 @@ def _q_knn_classify(sf_dir: str):
     from scrappy_ray.functions.similarity import topk_cosine
     from scrappy_ray.pipelines.analytics import _to_table
 
-    emb = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qmask = [i for i, v in enumerate(emb.column("vec_id").to_pylist())
-             if v < 8]
-    queries = np.array([emb.column("embedding")[i].as_py() for i in qmask],
-                       dtype=np.float64)
-    qids = [emb.column("vec_id")[i].as_py() for i in qmask]
+    from scrappy_ray.functions.similarity import _as_matrix
+
+    qtbl = _read_table(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"],
+                       filter=pc.field("vec_id") < 8)
+    qtbl = qtbl.sort_by([("vec_id", "ascending")])
+    queries = _as_matrix(qtbl.column("embedding"))
+    qids = qtbl.column("vec_id").to_pylist()
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     nn = _to_table(topk_cosine(ds, queries, k=5, query_ids=qids)
                    .select_columns(["query_id", "neighbor_id"]))
@@ -5350,9 +5365,10 @@ def _oracle_sql_static() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id) AS prev
               FROM events)
             SELECT user_id, COUNT(*) AS n_obs,
-                   COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                   CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
                                       AND event_type <> prev
-                                     THEN 1 ELSE 0 END), 0) AS n_changes,
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_changes,
                    CASE WHEN COUNT(*) > 1 THEN
                      ROUND(SUM(CASE WHEN prev IS NOT NULL
                                      AND event_type <> prev

@@ -739,13 +739,24 @@ def connected_components_distributed(pairs_ds, max_iters: int = 64):
     return labels
 
 
-def dedup_by_components(ds, pairs_ds, id_col="doc_id", distributed: bool = False,
+def dedup_by_components(ds, pairs_ds, id_col="doc_id",
+                        distributed: bool | None = None,
+                        distributed_pair_threshold: int = 2_000_000,
                         broadcast_threshold: int = 1_000_000, num_partitions: int = 8):
     """Exact cluster dedup: keep only each connected component's min-id
     member (transitively correct, unlike the greedy pair-drop below).
-    ``distributed=True`` computes components with the groupby label
-    propagation AND applies the keep-set without ever gathering it:
-    below ``broadcast_threshold`` drop-ids the set is broadcast
+
+    Path selection mirrors ``incremental_exact_dedup``'s
+    broadcast↔anti-join switch: with ``distributed=None`` (default)
+    the pair count picks the path — ≤``distributed_pair_threshold``
+    pairs run the driver union-find fast path (state O(pair
+    endpoints), the ray_guide-sanctioned small case), above it the
+    groupby min-label propagation so a 100-TB near-dup pair set never
+    builds an O(endpoints) Python dict on the driver. Forcing
+    ``distributed=True/False`` overrides the switch.
+
+    The distributed path also applies the keep-set without gathering
+    it: below ``broadcast_threshold`` drop-ids the set is broadcast
     (``ray.put`` + ``pc.is_in`` — cheaper than shuffling the corpus),
     above it the corpus is LEFT-ANTI-joined against the drop-label
     table — no driver state proportional to pair endpoints on the
@@ -754,6 +765,11 @@ def dedup_by_components(ds, pairs_ds, id_col="doc_id", distributed: bool = False
 
     from ..common import drop_empty_blocks
 
+    if distributed is None:
+        # One cheap count picks the path; materialize so the count and
+        # the chosen CC pass don't re-execute the upstream pair hunt.
+        pairs_ds = pairs_ds.materialize()
+        distributed = pairs_ds.count() > distributed_pair_threshold
     if distributed:
         labels = connected_components_distributed(pairs_ds)
         dropl = drop_empty_blocks(

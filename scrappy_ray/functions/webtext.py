@@ -182,19 +182,37 @@ def domain_stats(ds, domain_col: str = "source", text_col: str = "text"):
 
 
 def domain_filter(ds, min_docs: int = 1, min_quality: float = 0.0,
-                  domain_col: str = "source", text_col: str = "text"):
+                  domain_col: str = "source", text_col: str = "text",
+                  keep_broadcast_max: int = 5_000_000,
+                  num_partitions: int = 8):
     """Keep only documents from domains passing count + mean-quality
-    thresholds. The keep-set is the SMALL side (one row per domain):
-    materialized once on the driver and broadcast into the filter via
-    closure capture — a broadcast semi-join, never a shuffle of the
-    documents table."""
+    thresholds. The keep-set is one row per surviving domain — small
+    at bench scale but O(domains) at crawl scale (tens of millions of
+    hosts), so the gather is GUARDED: ≤``keep_broadcast_max`` domains
+    are broadcast into the filter via closure capture (a broadcast
+    semi-join, never a shuffle of the documents table); above the
+    guard the documents are inner-hash-joined against the distributed
+    keep-domain table instead — no driver gather at any size."""
     import pyarrow.compute as pc
 
     stats = domain_stats(ds, domain_col=domain_col, text_col=text_col)
-    keep_tbl = stats.filter(
-        lambda r: r["n_docs"] >= min_docs and r["mean_quality"] >= min_quality
-    ).select_columns([domain_col]).take_all()
-    keep = pa.array(sorted(r[domain_col] for r in keep_tbl), pa.string())
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.greater_equal(batch.column("n_docs"), min_docs),
+                     pc.greater_equal(batch.column("mean_quality"),
+                                      min_quality))
+        return batch.filter(pc.fill_null(ok, False)).select([domain_col])
+
+    keep_ds = stats.map_batches(keep_only, batch_format="pyarrow") \
+                   .materialize()  # consumed twice: count + (gather|join)
+    if keep_ds.count() > keep_broadcast_max:
+        from ..common import drop_empty_blocks
+
+        return drop_empty_blocks(ds).join(
+            drop_empty_blocks(keep_ds), join_type="inner",
+            num_partitions=num_partitions, on=(domain_col,))
+    keep = pa.array(
+        sorted(r[domain_col] for r in keep_ds.take_all()), pa.string())
 
     def flt(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(pc.cast(batch.column(domain_col), pa.string()),

@@ -141,6 +141,14 @@ def _to_table(ds) -> pa.Table:
     tabs = [t for t in ray.get(refs) if t.num_rows]
     if not tabs:
         sch = ds.schema(fetch_if_missing=True)
+        if sch is None:
+            # Fully-empty pipeline with no recorded schema (e.g. every
+            # upstream block filtered away): fall back to the raw
+            # (possibly 0-row) block tables so column names survive.
+            empties = ray.get(refs)
+            if empties:
+                return empties[0]
+            return pa.table({})
         return (getattr(sch, "base_schema", None) or sch).empty_table()
     return pa.concat_tables(tabs, promote_options="permissive")
 

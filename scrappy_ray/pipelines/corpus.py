@@ -49,6 +49,7 @@ def clean_corpus(
     domain_col: str | None = None,
     min_domain_docs: int = 1,
     min_domain_quality: float = 0.0,
+    domain_broadcast_max: int = 5_000_000,
     decontam_bench_ds=None,
     decontam_n: int = 13,
     substr_dedup_n: int | None = None,
@@ -184,22 +185,33 @@ def clean_corpus(
             dim=classifier_dim, sample_k=classifier_sample_k,
             iters=classifier_iters)
 
+    # domain gate: the passing-domain set is O(domains) — guarded the
+    # same way as mirror_sources' survivor broadcast. Below the guard
+    # it broadcasts into the fused filter pass; above it the gate runs
+    # as a distributed semi-join AFTER the filter pass instead (no
+    # O(domains) gather on the driver, same kept set).
     domain_keep = None
+    domain_keep_ds = None
     if domain_col is not None:
         from ..functions.webtext import domain_stats
 
-        stats_rows = domain_stats(
+        def _passing(batch: pa.Table) -> pa.Table:
+            ok = pc.and_(
+                pc.greater_equal(batch.column("n_docs"), min_domain_docs),
+                pc.greater_equal(batch.column("mean_quality"),
+                                 min_domain_quality))
+            return batch.filter(pc.fill_null(ok, False)).select([domain_col])
+
+        keep_ds = domain_stats(
             deduped, domain_col=domain_col, text_col=text_col
-        ).take_all()
-        domain_keep = pa.array(
-            sorted(
-                r[domain_col]
-                for r in stats_rows
-                if r["n_docs"] >= min_domain_docs
-                and r["mean_quality"] >= min_domain_quality
-            ),
-            pa.string(),
-        )
+        ).map_batches(_passing, batch_format="pyarrow").materialize()
+        if keep_ds.count() > domain_broadcast_max:
+            domain_keep_ds = keep_ds
+        else:
+            domain_keep = pa.array(
+                sorted(r[domain_col] for r in keep_ds.take_all()),
+                pa.string(),
+            )
 
     def lang_quality_filter(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -285,6 +297,15 @@ def clean_corpus(
         return batch.filter(pa.array(mask))
 
     kept = deduped.map_batches(lang_quality_filter, batch_format="pyarrow").materialize()
+    if domain_keep_ds is not None:
+        from ..common import drop_empty_blocks
+        from ..functions.counters import incr
+
+        n_pre_domain = kept.count()
+        kept = drop_empty_blocks(kept).join(
+            drop_empty_blocks(domain_keep_ds), join_type="inner",
+            num_partitions=8, on=(domain_col,)).materialize()
+        incr("corpus_rej_domain", n_pre_domain - kept.count())
     n_kept = kept.count()
 
     # 5. token accounting over the survivors

@@ -540,6 +540,8 @@ def first_last_per_group(ds, group_col: str, order_cols: list[str],
     keys = [(c, "ascending") for c in order_cols]
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         t = batch.sort_by([(group_col, "ascending")] + keys)
         g = t.column(group_col)
         codes = np.asarray(pc.dictionary_encode(
@@ -722,6 +724,8 @@ def argmin_per_group(ds, group_col: str, order_cols: list[str],
     keys = [(c, "ascending") for c in order_cols]
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         t = batch.sort_by([(group_col, "ascending")] + keys)
         g = t.column(group_col)
         codes = np.asarray(pc.dictionary_encode(
@@ -766,9 +770,23 @@ def revenue_share(ds, group_fn, group_name: str,
 
     g = _to_table(ds.map_batches(partial, batch_format="pyarrow")
                   .groupby(group_name).sum("r"))
+    if g.num_rows == 0:
+        # Empty input: the groupby's aggregate column may not even
+        # exist in the recorded schema — return the empty frame.
+        return pa.table({group_name: pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64()),
+                         "share": pa.array([], pa.float64())})
     r = np.asarray(pc.cast(g.column("sum(r)"), pa.int64()),
                    dtype=np.int64)
     total = float(r.sum())
+    if total == 0.0:
+        # Empty input or all-zero revenue: 0/0 would silently yield
+        # NaN shares — return the (possibly empty) groups with 0s.
+        return pa.table({
+            group_name: g.column(group_name),
+            "revenue": pa.array(np.zeros(len(r)), pa.float64()),
+            "share": pa.array(np.zeros(len(r)), pa.float64()),
+        }).sort_by([(group_name, "ascending")])
     out = pa.table({
         group_name: g.column(group_name),
         "revenue": pc.round(pa.array(r.astype(np.float64) / 10000.0),
