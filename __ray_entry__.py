@@ -214,6 +214,19 @@ def _q_revisit_stats(sf_dir: str):
     return revisit_stats(ds).sort("user_id")
 
 
+def _q_revisit_stats_salted(sf_dir: str):
+    """revisit_stats with hot-key salting forced ON (threshold 50, so
+    the busiest users split into contiguous time chunks and re-merge;
+    functions/webtext.py::revisit_stats_salted) — output identical to
+    the unsalted operator, proven against the SAME SQL oracle."""
+    from scrappy_ray.functions.webtext import revisit_stats_salted
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return revisit_stats_salted(ds, hot_threshold=50,
+                                n_salt=4).sort("user_id")
+
+
 def _q_sessionize(sf_dir: str):
     from scrappy_ray.pipelines.relational import sessionize
 
@@ -1254,6 +1267,37 @@ def _q_mm_decode(sf_dir: str):
         }
     )
     return decode_images(ray.data.from_arrow(tbl)).sort("id")
+
+
+def _q_mm_decode_png(sf_dir: str):
+    """REAL image decode, no third-party codec (functions/multimodal
+    .py::StdlibPngDecoder): deterministic RGB-gradient PNGs (cycling
+    scanline filters 0–4 so every un-filter branch runs) decoded by
+    the real=True actor pool — width/height/mean_px/phash per image.
+    Golden-backed oracle (not SQL-expressible)."""
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import (decode_images,
+                                                  png_encode_filtered)
+
+    ids = _read_table(sf_dir, "embeddings",
+                      columns=["vec_id"]).column("vec_id").to_pylist()[:100]
+
+    def grad(i: int) -> bytes:
+        w, h = 6 + i % 6, 4 + i % 4
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 0] = (np.arange(w, dtype=np.uint32) * (17 + i) % 256
+                        ).astype(np.uint8)
+        img[:, :, 1] = (np.arange(h, dtype=np.uint32)[:, None] * (29 + i)
+                        % 256).astype(np.uint8)
+        img[:, :, 2] = (i * 7) % 256
+        return png_encode_filtered(img)
+
+    tbl = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "payload": pa.array([grad(i) for i in ids], pa.binary()),
+    })
+    return decode_images(ray.data.from_arrow(tbl), real=True).sort("id")
 
 
 def _q_audio_decode(sf_dir: str):
@@ -3547,6 +3591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "sessionize": _q_sessionize,
         "revisit_stats": _q_revisit_stats,
+        "revisit_stats_salted": _q_revisit_stats_salted,
         "rolling_window": _q_rolling_window,
         "events_window": _q_events_window,
         "filter_pushdown": _q_filter_pushdown,
@@ -3625,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "corpus_clean": _q_corpus_clean,
         "mm_decode": _q_mm_decode,
+        "mm_decode_png": _q_mm_decode_png,
         "audio_decode": _q_audio_decode,
         "extract_triples": _q_extract_triples,
         "extract_text": _q_extract_text,
@@ -3891,6 +3937,7 @@ _GOLDEN_ORACLES = {
     "ann_lsh": "ORDER BY query_id, rank",
     "ann_ivf": "ORDER BY query_id, rank",
     "mm_decode": "ORDER BY id",
+    "mm_decode_png": "ORDER BY id",
     "audio_decode": "ORDER BY id",
     "compression_ratio": "ORDER BY doc_id",
     "incremental_near_dedup": "ORDER BY doc_id",
@@ -3921,6 +3968,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(_lang_quality_sqls())
     out.update(_graph_sqls())
     out.update(_golden_oracle_sqls())
+    # the salted variant must equal the unsalted operator exactly —
+    # same oracle
+    out["revisit_stats_salted"] = out["revisit_stats"]
     return out
 
 

@@ -68,11 +68,30 @@ def learn_bpe(
     Returns the ranked merge list [(left, right), ...] — deterministic
     and block-layout-independent (exact distributed counts; smallest-
     pair-key tie-break)."""
-    wc = word_type_counts(ds, text_col).to_pandas()
+    # Prune INSIDE the groupby output before the driver gather: the
+    # unfiltered word-type table is heavy-tailed (O(types) ~ tens of
+    # millions at corpus scale) but min_count cuts the singleton tail
+    # — typically >half the types — distributed. Dropped type/token
+    # mass is counted, never silent.
+    def prune(batch: pa.Table) -> pa.Table:
+        from .counters import incr
+
+        c = batch.column("sum(c)") if "sum(c)" in batch.column_names \
+            else batch.column("c")
+        keep = pc.greater_equal(c, min_count)
+        n_drop = batch.num_rows - pc.sum(pc.cast(keep, pa.int64())).as_py()
+        if n_drop:
+            incr("bpe_types_dropped", n_drop)
+            incr("bpe_token_mass_dropped",
+                 int(pc.sum(pc.if_else(keep, pa.scalar(0, pa.int64()),
+                                       pc.cast(c, pa.int64()))).as_py() or 0))
+        return batch.filter(keep)
+
+    wc = (word_type_counts(ds, text_col)
+          .map_batches(prune, batch_format="pyarrow").to_pandas())
     if len(wc) == 0:
         return []
     wc = wc.rename(columns={"sum(c)": "c"})
-    wc = wc[wc["c"] >= min_count]
     # bound the driver table: top max_types by (count desc, word asc)
     wc = wc.sort_values(["c", "w"], ascending=[False, True]).head(max_types)
     words = wc["w"].astype(str).to_numpy()

@@ -100,6 +100,154 @@ class FakeImageDecoder(_ImageDecoderBase):
         return w, h, px
 
 
+def png_encode_filtered(img: np.ndarray, filters=(0, 1, 2, 3, 4)) -> bytes:
+    """Encode a (h, w, 3) uint8 image as 8-bit RGB PNG, forward-
+    filtering row ``y`` with ``filters[y % len(filters)]`` — the
+    fixture generator for the stdlib decoder (cycling filters so a
+    round-trip exercises every un-filter branch). Pure stdlib+numpy."""
+    import zlib
+
+    h, w, _ = img.shape
+    stride = w * 3
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = img[y].reshape(stride).astype(np.int32)
+        f = filters[y % len(filters)]
+        line = cur.copy()
+        if f == 1:  # Sub
+            line[3:] = (cur[3:] - cur[:-3]) % 256
+        elif f == 2:  # Up
+            line = (cur - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            line = (cur - (left + prev) // 2) % 256
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            ul = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            line = (cur - pred) % 256
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (ISO 15948 §9): each row
+    leads with a filter byte ∈ {0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth}. Row-vectorized where the filter allows (None/Up);
+    Sub/Average/Paeth carry an in-row dependency so they walk the row
+    in ``bpp``-strided numpy slices."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = rows[y, 0]
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        else:
+            line = cur.copy()
+            if f == 1:  # Sub
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
+            elif f == 3:  # Average
+                line[:bpp] = (line[:bpp] + prev[:bpp] // 2) & 0xFF
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + (line[x - bpp] + prev[x]) // 2) & 0xFF
+            elif f == 4:  # Paeth
+                line[:bpp] = (line[:bpp] + prev[:bpp]) & 0xFF
+                for x in range(bpp, stride):
+                    a, b, c = line[x - bpp], prev[x], prev[x - bpp]
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                    line[x] = (line[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+        out[y] = line.astype(np.uint8)
+    return out
+
+
+def _png_to_gray(data: bytes):
+    """Pure-stdlib (zlib + numpy) PNG → (w, h, flat grayscale u8).
+
+    Supports the still-image core: 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    RGB→gray uses PIL's exact integer luma ((R·19595 + G·38470 +
+    B·7471 + 2¹⁵) >> 16) so outputs are bit-identical to
+    ``PILImageDecoder`` wherever both run. Returns None on anything
+    that is not such a PNG (caller marks ok=False)."""
+    import zlib
+
+    if data is None or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    off, idat, plte = 8, b"", None
+    w = h = depth = ctype = interlace = None
+    try:
+        while off + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[off:off + 4])
+            typ = data[off + 4:off + 8]
+            body = data[off + 8:off + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body[:13])
+            elif typ == b"PLTE":
+                plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            off += 12 + ln
+        if w is None or depth != 8 or interlace != 0 or not idat:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if channels is None or (ctype == 3 and plte is None):
+            return None
+        stride = w * channels
+        raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+        if raw.size != h * (stride + 1):
+            return None
+        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    except Exception:
+        return None
+    if ctype == 0:
+        gray = px[:, :, 0]
+    elif ctype == 4:  # gray + alpha: luma is the gray channel
+        gray = px[:, :, 0]
+    else:
+        rgb = (plte[px[:, :, 0].astype(np.intp)] if ctype == 3
+               else px[:, :, :3]).astype(np.uint32)
+        gray = ((rgb[:, :, 0] * 19595 + rgb[:, :, 1] * 38470
+                 + rgb[:, :, 2] * 7471 + 0x8000) >> 16).astype(np.uint8)
+    return int(w), int(h), gray.ravel()
+
+
+class StdlibPngDecoder(_ImageDecoderBase):
+    """REAL image decode with no third-party codec: the PNG container
+    (zlib inflate + scanline un-filter) implemented on the stdlib —
+    so the real-codec path is exercised even in environments without
+    Pillow (this container). Same actor signature / output schema as
+    the fake and PIL decoders."""
+
+    def _decode(self, payload: bytes):
+        return _png_to_gray(payload)
+
+
 class PILImageDecoder(_ImageDecoderBase):
     """The real-codec drop-in: Pillow imported ONCE per actor (the
     stateful-stage pattern — setup in ``__init__``, work per batch).
@@ -309,13 +457,31 @@ def decode_audio(ds, concurrency: int = 2, batch_size: int = 32):
     )
 
 
+class RealImageDecoder(_ImageDecoderBase):
+    """The ``real=True`` decoder: Pillow when installed (any
+    PIL-readable format), otherwise the stdlib PNG decoder — a real
+    codec runs in EVERY environment; only the format coverage
+    narrows to PNG where Pillow is absent."""
+
+    def __init__(self):
+        try:
+            self._pil = PILImageDecoder()
+        except NotImplementedError:
+            self._pil = None
+
+    def _decode(self, payload: bytes):
+        if self._pil is not None:
+            return self._pil._decode(payload)
+        return _png_to_gray(payload)
+
+
 def decode_images(ds, concurrency: int = 2, batch_size: int = 32, real: bool = False):
     """The image pipeline stage: small batches (large binaries), actor
     pool (decoder state loaded once per actor). ``real=True`` selects
-    the Pillow-backed decoder (NotImplementedError where Pillow is
-    absent — this container)."""
+    a real codec in every environment: Pillow where installed, else
+    the stdlib PNG decoder (``StdlibPngDecoder``)."""
     return ds.map_batches(
-        PILImageDecoder if real else FakeImageDecoder,
+        RealImageDecoder if real else FakeImageDecoder,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -659,6 +659,146 @@ def revisit_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def salt_hot_keys(ds, key_col: str, order_col: str, threshold: int,
+                  n_salt: int = 16):
+    """The hot-key salting helper for the ``groupby(key).map_groups``
+    family (rolling_window / sessionize / revisit_stats): append a
+    ``salt`` int32 column that splits each HOT key's rows (row count >
+    ``threshold``) into up to ``n_salt`` CONTIGUOUS ``order_col``
+    ranges, so no single worker ever holds a whole hot key's history.
+    Cold keys get salt 0 (one group, the fast path).
+
+    Salt is a pure function of the order value (per-key min/max range
+    bucketing), so (a) rows with equal order values always share a
+    chunk — a chunk boundary never splits a tie — and (b) salt is
+    monotone in ``order_col``, so a merge step can stitch per-chunk
+    partials back in order by sorting on salt. The hot-key stats table
+    (count/min/max per hot key ONLY) is the tiny side: gathered once,
+    broadcast via ``ray.put``.
+
+    Use: ``groupby([key, "salt"]).map_groups(partial)`` then
+    ``groupby(key).map_groups(merge)`` where ``merge`` orders chunks
+    by salt and combines boundary state (see ``revisit_stats_salted``
+    for the worked example)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..common import cached_get
+
+    def partial(batch: pa.Table) -> pa.Table:
+        o = pc.cast(batch.column(order_col), pa.int64())
+        t = pa.table({key_col: batch.column(key_col), "o": o,
+                      "n": pa.array(np.ones(len(o), np.int64))})
+        return (t.group_by([key_col])
+                .aggregate([("n", "sum"), ("o", "min"), ("o", "max")])
+                .rename_columns([key_col, "n", "mn", "mx"]))
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col)
+             .aggregate(Sum("n", alias_name="n"),
+                        Min("mn", alias_name="mn"),
+                        Max("mx", alias_name="mx")))
+    hot_rows = stats.filter(expr=f"n > {int(threshold)}").take_all()
+    if not hot_rows:
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "salt", pa.array(np.zeros(b.num_rows, np.int32))),
+            batch_format="pyarrow")
+    hot_rows.sort(key=lambda r: r[key_col])
+    hot_keys = pa.array([r[key_col] for r in hot_rows])
+    mns = np.array([r["mn"] for r in hot_rows], np.int64)
+    mxs = np.array([r["mx"] for r in hot_rows], np.int64)
+    hot_ref = ray.put((hot_keys, mns, mxs))
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        keys, lo, hi = cached_get(hot_ref)
+        idx = pc.index_in(batch.column(key_col), value_set=keys)
+        idx_np = np.asarray(pc.fill_null(idx, -1), dtype=np.int64)
+        salt = np.zeros(batch.num_rows, np.int32)
+        hot = idx_np >= 0
+        if hot.any():
+            o = np.asarray(pc.cast(batch.column(order_col),
+                                   pa.int64()))[hot]
+            mn = lo[idx_np[hot]]
+            span = np.maximum(hi[idx_np[hot]] - mn, 1)
+            salt[hot] = np.minimum(
+                ((o - mn) * n_salt) // (span + 1), n_salt - 1
+            ).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt))
+
+    return ds.map_batches(add_salt, batch_format="pyarrow")
+
+
+def revisit_stats_salted(ds, key_col: str = "user_id", ts_col: str = "ts",
+                         state_col: str = "event_type",
+                         id_col: str = "event_id", digits: int = 6,
+                         hot_threshold: int = 100_000, n_salt: int = 16):
+    """``revisit_stats`` with the hot-key partitioning assumption
+    REMOVED: keys above ``hot_threshold`` observations are salted into
+    contiguous time chunks (``salt_hot_keys``), per-chunk partials
+    computed in parallel, then stitched per key — n_changes adds the
+    chunk-boundary comparisons (last state of chunk i vs first state
+    of chunk i+1), so the output is IDENTICAL to the unsalted
+    operator at any skew."""
+    salted = salt_hot_keys(ds, key_col, ts_col, hot_threshold,
+                           n_salt=n_salt)
+
+    def chunk_stats(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")])
+        g = group.take(order)
+        ts = np.asarray(pc.cast(g.column(ts_col), pa.int64()))
+        st = np.asarray(g.column(state_col).to_pylist(), dtype=object)
+        n = len(ts)
+        return pa.table({
+            key_col: pa.array([g.column(key_col)[0].as_py()],
+                              g.schema.field(key_col).type),
+            "salt": pa.array([g.column("salt")[0].as_py()], pa.int32()),
+            "n": pa.array([n], pa.int64()),
+            "changes": pa.array(
+                [int((st[1:] != st[:-1]).sum()) if n > 1 else 0],
+                pa.int64()),
+            "first_ts": pa.array([int(ts[0])], pa.int64()),
+            "last_ts": pa.array([int(ts[-1])], pa.int64()),
+            "first_st": pa.array([str(st[0])], pa.string()),
+            "last_st": pa.array([str(st[-1])], pa.string()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("salt", "ascending")])
+        n = int(pc.sum(g.column("n")).as_py())
+        changes = int(pc.sum(g.column("changes")).as_py())
+        first_st = g.column("first_st").to_pylist()
+        last_st = g.column("last_st").to_pylist()
+        changes += sum(1 for i in range(1, len(first_st))
+                       if last_st[i - 1] != first_st[i])
+        ts0 = int(g.column("first_ts")[0].as_py())
+        ts1 = int(g.column("last_ts")[-1].as_py())
+        if n > 1:
+            rate = pc.round(pa.array([changes / (n - 1)], pa.float64()),
+                            ndigits=digits,
+                            round_mode="half_towards_infinity")
+            gap = pc.round(
+                pa.array([(float(ts1 - ts0) / (n - 1)) / 1_000_000.0],
+                         pa.float64()),
+                ndigits=digits, round_mode="half_towards_infinity")
+        else:
+            rate = pa.array([None], pa.float64())
+            gap = pa.array([None], pa.float64())
+        return pa.table({
+            key_col: pa.array([g.column(key_col)[0].as_py()],
+                              g.schema.field(key_col).type),
+            "n_obs": pa.array([n], pa.int64()),
+            "n_changes": pa.array([changes], pa.int64()),
+            "change_rate": rate,
+            "mean_gap_s": gap,
+        })
+
+    return (salted.groupby([key_col, "salt"])
+            .map_groups(chunk_stats, batch_format="pyarrow")
+            .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
+
+
 def url_template_stats(ds, url_col: str = "url", num_token: str = "<n>"):
     """Per-(host, path-template) URL census: collapse digit runs in
     each URL to ``num_token`` and count how many URL rows collapse

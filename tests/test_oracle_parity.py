@@ -51,6 +51,11 @@ FAST_QUERIES = [
     "cheapest_supplier", "revenue_share", "tpch_q14", "tpch_q10",
     "tpch_q6", "nation_revenue_share", "tpch_q17", "tpch_q15",
     "label_centroids", "knn_classify", "tpch_q19",
+    "distinct_event_types", "domain_filter", "domain_stats", "events_daily",
+    "filter_pushdown", "lang_id", "mktsegment", "normalize_text",
+    "part_types", "pii_scrub", "punct_ratio", "quality_scores",
+    "region_customers", "revenue_by_priority", "supplier_nation",
+    "top_orders", "url_dedup", "revisit_stats_salted",
 ]
 
 
@@ -83,3 +88,24 @@ def test_query_matches_oracle(name, oracle_con):
                                atol=1e-9, equal_nan=True), c
         else:
             assert (a[c].astype(str).to_numpy() == b[c].astype(str).to_numpy()).all(), c
+
+
+def test_every_query_is_verified_in_suite():
+    """Coverage meta-test (r4 verdict ask #8): every queries() entry
+    must be verified by SOMETHING in the suite — sf0.001 DuckDB parity
+    (FAST_QUERIES), the frozen golden-oracle set (_GOLDEN_ORACLES), or
+    an explicit slow-list entry with a reason. A new query cannot
+    silently skip in-suite verification."""
+    import __ray_entry__ as E
+
+    SLOW_EXPLICIT = {
+        # name: reason it cannot run at sf0.001 in-suite
+    }
+    covered = set(FAST_QUERIES) | set(E._GOLDEN_ORACLES) | set(SLOW_EXPLICIT)
+    missing = sorted(set(E.queries()) - covered)
+    assert not missing, (
+        f"queries with no in-suite verification: {missing} — add to "
+        "FAST_QUERIES (sf0.001 SQL parity), _GOLDEN_ORACLES (frozen "
+        "golden), or SLOW_EXPLICIT (with a reason)")
+    stale = sorted(set(FAST_QUERIES) - set(E.queries()))
+    assert not stale, f"FAST_QUERIES entries with no query: {stale}"
