@@ -118,11 +118,46 @@ class _Handler(BaseHTTPRequestHandler):
             split = urlsplit(self.path)
             parts = [unquote(p) for p in split.path.split("/") if p != ""]
             q = {k: v[0] for k, v in parse_qs(split.query).items()}
+            wants_html = method == "GET" and "text/html" in (
+                self.headers.get("Accept") or "")
             if not parts:
+                if wants_html:
+                    from . import ui
+
+                    return self._send(200, ui.home_page(), "text/html")
                 return self._json(200, {"service": "scrappy_ray", "formats": sorted(SERIALIZERS)})
+            if parts == ["help"] and method == "GET":
+                from . import ui
+
+                return self._send(200, ui.help_page(), "text/html")
+            if parts == ["javascript"] and method == "GET":
+                from . import ui
+
+                return self._send(200, ui.annotator_js(),
+                                  "application/javascript")
             if parts[0] == "extractors":
+                if wants_html and not parts[1:]:
+                    from . import ui
+
+                    with self.state.lock:
+                        uris = sorted({
+                            v
+                            for f in self.state.kb.fragments
+                            for s in f.selectors
+                            if s.type in ("Uri", "UriPattern")
+                            for v in s.values
+                        })
+                    return self._send(200, ui.extractors_page(uris),
+                                      "text/html")
                 return self._extractors(method, parts[1:])
             if parts[0] == "samples":
+                if wants_html and not parts[1:]:
+                    from . import ui
+
+                    with self.state.lock:
+                        ss = [{"id": i, "url": s["url"]}
+                              for i, s in enumerate(self.state.samples)]
+                    return self._send(200, ui.samples_page(ss), "text/html")
                 return self._samples(method, parts[1:])
             if parts[0] == "kb" and method == "GET":
                 return self._kb()

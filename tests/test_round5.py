@@ -357,3 +357,46 @@ def test_revisit_stats_salted_identical_under_skew(ray_session):
     assert len(salts) == 4
     cold = {r["salt"] for r in s.filter(expr="user_id == 2").take_all()}
     assert cold == {0}
+
+
+def test_admin_ui_html_views():
+    """The admin UI (reference views/*.haml re-expressed) serves HTML
+    to browsers via content negotiation while the JSON API is
+    unchanged for API clients."""
+    import json
+    import threading
+    import urllib.request
+
+    from scrappy_ray.kb import load_kb
+    from scrappy_ray.server import EngineState, make_server
+    from scrappy_ray.sources.testgen import synth_kb_yaml
+
+    state = EngineState(kb=load_kb(synth_kb_yaml()))
+    srv = make_server(state)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path, accept):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                headers={"Accept": accept})
+            with urllib.request.urlopen(req) as r:
+                return r.headers.get_content_type(), r.read().decode()
+
+        for path in ("/", "/extractors", "/samples", "/help"):
+            ctype, body = get(path, "text/html,application/xhtml+xml")
+            assert ctype == "text/html", path
+            assert "<html>" in body and "scrappy_ray" in body, path
+        # JSON API unchanged for non-browser clients
+        ctype, body = get("/", "application/json")
+        assert ctype == "application/json"
+        assert "formats" in json.loads(body)
+        ctype, body = get("/extractors", "application/json")
+        assert "extractors" in json.loads(body)
+        # annotator bookmarklet
+        ctype, body = get("/javascript", "*/*")
+        assert ctype == "application/javascript"
+        assert "vsize" in body
+    finally:
+        srv.shutdown()
