@@ -3443,6 +3443,270 @@ def _q_tpch_q15(sf_dir: str):
                           select=["total_rev"]).sort("s_suppkey")
 
 
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): the
+    two-level aggregate — orders filtered and counted per customer
+    (one narrow groupby, O(customers) output), the count distribution
+    from a second O(distinct counts) groupby, and the zero-order
+    customer row derived by subtraction from the table row count (no
+    customer⋈orders join at all)."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    n_cust = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("o_orderpriority"),
+                                     "1-URGENT")).select(["o_custkey"])
+
+    dist = (orders.map_batches(flt, batch_format="pyarrow")
+            .groupby("o_custkey").count()
+            .map_batches(lambda t: pa.table({
+                "c_count": pc.cast(t.column("count()"), pa.int64())}),
+                batch_format="pyarrow")
+            .groupby("c_count").count())
+    d = _to_table(dist)
+    cc = np.asarray(d.column("c_count"), dtype=np.int64)
+    cd = np.asarray(pc.cast(d.column("count()"), pa.int64()),
+                    dtype=np.int64)
+    n_zero = n_cust - int(cd.sum())
+    if n_zero > 0:  # an empty c_count=0 group has no SQL-side row
+        cc = np.r_[cc, 0]
+        cd = np.r_[cd, n_zero]
+    return pa.table({"c_count": pa.array(cc, pa.int64()),
+                     "custdist": pa.array(cd, pa.int64())}).sort_by(
+        [("custdist", "descending"), ("c_count", "descending")])
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-threshold + anti-join + rollup):
+    above-average-balance customers with no URGENT orders, per nation.
+    The scalar subquery is an exact integer comparison — cents·N >
+    Σcents with (Σcents, N) from one-row block partials — so the
+    threshold cannot drift from DuckDB's float AVG; the anti-join is
+    the distributed LEFT ANTI against the distinct urgent-customer
+    keys; the nation rollup broadcasts the tiny nation map."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        pos = b.filter(pc.greater(b.column("c_acctbal"), 0.0))
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(pos.column("c_acctbal"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64())
+        return pa.table({
+            "s": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+            "n": pa.array([pos.num_rows], pa.int64())})
+
+    bal = _to_table(cust.map_batches(bal_partial, batch_format="pyarrow"))
+    sum_cents = int(pc.sum(bal.column("s")).as_py() or 0)
+    n_pos = int(pc.sum(bal.column("n")).as_py() or 0)
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("o_orderpriority"),
+                                 "1-URGENT")) \
+                .select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    okeys = (_read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+             .map_batches(urgent, batch_format="pyarrow")
+             .groupby("c_custkey").count()
+             .select_columns(["c_custkey"]))
+
+    def above(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(b.column("c_acctbal"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64())
+        return b.filter(pc.greater(
+            pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+            pa.scalar(sum_cents, pa.int64())))
+
+    rich = cust.map_batches(above, batch_format="pyarrow")
+    no_urgent = drop_empty_blocks(rich).join(
+        drop_empty_blocks(okeys), "left_anti", 8, on=("c_custkey",))
+
+    nat = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    name_by_key = np.empty(
+        int(pc.max(nat.column("n_nationkey")).as_py()) + 1, dtype=object)
+    for k, nm in zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()):
+        name_by_key[k] = nm
+
+    def roll(b: pa.Table) -> pa.Table:
+        nk = np.asarray(pc.cast(b.column("c_nationkey"), pa.int64()),
+                        dtype=np.int64)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(b.column("c_acctbal"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64())
+        t = pa.table({"nation": pa.array(name_by_key[nk], pa.string()),
+                      "n1": pa.array(np.ones(b.num_rows, np.int64)),
+                      "cents": cents})
+        return (t.group_by(["nation"])
+                .aggregate([("n1", "sum"), ("cents", "sum")])
+                .rename_columns(["nation", "n1", "cents"]))
+
+    agg = _to_table(no_urgent.map_batches(roll, batch_format="pyarrow")
+                    .groupby("nation")
+                    .aggregate(Sum("n1", alias_name="numcust"),
+                               Sum("cents", alias_name="sc")))
+    if agg.num_rows == 0:
+        return pa.table({"nation": pa.array([], pa.string()),
+                         "numcust": pa.array([], pa.int64()),
+                         "totacctbal": pa.array([], pa.float64())})
+    return pa.table({
+        "nation": agg.column("nation"),
+        "numcust": pc.cast(agg.column("numcust"), pa.int64()),
+        "totacctbal": pc.round(
+            pc.divide(pc.cast(agg.column("sc"), pa.float64()),
+                      pa.scalar(100.0)),
+            ndigits=2, round_mode="half_towards_infinity"),
+    }).sort_by([("nation", "ascending")])
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-lateness counts per order priority;
+    l_shipmode absent from the generator, o_orderpriority stands in):
+    ONE distributed hash join of the two corpus-sized projections,
+    then vectorized int64 timestamp arithmetic and conditional-count
+    partials per block — O(priorities) output."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]).map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(li).join(drop_empty_blocks(orders),
+                                        "inner", 8, on=("l_orderkey",))
+    late_us = 60 * 86400 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b.column("l_shipdate"), pa.int64())
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        late = pc.cast(pc.greater(pc.subtract(ship, od),
+                                  pa.scalar(late_us, pa.int64())),
+                       pa.int64())
+        t = pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "late": late,
+            "ontime": pc.subtract(pa.scalar(1, pa.int64()), late)})
+        return (t.group_by(["o_orderpriority"])
+                .aggregate([("late", "sum"), ("ontime", "sum")])
+                .rename_columns(["o_orderpriority", "late", "ontime"]))
+
+    q = _to_table(joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("o_orderpriority")
+                  .aggregate(Sum("late", alias_name="late_count"),
+                             Sum("ontime", alias_name="ontime_count")))
+    return pa.table({
+        "o_orderpriority": q.column("o_orderpriority"),
+        "late_count": pc.cast(q.column("late_count"), pa.int64()),
+        "ontime_count": pc.cast(q.column("ontime_count"), pa.int64()),
+    }).sort_by([("o_orderpriority", "ascending")])
+
+
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (cross-nation trade volume per ship year): one
+    lineitem⋈orders hash join (the two corpus-sized sides), every
+    dimension broadcast as a numpy lookup (customer/supplier nation
+    maps), exact cents²-int64 partials, O(nations² × years) output."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    cust = _read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_nationkey"])
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_nationkey"])
+    nat = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    ckeys = cust.column("c_custkey").combine_chunks()
+    cnat = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
+    skeys = supp.column("s_suppkey").combine_chunks()
+    snat = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+    name_by_key = np.empty(
+        int(pc.max(nat.column("n_nationkey")).as_py()) + 1, dtype=object)
+    for k, nm in zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()):
+        name_by_key[k] = nm
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(li).join(drop_empty_blocks(orders),
+                                        "inner", 8, on=("l_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ci = np.asarray(pc.cast(pc.fill_null(pc.index_in(
+            b.column("o_custkey"), value_set=ckeys), -1), pa.int64()),
+            dtype=np.int64)
+        si = np.asarray(pc.cast(pc.fill_null(pc.index_in(
+            b.column("l_suppkey"), value_set=skeys), -1), pa.int64()),
+            dtype=np.int64)
+        ok = (ci >= 0) & (si >= 0)
+        sn = snat[np.maximum(si, 0)]
+        cn = cnat[np.maximum(ci, 0)]
+        ok &= sn != cn
+        b2 = b.filter(pa.array(ok))
+        if b2.num_rows == 0:
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        sn = sn[ok]
+        cn = cn[ok]
+        yr = pc.cast(pc.year(b2.column("l_shipdate")), pa.int64())
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(b2.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(b2.column("l_discount"), pa.float64())),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        t = pa.table({"supp_nation": pa.array(name_by_key[sn], pa.string()),
+                      "cust_nation": pa.array(name_by_key[cn], pa.string()),
+                      "l_year": yr,
+                      "r": pa.array(p * d, pa.int64())})
+        return (t.group_by(["supp_nation", "cust_nation", "l_year"])
+                .aggregate([("r", "sum")])
+                .rename_columns(["supp_nation", "cust_nation",
+                                 "l_year", "r"]))
+
+    q = _to_table(joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["supp_nation", "cust_nation", "l_year"])
+                  .aggregate(Sum("r", alias_name="rc")))
+    return pa.table({
+        "supp_nation": q.column("supp_nation"),
+        "cust_nation": q.column("cust_nation"),
+        "l_year": q.column("l_year"),
+        "revenue": pc.round(
+            pc.divide(pc.cast(q.column("rc"), pa.float64()),
+                      pa.scalar(10000.0)),
+            ndigits=2, round_mode="half_towards_infinity"),
+    }).sort_by([("supp_nation", "ascending"), ("cust_nation", "ascending"),
+                ("l_year", "ascending")])
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid (functions/similarity.py::
     label_centroids): the class-prototype vector aggregate —
@@ -3767,6 +4031,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "knn_classify": _q_knn_classify,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q7": _q_tpch_q7,
     }
 
 
@@ -5722,6 +5990,62 @@ def _oracle_sql_static() -> dict[str, str]:
                                             ORDER BY c DESC, label) AS rn
                   FROM v)
             WHERE rn = 1 ORDER BY query_id
+        """,
+        "tpch_q13": """
+            WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                        FROM customer LEFT OUTER JOIN orders
+                          ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+                        GROUP BY c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   COUNT(*)::BIGINT AS custdist
+            FROM co GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q22": """
+            WITH s AS (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100)
+                                            AS BIGINT)) AS BIGINT) AS sc,
+                              COUNT(*)::BIGINT AS n
+                       FROM customer WHERE c_acctbal > 0.0)
+            SELECT n_name AS nation, COUNT(*)::BIGINT AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+            WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                    * (SELECT n FROM s) > (SELECT sc FROM s)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY nation ORDER BY nation
+        """,
+        "tpch_q12": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN l_shipdate > o_orderdate
+                                      + INTERVAL 60 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS late_count,
+                   CAST(SUM(CASE WHEN l_shipdate <= o_orderdate
+                                      + INTERVAL 60 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ontime_count
+            FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                     AS l_year,
+                   ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * CAST(ROUND((1 - l_discount) * 100)
+                                    AS BIGINT)) / 10000.0, 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON o_orderkey = l_orderkey
+            JOIN customer c ON c_custkey = o_custkey
+            JOIN supplier s ON s_suppkey = l_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "tpch_q19": """
             SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
