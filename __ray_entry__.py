@@ -3707,6 +3707,109 @@ def _q_tpch_q7(sf_dir: str):
                 ("l_year", "ascending")])
 
 
+def _q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape (market share of one supplier nation, per order
+    year, for a region's customers and one part type): part filter
+    pushed as a broadcast is_in BEFORE the hash join (prunes the big
+    side), dims broadcast as numpy lookups, exact cents²-int64
+    conditional partials, O(years) output with the share computed on
+    the gathered tiny table."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    target, region, ptype = "NATION_1", "AMERICA", "ECONOMY"
+    cust = _read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_nationkey"])
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_nationkey"])
+    nat = _read_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read_table(sf_dir, "region",
+                      columns=["r_regionkey", "r_name"])
+    rkey = {r["r_name"]: r["r_regionkey"]
+            for r in reg.to_pylist()}[region]
+    nk_max = int(pc.max(nat.column("n_nationkey")).as_py())
+    in_region = np.zeros(nk_max + 1, bool)
+    is_target = np.zeros(nk_max + 1, bool)
+    for r in nat.to_pylist():
+        in_region[r["n_nationkey"]] = r["n_regionkey"] == rkey
+        is_target[r["n_nationkey"]] = r["n_name"] == target
+    part = _read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pkeys = part.filter(pc.equal(part.column("p_type"), ptype)) \
+                .column("p_partkey").combine_chunks()
+    ckeys = cust.column("c_custkey").combine_chunks()
+    cnat = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
+    skeys = supp.column("s_suppkey").combine_chunks()
+    snat = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: b.filter(pc.is_valid(pc.index_in(
+            b.column("l_partkey"), value_set=pkeys))),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey",
+                            "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey", "o_custkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(li).join(drop_empty_blocks(orders),
+                                        "inner", 8, on=("l_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ci = np.asarray(pc.cast(pc.fill_null(pc.index_in(
+            b.column("o_custkey"), value_set=ckeys), -1), pa.int64()),
+            dtype=np.int64)
+        si = np.asarray(pc.cast(pc.fill_null(pc.index_in(
+            b.column("l_suppkey"), value_set=skeys), -1), pa.int64()),
+            dtype=np.int64)
+        ok = (ci >= 0) & (si >= 0)
+        cn = cnat[np.maximum(ci, 0)]
+        ok &= in_region[cn]
+        b2 = b.filter(pa.array(ok))
+        if b2.num_rows == 0:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        sn = snat[np.maximum(si, 0)][ok]
+        yr = pc.cast(pc.year(b2.column("o_orderdate")), pa.int64())
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(b2.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(b2.column("l_discount"), pa.float64())),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        vol = p * d
+        t = pa.table({
+            "o_year": yr,
+            "t": pa.array(np.where(is_target[sn], vol, 0), pa.int64()),
+            "r": pa.array(vol, pa.int64())})
+        return (t.group_by(["o_year"])
+                .aggregate([("t", "sum"), ("r", "sum")])
+                .rename_columns(["o_year", "t", "r"]))
+
+    q = _to_table(joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("o_year")
+                  .aggregate(Sum("t", alias_name="ts"),
+                             Sum("r", alias_name="rs")))
+    if q.num_rows == 0:
+        return pa.table({"o_year": pa.array([], pa.int64()),
+                         "mkt_share": pa.array([], pa.float64())})
+    ts = np.asarray(pc.cast(q.column("ts"), pa.int64()), dtype=np.int64)
+    rs = np.asarray(pc.cast(q.column("rs"), pa.int64()), dtype=np.int64)
+    return pa.table({
+        "o_year": q.column("o_year"),
+        "mkt_share": pc.round(
+            pa.array(ts / np.maximum(rs, 1), pa.float64()), ndigits=6,
+            round_mode="half_towards_infinity"),
+    }).sort_by([("o_year", "ascending")])
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid (functions/similarity.py::
     label_centroids): the class-prototype vector aggregate —
@@ -4035,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": _q_tpch_q22,
         "tpch_q12": _q_tpch_q12,
         "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
     }
 
 
@@ -6046,6 +6150,31 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE n1.n_name <> n2.n_name
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                     AS o_year,
+                   ROUND(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                                  THEN CAST(ROUND(l_extendedprice * 100)
+                                            AS BIGINT)
+                                       * CAST(ROUND((1 - l_discount)
+                                                    * 100) AS BIGINT)
+                                  ELSE 0 END)::DOUBLE
+                         / GREATEST(SUM(
+                             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * CAST(ROUND((1 - l_discount) * 100)
+                                    AS BIGINT)), 1)::DOUBLE,
+                         6) AS mkt_share
+            FROM lineitem l
+            JOIN part p ON p_partkey = l_partkey
+            JOIN orders o ON o_orderkey = l_orderkey
+            JOIN customer c ON c_custkey = o_custkey
+            JOIN supplier s ON s_suppkey = l_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+            GROUP BY o_year ORDER BY o_year
         """,
         "tpch_q19": """
             SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
