@@ -1300,6 +1300,40 @@ def _q_mm_decode_png(sf_dir: str):
     return decode_images(ray.data.from_arrow(tbl), real=True).sort("id")
 
 
+def _q_mm_frames_apng(sf_dir: str):
+    """REAL video-container frame sampling, no third-party codec
+    (functions/multimodal.py::ApngFrameSampler): deterministic APNG
+    animations (per-id frame count and size, cycling scanline
+    filters) sampled at stride 2 by the real=True actor pool — one
+    row per sampled, actually-decoded frame. Golden-backed oracle."""
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import apng_encode, sample_frames
+
+    ids = _read_table(sf_dir, "embeddings",
+                      columns=["vec_id"]).column("vec_id").to_pylist()[:60]
+
+    def vid(i: int) -> bytes:
+        w, h, n = 4 + i % 5, 3 + i % 4, 3 + i % 6
+        frames = []
+        for f in range(n):
+            img = np.zeros((h, w, 3), np.uint8)
+            img[:, :, 0] = (np.arange(w, dtype=np.uint32) * (11 + i + f)
+                            % 256).astype(np.uint8)
+            img[:, :, 1] = (np.arange(h, dtype=np.uint32)[:, None]
+                            * (13 + f) % 256).astype(np.uint8)
+            img[:, :, 2] = (i * 5 + f * 3) % 256
+            frames.append(img)
+        return apng_encode(frames)
+
+    tbl = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "payload": pa.array([vid(i) for i in ids], pa.binary()),
+    })
+    return sample_frames(ray.data.from_arrow(tbl), stride=2,
+                         real=True).sort(["id", "frame_idx"])
+
+
 def _q_audio_decode(sf_dir: str):
     """Audio column stage with a REAL decoder (stdlib WAV/PCM — no
     third-party codec needed, unlike the image/video seams): decode
@@ -4038,6 +4072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "mm_decode": _q_mm_decode,
         "mm_decode_png": _q_mm_decode_png,
+        "mm_frames_apng": _q_mm_frames_apng,
         "audio_decode": _q_audio_decode,
         "extract_triples": _q_extract_triples,
         "extract_text": _q_extract_text,
@@ -4310,6 +4345,7 @@ _GOLDEN_ORACLES = {
     "ann_ivf": "ORDER BY query_id, rank",
     "mm_decode": "ORDER BY id",
     "mm_decode_png": "ORDER BY id",
+    "mm_frames_apng": "ORDER BY id, frame_idx",
     "audio_decode": "ORDER BY id",
     "compression_ratio": "ORDER BY doc_id",
     "incremental_near_dedup": "ORDER BY doc_id",

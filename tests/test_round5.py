@@ -400,3 +400,29 @@ def test_admin_ui_html_views():
         assert "vsize" in body
     finally:
         srv.shutdown()
+
+
+def test_apng_frame_sampler_real_in_sandbox(ray_session):
+    """sample_frames(real=True) exercises a REAL video container
+    (APNG) with no third-party codec: each sampled frame's pixel data
+    is inflate+unfiltered, and the output matches the fake sampler's
+    schema and stride semantics."""
+    import numpy as np
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import apng_encode, sample_frames
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+              for _ in range(5)]
+    vid = pa.table({
+        "id": pa.array([7, 8], pa.int64()),
+        "payload": pa.array([apng_encode(frames), b"not a video"],
+                            pa.binary()),
+    })
+    out = sample_frames(ray.data.from_arrow(vid), stride=2,
+                        real=True).to_pandas()
+    assert out["id"].tolist() == [7, 7, 7]
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    assert out["width"].tolist() == [6, 6, 6]
+    assert out["height"].tolist() == [4, 4, 4]
