@@ -260,7 +260,9 @@ def main():
                  "fuzzy_join", "collocations", "anchor_texts", "mirror_sources",
                  "weighted_sample", "session_ids", "value_histogram",
                  "graph_triangles", "bloom_semi_join", "char_entropy",
-                 "group_corr", "mad_outliers"):
+                 "group_corr", "mad_outliers",
+                 "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q13", "tpch_q22",
+                 "revisit_stats_salted", "mm_decode_png", "mm_frames_apng"):
         t = time.perf_counter()
         _consume(E.queries()[name](SF_DIR))
         queries[name] = round(time.perf_counter() - t, 3)

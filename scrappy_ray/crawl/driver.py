@@ -614,6 +614,9 @@ def _finish_write_block(tbl: pa.Table, offset: int, nfdir: str, priority_fn: str
     return out.num_rows
 
 
+_SEQ_TIMINGS: dict = {}
+
+
 def _seq_finish_write(links_ds, start: int, nfdir: str, priority_fn: str,
                       bucketed: bool, num_buckets: int) -> int:
     """Global-seq assignment + frontier completion + frontier WRITE
@@ -626,7 +629,9 @@ def _seq_finish_write(links_ds, start: int, nfdir: str, priority_fn: str,
     from ..stages.seq import _block_meta
 
     os.makedirs(nfdir, exist_ok=True)
+    t0 = time.perf_counter()
     refs = links_ds.materialize().to_arrow_refs()
+    t1 = time.perf_counter()
     metas = ray.get([_block_meta.remote(r, ("enc",)) for r in refs])
     order = sorted((i for i in range(len(refs)) if metas[i][1] > 0), key=lambda i: metas[i][0])
     futures = []
@@ -637,6 +642,11 @@ def _seq_finish_write(links_ds, start: int, nfdir: str, priority_fn: str,
         )
         offset += metas[i][1]
     ray.get(futures)
+    # per-round profile surfaced in the manifest (scaling diagnosis):
+    # mat = reduce→robots→seen→sort pipeline execution, write = seq
+    # stamp + frontier finish + parquet write
+    _SEQ_TIMINGS.update(mat_s=round(t1 - t0, 4),
+                        write_s=round(time.perf_counter() - t1, 4))
     return offset
 
 
@@ -957,19 +967,35 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
             exploded = ray.data.read_parquet(edir, columns=["seq", "links"]).map_batches(
                 _explode_links, batch_format="pyarrow"
             )
+            # bucket count sized to the round: each bucket should hold
+            # ~100k+ rows before more buckets pay — shard-file count is
+            # tasks × buckets, and at 32 workers × 32 buckets the tiny
+            # per-file costs dominate this narrow (url, depth, enc)
+            # payload. Scales up automatically for genuinely big rounds.
+            n_link_buckets = max(8, min(64, n_ready // 100_000 * 8))
+            # robots + seen-mark FUSED into the per-bucket reduce task
+            # (bucket_post_fn): the reduced bucket is already distinct
+            # per (url, depth), so marking there is exactly-once, costs
+            # ONE seen-actor scatter per bucket instead of a separate
+            # 32k-batch map stage per round, and removes two whole
+            # Dataset stages from the round's critical path.
+            _robots_f = _RobotsFilter(robots) if robots else None
+            _seen_f = _SeenMark(seen, cfg.url_only_seen)
+
+            def _post_bucket(t: pa.Table, _r=_robots_f, _s=_seen_f) -> pa.Table:
+                if _r is not None:
+                    t = _r(t)
+                return _s(t)
+
+            t_spill0 = time.perf_counter()
             links = hash_partition_reduce(
                 exploded, ["url", "depth"], _local_min_enc, links_tmp,
+                num_buckets=n_link_buckets,
                 select=["url", "depth", "enc"], local_reduce=True,
+                bucket_post_fn=_post_bucket,
             )
-            # batch 32k: these stages are actor-RPC-bound, not compute-
-            # bound — rows here are narrow (url, depth, enc), and the
-            # vectorized mark path measured 1.7× faster at 32k than at
-            # 4k batches (fewer shard round trips per row)
-            if robots:
-                links = links.map_batches(_RobotsFilter(robots), batch_format="pyarrow", batch_size=32768)
-            links = links.map_batches(
-                _SeenMark(seen, cfg.url_only_seen), batch_format="pyarrow", batch_size=32768
-            ).sort("enc")  # enc order == (parent_seq, link_idx) order
+            t_spill = time.perf_counter() - t_spill0
+            links = links.sort("enc")  # enc order == (parent_seq, link_idx) order
 
             nfdir = ckpt.frontier_dir(cfg.ckpt_dir, rnd + 1)
             # budget crawls persist the next frontier ALREADY partitioned
@@ -1027,6 +1053,9 @@ def run_crawl(cfg: CrawlConfig) -> CrawlResult:
                 "wall_s": round(wall, 4),
                 "fetch_extract_s": round(t_fetch, 4),
                 "links_s": round(t_links, 4),
+                "links_spill_s": round(t_spill, 4) if not small else None,
+                "links_mat_s": _SEQ_TIMINGS.get("mat_s") if not small else None,
+                "links_write_s": _SEQ_TIMINGS.get("write_s") if not small else None,
                 "snapshot_s": round(time.perf_counter() - t_snap0, 4),
                 "urls_per_sec": round(n_exec / wall, 2) if wall > 0 else None,
             }

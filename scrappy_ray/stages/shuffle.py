@@ -121,10 +121,16 @@ def spill_table(batch: pa.Table, key_cols: list[str], tmp_dir: str,
     return batch.num_rows
 
 
-def reduce_spill(tmp_dir: str, reduce_fn, dir_prefix: str = "bucket="):
+def reduce_spill(tmp_dir: str, reduce_fn, dir_prefix: str = "bucket=",
+                 bucket_post_fn=None):
     """Stage 2 alone: one task per existing spill bucket, each reduced
-    with ``reduce_fn`` at Arrow C++ speed. Returns a (lazy) Dataset —
-    the caller owns ``tmp_dir`` cleanup after consuming it."""
+    with ``reduce_fn`` at Arrow C++ speed. ``bucket_post_fn`` (if set)
+    runs ONCE per bucket on the reduced table — the fusion point for
+    per-key follow-up stages (e.g. seen-set marking at one actor RPC
+    per bucket instead of a separate map stage per 32k-row batch).
+    Unlike ``reduce_fn`` it is NOT applied as a local combiner, so it
+    may be stateful/effectful per key. Returns a (lazy) Dataset — the
+    caller owns ``tmp_dir`` cleanup after consuming it."""
     import ray.data
 
     bucket_dirs = sorted(glob.glob(os.path.join(tmp_dir, f"{dir_prefix}*")))
@@ -138,7 +144,10 @@ def reduce_spill(tmp_dir: str, reduce_fn, dir_prefix: str = "bucket="):
         for d in batch["dir"]:
             t = pads.dataset(str(d)).to_table()
             if t.num_rows:
-                tables.append(reduce_fn(t))
+                t = reduce_fn(t)
+                if bucket_post_fn is not None:
+                    t = bucket_post_fn(t)
+                tables.append(t)
         if not tables:
             t = pads.dataset(str(batch["dir"][0])).to_table()
             return t.slice(0, 0)
@@ -151,7 +160,7 @@ def reduce_spill(tmp_dir: str, reduce_fn, dir_prefix: str = "bucket="):
 
 def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
                           num_buckets: int = 32, select: list[str] | None = None,
-                          local_reduce: bool = False):
+                          local_reduce: bool = False, bucket_post_fn=None):
     """Generic two-stage external shuffle-reduce.
 
     ``reduce_fn(table) -> table`` runs ONCE per bucket over all of the
@@ -174,7 +183,7 @@ def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
 
     ds.map_batches(spill, batch_format="pyarrow").count()  # execute stage 1
 
-    out = reduce_spill(tmp_dir, reduce_fn)
+    out = reduce_spill(tmp_dir, reduce_fn, bucket_post_fn=bucket_post_fn)
     if out is None:
         # Empty input: reproduce the real reduce-output schema so
         # downstream unions don't see every column degraded to string
@@ -186,6 +195,8 @@ def hash_partition_reduce(ds, key_cols: list[str], reduce_fn, tmp_dir: str,
         empty = _empty_like(ds, select, fallback_cols=key_cols)
         try:
             empty = reduce_fn(empty)
+            if bucket_post_fn is not None:
+                empty = bucket_post_fn(empty)
         except Exception:
             import logging
 
