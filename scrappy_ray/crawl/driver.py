@@ -1099,6 +1099,31 @@ def _finalize(cfg: CrawlConfig, manifest: dict, rounds: int) -> CrawlResult:
     )
 
 
+def _ensure_fsspec_http_stub() -> None:
+    """If ``fsspec.implementations.http`` cannot import (no aiohttp in
+    this environment), cache a stub module exposing a sentinel
+    ``HTTPFileSystem`` class so Ray's per-call lazy probe becomes a
+    race-free sys.modules hit instead of a repeated failing import
+    (which, attempted from two threads at once, surfaces as a plain
+    ImportError that crashes the Dataset job)."""
+    import sys as _sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import types as _types
+
+    stub = _types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel — nothing instantiates it
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = stub
+
+
 def _finalize_shuffle(edirs, out_sched, out_triples, out_text) -> None:
     """The at-scale finalize: external hash shuffles (key-partitioned
     parquet spill + per-bucket Arrow reduce, ``stages/shuffle.py``) —
@@ -1109,26 +1134,53 @@ def _finalize_shuffle(edirs, out_sched, out_triples, out_text) -> None:
     workers and ``num_buckets`` is the explicit partitioning unit."""
     import shutil as _sh
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..stages.shuffle import hash_distinct, hash_first_by_key
 
-    ray.data.read_parquet(edirs, columns=["seq", "url", "depth", "round"]).write_parquet(out_sched)
     tmp = tempfile.mkdtemp(prefix="finalize_shuf_", dir=os.path.dirname(out_sched) or "/tmp")
-    try:
+
+    # The three outputs are independent reductions over the same round
+    # files — launched CONCURRENTLY (driver threads; each is its own
+    # Dataset execution) so the streaming executor pipelines them
+    # instead of paying three sequential job launch+drain walls.
+    # Ray's path resolution lazily imports fsspec.implementations.http
+    # on EVERY read_parquet/write_parquet (the aiohttp-less import
+    # always fails, is caught, and is re-attempted next call). Two
+    # threads racing that import see each other's partially-initialized
+    # module and die with a plain ImportError Ray's ModuleNotFoundError
+    # guard doesn't catch. Caching a stub module makes the lookup
+    # race-free and instant for every later Dataset job too.
+    _ensure_fsspec_http_stub()
+
+    def _read(cols):
+        return ray.data.read_parquet(edirs, columns=cols)
+
+    def _sched():
+        _read(["seq", "url", "depth", "round"]).write_parquet(out_sched)
+
+    def _text():
         # text: one row per url, first-crawled wins (min seq per curl)
-        fetched = ray.data.read_parquet(edirs, columns=["curl", "seq", "text", "fetched"]).filter(
-            expr="fetched == True"
-        )
+        fetched = _read(["curl", "seq", "text", "fetched"]).filter(
+            expr="fetched == True")
         hash_first_by_key(
             fetched, "curl", "seq", ["text"], os.path.join(tmp, "text")
         ).write_parquet(out_text)
+
+    def _triples():
         # final distinct cleaned triples (agent.rb:160-162 clean + uniq)
-        trip = ray.data.read_parquet(edirs, columns=["triples"]).map_batches(
+        trip = _read(["triples"]).map_batches(
             _explode_clean_triples, batch_format="pyarrow"
         )
         hash_distinct(
             trip, ["s", "p", "o", "lit"], os.path.join(tmp, "trip")
         ).write_parquet(out_triples)
+
+    try:
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [ex.submit(f) for f in (_sched, _text, _triples)]
+            for f in futs:
+                f.result()  # surface the first exception
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
 
