@@ -129,8 +129,14 @@ def reduce_spill(tmp_dir: str, reduce_fn, dir_prefix: str = "bucket=",
     per-key follow-up stages (e.g. seen-set marking at one actor RPC
     per bucket instead of a separate map stage per 32k-row batch).
     Unlike ``reduce_fn`` it is NOT applied as a local combiner, so it
-    may be stateful/effectful per key. Returns a (lazy) Dataset — the
-    caller owns ``tmp_dir`` cleanup after consuming it."""
+    may be stateful/effectful per key. CAVEAT (same contract as a
+    map-stage equivalent): a Ray-retried bucket task re-runs the post
+    fn for that bucket's keys, so an effectful post fn must tolerate
+    at-least-once execution (the crawl's seen-mark accepts this: a
+    re-marked url reads as already-seen and is dropped — the same
+    behavior a retried _SeenMark map task had before the fusion).
+    Returns a (lazy) Dataset — the caller owns ``tmp_dir`` cleanup
+    after consuming it."""
     import ray.data
 
     bucket_dirs = sorted(glob.glob(os.path.join(tmp_dir, f"{dir_prefix}*")))

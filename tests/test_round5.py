@@ -426,3 +426,23 @@ def test_apng_frame_sampler_real_in_sandbox(ray_session):
     assert out["frame_idx"].tolist() == [0, 2, 4]
     assert out["width"].tolist() == [6, 6, 6]
     assert out["height"].tolist() == [4, 4, 4]
+
+
+def test_fsspec_http_stub_kills_lazy_import_race():
+    """After _ensure_fsspec_http_stub, the module Ray's path resolver
+    lazily probes on every read/write_parquet resolves instantly from
+    sys.modules (no repeated failing import → no thread race), and
+    Ray's _is_http_filesystem still returns False for local
+    filesystems."""
+    import sys
+
+    from scrappy_ray.crawl.driver import _ensure_fsspec_http_stub
+
+    _ensure_fsspec_http_stub()
+    assert "fsspec.implementations.http" in sys.modules
+    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+    import pyarrow.fs as pafs
+    from ray.data.datasource.path_util import _is_http_filesystem
+
+    assert _is_http_filesystem(pafs.LocalFileSystem()) is False
