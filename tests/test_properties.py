@@ -243,3 +243,65 @@ def test_misra_gries_reduce_bounds(values, m):
         assert c - est <= bound              # undercount bound
         if c > bound:
             assert v in got                  # heavy values survive
+
+
+# ---- stdlib PNG / APNG codec round-trips (round 5) ----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    f0=st.integers(min_value=0, max_value=4),
+)
+def test_png_roundtrip_any_size_any_filter(w, h, seed, f0):
+    """encode(filters cycling from f0) → stdlib decode reproduces the
+    PIL-exact luma of the original RGB image for every size/filter."""
+    import numpy as np
+
+    from scrappy_ray.functions.multimodal import (_png_to_gray,
+                                                  png_encode_filtered)
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    filters = [(f0 + i) % 5 for i in range(5)]
+    got = _png_to_gray(png_encode_filtered(img, filters))
+    assert got is not None
+    gw, gh, gray = got
+    assert (gw, gh) == (w, h)
+    expect = ((img[:, :, 0].astype(np.uint32) * 19595
+               + img[:, :, 1].astype(np.uint32) * 38470
+               + img[:, :, 2].astype(np.uint32) * 7471 + 0x8000)
+              >> 16).astype(np.uint8).ravel()
+    assert np.array_equal(gray, expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    stride=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_apng_sampler_stride_semantics(n, stride, seed):
+    """APNG encode → sample: frame indices are exactly
+    range(0, n, stride) with the encoded dimensions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scrappy_ray.functions.multimodal import (ApngFrameSampler,
+                                                  apng_encode)
+
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, size=(3, 5, 3), dtype=np.uint8)
+              for _ in range(n)]
+    out = ApngFrameSampler(stride=stride)(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "payload": pa.array([apng_encode(frames)], pa.binary()),
+    }))
+    assert out.column("frame_idx").to_pylist() == list(range(0, n, stride))
+    assert set(out.column("width").to_pylist()) <= {5}
+    assert set(out.column("height").to_pylist()) <= {3}
