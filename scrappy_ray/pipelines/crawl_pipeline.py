@@ -172,23 +172,7 @@ def crawl_job(sf_dir: str, ckpt_dir: str, depth: int = -1, host_budget=None, rob
     if num_buckets is None:
         num_buckets = default_num_buckets(pages_path)
     if small_round_threshold is None:
-        env = os.environ.get("SCRAPPY_SMALL_ROUND_THRESHOLD")
-        if env is not None:
-            small_round_threshold = int(env)
-        else:
-            # scale the driver-path cutoff DOWN with parallelism: at
-            # 32 CPUs the distributed links path clears 140k rows in
-            # ~0.4 s while the single-threaded driver path needs ~2 s
-            # for 70k (measured r5) — the crossover shrinks as workers
-            # grow. Never raised above the 100k single-core default.
-            try:
-                import ray as _ray
-
-                ncpu = int(_ray.cluster_resources().get("CPU", 8))
-            except Exception:
-                ncpu = 8
-            small_round_threshold = min(100_000,
-                                        max(20_000, 1_000_000 // max(ncpu, 1)))
+        small_round_threshold = int(os.environ.get("SCRAPPY_SMALL_ROUND_THRESHOLD", "100000"))
     kw = {}
     if force_distributed:
         kw = {"small_round_threshold": 0, "driver_round_threshold": 0, "finalize_small_bytes": 0}
