@@ -3844,6 +3844,66 @@ def _q_tpch_q8(sf_dir: str):
     }).sort_by([("o_year", "ascending")])
 
 
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (sole-latest-shipper on multi-supplier orders;
+    commit/receipt dates absent from the generator, max-shipdate
+    uniqueness stands in for the waiting test): per-(order, supplier)
+    max shipdate from block partials, per-order (max, supplier-count)
+    rollup, argmax-uniqueness via one more narrow count — four
+    O(order×supplier-pairs) shuffles, supplier names broadcast, top 10
+    with a total-order tie-break."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def part_ss(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "l_suppkey": b.column("l_suppkey"),
+                      "sd": pc.cast(b.column("l_shipdate"), pa.int64())})
+        return (t.group_by(["l_orderkey", "l_suppkey"])
+                .aggregate([("sd", "max")])
+                .rename_columns(["l_orderkey", "l_suppkey", "sd"]))
+
+    ss = (li.map_batches(part_ss, batch_format="pyarrow")
+          .groupby(["l_orderkey", "l_suppkey"]).max("sd")
+          .map_batches(lambda t: t.rename_columns(
+              ["l_orderkey", "l_suppkey", "smax"]),
+              batch_format="pyarrow")).materialize()
+    om = (ss.groupby("l_orderkey")
+          .aggregate(Max("smax", alias_name="omax"),
+                     Count(alias_name="nsupp")))
+    j = drop_empty_blocks(ss).join(drop_empty_blocks(om), "inner", 8,
+                                   on=("l_orderkey",))
+    cand = j.filter(expr="nsupp >= 2 and smax == omax").materialize()
+    nat = cand.groupby("l_orderkey").count().map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "n_at_max"]),
+        batch_format="pyarrow")
+    sole = drop_empty_blocks(cand).join(
+        drop_empty_blocks(nat), "inner", 8,
+        on=("l_orderkey",)).filter(expr="n_at_max == 1")
+    per_supp = _to_table(sole.groupby("l_suppkey").count())
+    if per_supp.num_rows == 0:
+        return pa.table({"s_name": pa.array([], pa.string()),
+                         "numwait": pa.array([], pa.int64())})
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_name"])
+    skeys = supp.column("s_suppkey").combine_chunks()
+    snames = np.asarray(supp.column("s_name").to_pylist(), dtype=object)
+    si = np.asarray(pc.cast(pc.index_in(
+        per_supp.column("l_suppkey"), value_set=skeys), pa.int64()),
+        dtype=np.int64)
+    return pa.table({
+        "s_name": pa.array(snames[si], pa.string()),
+        "numwait": pc.cast(per_supp.column("count()"), pa.int64()),
+    }).sort_by([("numwait", "descending"),
+                ("s_name", "ascending")]).slice(0, 10)
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid (functions/similarity.py::
     label_centroids): the class-prototype vector aggregate —
@@ -4174,6 +4234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
+        "tpch_q21": _q_tpch_q21,
     }
 
 
@@ -6211,6 +6272,23 @@ def _oracle_sql_static() -> dict[str, str]:
             JOIN nation n2 ON s_nationkey = n2.n_nationkey
             WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
             GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q21": """
+            WITH ss AS (SELECT l_orderkey, l_suppkey,
+                               MAX(l_shipdate) AS smax
+                        FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            om AS (SELECT l_orderkey, MAX(smax) AS omax,
+                          COUNT(*) AS nsupp
+                   FROM ss GROUP BY l_orderkey),
+            at_max AS (SELECT ss.l_orderkey, ss.l_suppkey,
+                              COUNT(*) OVER (PARTITION BY ss.l_orderkey)
+                                AS n_at_max
+                       FROM ss JOIN om USING (l_orderkey)
+                       WHERE om.nsupp >= 2 AND ss.smax = om.omax)
+            SELECT s_name, COUNT(*)::BIGINT AS numwait
+            FROM at_max JOIN supplier ON s_suppkey = l_suppkey
+            WHERE n_at_max = 1
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
         """,
         "tpch_q19": """
             SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

@@ -56,7 +56,7 @@ FAST_QUERIES = [
     "part_types", "pii_scrub", "punct_ratio", "quality_scores",
     "region_customers", "revenue_by_priority", "supplier_nation",
     "top_orders", "url_dedup", "revisit_stats_salted",
-    "tpch_q13", "tpch_q22", "tpch_q12", "tpch_q7", "tpch_q8",
+    "tpch_q13", "tpch_q22", "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q21",
 ]
 
 
