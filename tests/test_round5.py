@@ -446,3 +446,48 @@ def test_fsspec_http_stub_kills_lazy_import_race():
     from ray.data.datasource.path_util import _is_http_filesystem
 
     assert _is_http_filesystem(pafs.LocalFileSystem()) is False
+
+
+def test_crawl_resume_after_midround_crash(ray_session, tmp_path):
+    """A crash MID-round leaves a partial next-frontier dir on disk
+    (spills/writes land before the manifest commits the round); resume
+    must discard it and still produce the identical schedule."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from scrappy_ray.crawl import checkpoint as ckpt
+    from scrappy_ray.crawl.driver import CrawlConfig, run_crawl
+    from scrappy_ray.pipelines.crawl_pipeline import pages_dir_for
+    from scrappy_ray.sources.testgen import (SynthWebConfig, seed_urls,
+                                             synth_kb_yaml)
+
+    cfg = SynthWebConfig(n_hosts=3, pages_per_host=12)
+    pages = pages_dir_for("/root/testdata/sf0.001")
+
+    def mk(d, rounds):
+        return CrawlConfig(
+            pages_path=pages, kb_yaml=synth_kb_yaml(),
+            seeds=seed_urls(cfg), ckpt_dir=d, depth=-1,
+            num_buckets=4, extract_concurrency=2, max_rounds=rounds)
+
+    full = run_crawl(mk(str(tmp_path / "full"), 50))
+
+    part_dir = str(tmp_path / "part")
+    run_crawl(mk(part_dir, 2))  # "killed" after round 2's manifest
+    # simulate the mid-round-3 crash: a partial (garbage) frontier for
+    # the round the manifest has NOT committed
+    fdir = ckpt.frontier_dir(part_dir, 2)
+    assert os.path.isdir(fdir)  # round-2 output exists (committed)
+    crash_dir = ckpt.frontier_dir(part_dir, 3)
+    os.makedirs(crash_dir, exist_ok=True)
+    junk = pa.table({"url": pa.array(["http://junk.test/x"], pa.string())})
+    pq.write_table(junk, os.path.join(crash_dir, "partial.parquet"))
+
+    resumed = run_crawl(mk(part_dir, 50))
+    a = pads.dataset(full.schedule_path).to_table().sort_by(
+        [("seq", "ascending")])
+    b = pads.dataset(resumed.schedule_path).to_table().sort_by(
+        [("seq", "ascending")])
+    assert a.equals(b)
