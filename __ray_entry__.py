@@ -3904,6 +3904,97 @@ def _q_tpch_q21(sf_dir: str):
                 ("s_name", "ascending")]).slice(0, 10)
 
 
+def _q_churned_customers(sf_dir: str):
+    """Temporal churn (ordered before the cutoff, never after): ONE
+    narrow groupby — per-customer (min, max, count) of order dates
+    from int64 block partials via Dataset aggregates — then a
+    vectorized cutoff filter; no join at all (the churn anti-join
+    collapses into a HAVING on the per-key max)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    cut_us = int(pd.Timestamp("2000-01-01").value // 1000)
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    per_cust = (orders.map_batches(
+        lambda b: pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "d": pc.cast(b.column("o_orderdate"), pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Min("d", alias_name="first_d"),
+                   Max("d", alias_name="last_d"),
+                   Count(alias_name="n_orders")))
+    churn = _to_table(per_cust.filter(expr=f"last_d < {cut_us}"))
+    return pa.table({
+        "c_custkey": churn.column("o_custkey"),
+        "n_orders": pc.cast(churn.column("n_orders"), pa.int64()),
+        "last_order": pc.cast(churn.column("last_d"), pa.timestamp("us")),
+    }).sort_by([("c_custkey", "ascending")])
+
+
+def _q_ship_latency_p95(sf_dir: str):
+    """Exact per-supplier p95 ship latency in days (the low-cardinality
+    histogram trick, functions/sketch.py family): latencies quantize to
+    whole days, so ONE (supplier, day)-histogram shuffle is exact at
+    any corpus size; the driver folds O(suppliers × distinct days)
+    cumulative counts into discrete 0.95-quantiles (DuckDB
+    quantile_disc semantics: smallest value with cum ≥ ⌈0.95·n⌉)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    day_us = 86400 * 1_000_000
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    om = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(li).join(drop_empty_blocks(om), "inner", 8,
+                                        on=("l_orderkey",))
+
+    def part(b: pa.Table) -> pa.Table:
+        lat = pc.cast(pc.divide(pc.subtract(
+            pc.cast(b.column("l_shipdate"), pa.int64()),
+            pc.cast(b.column("o_orderdate"), pa.int64())),
+            pa.scalar(day_us, pa.int64())), pa.int64())
+        t = pa.table({"l_suppkey": b.column("l_suppkey"), "lat": lat,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return (t.group_by(["l_suppkey", "lat"]).aggregate([("n", "sum")])
+                .rename_columns(["l_suppkey", "lat", "n"]))
+
+    hist = _to_table(joined.map_batches(part, batch_format="pyarrow")
+                     .groupby(["l_suppkey", "lat"]).sum("n"))
+    if hist.num_rows == 0:
+        return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                         "p95_days": pa.array([], pa.int64())})
+    sk = np.asarray(hist.column("l_suppkey"), dtype=np.int64)
+    lat = np.asarray(hist.column("lat"), dtype=np.int64)
+    cnt = np.asarray(pc.cast(hist.column("sum(n)"), pa.int64()),
+                     dtype=np.int64)
+    order = np.lexsort((lat, sk))
+    sk, lat, cnt = sk[order], lat[order], cnt[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    bounds = np.r_[starts, len(sk)]
+    keys, p95s = [], []
+    for i, s in enumerate(starts):
+        e = bounds[i + 1]
+        c = np.cumsum(cnt[s:e])
+        idx = int(np.searchsorted(c, math.ceil(0.95 * c[-1])))
+        keys.append(int(sk[s]))
+        p95s.append(int(lat[s:e][idx]))
+    return pa.table({
+        "l_suppkey": pa.array(keys, pa.int64()),
+        "p95_days": pa.array(p95s, pa.int64()),
+    }).sort_by([("l_suppkey", "ascending")])
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid (functions/similarity.py::
     label_centroids): the class-prototype vector aggregate —
@@ -4235,6 +4326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q21": _q_tpch_q21,
+        "churned_customers": _q_churned_customers,
+        "ship_latency_p95": _q_ship_latency_p95,
     }
 
 
@@ -6289,6 +6382,23 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM at_max JOIN supplier ON s_suppkey = l_suppkey
             WHERE n_at_max = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+        """,
+        "churned_customers": """
+            SELECT o_custkey AS c_custkey, COUNT(*)::BIGINT AS n_orders,
+                   MAX(o_orderdate) AS last_order
+            FROM orders
+            GROUP BY o_custkey
+            HAVING MAX(o_orderdate) < TIMESTAMP '2000-01-01'
+            ORDER BY c_custkey
+        """,
+        "ship_latency_p95": """
+            SELECT l_suppkey,
+                   CAST(quantile_disc(
+                       CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                            // 86400000000 AS BIGINT), 0.95) AS BIGINT)
+                     AS p95_days
+            FROM lineitem l JOIN orders o ON o_orderkey = l_orderkey
+            GROUP BY l_suppkey ORDER BY l_suppkey
         """,
         "tpch_q19": """
             SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

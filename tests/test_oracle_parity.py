@@ -57,6 +57,7 @@ FAST_QUERIES = [
     "region_customers", "revenue_by_priority", "supplier_nation",
     "top_orders", "url_dedup", "revisit_stats_salted",
     "tpch_q13", "tpch_q22", "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q21",
+    "churned_customers", "ship_latency_p95",
 ]
 
 
