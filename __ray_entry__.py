@@ -4117,6 +4117,380 @@ def _q_tpch_q19(sf_dir: str):
         round_mode="half_towards_infinity")})
 
 
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (min-cost supplier per part in a region, ties
+    kept). The reference's partsupp table doesn't exist in this
+    corpus, so the supply cost is the stand-in MIN exact-cents
+    l_extendedprice per (part, supplier) pair — same correlated
+    MIN-subquery shape. Region suppliers and size-filtered parts are
+    driver-side dimension reads (O(suppliers)/O(parts) — q8/q19
+    precedent); lineitem streams through one is_in-pruned cents
+    partial, the pair mins and per-part mins are two narrow groupbys
+    over O(pairs) rows, the tie-keeping equality is a distributed
+    hash join, and the final sort+limit runs on the tiny qualified
+    table."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.common import drop_empty_blocks
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    region = "EUROPE"
+    reg = _read_table(sf_dir, "region",
+                      columns=["r_regionkey", "r_name"])
+    rkey = {r["r_name"]: r["r_regionkey"]
+            for r in reg.to_pylist()}[region]
+    nat = _read_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name", "n_regionkey"])
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+             if r["n_regionkey"] == rkey}
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_name", "s_acctbal",
+                                "s_nationkey"])
+    supp = supp.filter(pc.is_in(
+        supp.column("s_nationkey"),
+        value_set=pa.array(sorted(nname), pa.int64())))
+    skeys = pc.cast(supp.column("s_suppkey"), pa.int64()).combine_chunks()
+    sname = supp.column("s_name").combine_chunks()
+    sbal = np.asarray(supp.column("s_acctbal"), dtype=np.float64)
+    snat = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+
+    part = _read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_type", "p_size"],
+                       filter=pc.field("p_size") >= 20)
+    pkeys = pc.cast(part.column("p_partkey"), pa.int64()).combine_chunks()
+    ptype = part.column("p_type").combine_chunks()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def cost_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(pc.index_in(b.column("l_suppkey"),
+                                            value_set=skeys)),
+                    pc.is_valid(pc.index_in(b.column("l_partkey"),
+                                            value_set=pkeys)))
+        t = b.filter(m)
+        c = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64())
+        g = pa.table({"l_partkey": t.column("l_partkey"),
+                      "l_suppkey": t.column("l_suppkey"),
+                      "c": c}).group_by(
+            ["l_partkey", "l_suppkey"]).aggregate([("c", "min")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "c"])
+
+    pairs = (li.map_batches(cost_partial, batch_format="pyarrow")
+             .groupby(["l_partkey", "l_suppkey"]).min("c")
+             .map_batches(lambda t: t.rename_columns(
+                 ["l_partkey", "l_suppkey", "c"]),
+                 batch_format="pyarrow")).materialize()
+    mins = (pairs.groupby("l_partkey").min("c")
+            .map_batches(lambda t: pa.table({
+                "l_partkey": t.column("l_partkey"),
+                "mc": t.column("min(c)")}), batch_format="pyarrow"))
+    best = drop_empty_blocks(pairs).join(drop_empty_blocks(mins),
+                                         "inner", 8, on=("l_partkey",))
+    best = best.filter(expr="c == mc")
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s_acctbal": pa.array([], pa.float64()),
+                             "s_name": pa.array([], pa.string()),
+                             "n_name": pa.array([], pa.string()),
+                             "p_partkey": pa.array([], pa.int64()),
+                             "p_type": pa.array([], pa.string()),
+                             "supplycost": pa.array([], pa.float64())})
+        si = np.asarray(pc.cast(pc.index_in(
+            pc.cast(t.column("l_suppkey"), pa.int64()), value_set=skeys),
+            pa.int64()), dtype=np.int64)
+        pi = pc.index_in(pc.cast(t.column("l_partkey"), pa.int64()),
+                         value_set=pkeys)
+        nn = pa.array([nname[int(k)] for k in snat[si]], pa.string())
+        return pa.table({
+            "s_acctbal": pa.array(sbal[si], pa.float64()),
+            "s_name": sname.take(pa.array(si, pa.int64())),
+            "n_name": nn,
+            "p_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "p_type": ptype.take(pi),
+            "supplycost": pc.divide(
+                pc.cast(t.column("c"), pa.float64()), pa.scalar(100.0)),
+        })
+
+    out = best.map_batches(attach, batch_format="pyarrow").sort(
+        key=["s_acctbal", "n_name", "s_name", "p_partkey"],
+        descending=[True, False, False, False]).limit(100)
+    return _to_table(out)
+
+
+def _q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year). No
+    partsupp ⇒ the cost term is the stand-in qty × p_retailprice
+    cents (same join-per-row profit expression). Part filter (name
+    LIKE %widget%) and the supplier→nation map are driver-side dims
+    broadcast into ONE lineitem pass; profit accumulates as exact
+    cents²-int64 per (nation, year) block partials → narrow groupby
+    sum → O(nations × years) gather."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    nat = _read_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name"])
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_nationkey"])
+    skeys = pc.cast(supp.column("s_suppkey"), pa.int64()).combine_chunks()
+    snat = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+    part = _read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_name", "p_retailprice"])
+    part = part.filter(pc.match_substring(part.column("p_name"),
+                                          "widget"))
+    pkeys = pc.cast(part.column("p_partkey"), pa.int64()).combine_chunks()
+    pcents = np.asarray(pc.cast(pc.round(pc.multiply(
+        pc.cast(part.column("p_retailprice"), pa.float64()),
+        pa.scalar(100.0)), ndigits=0), pa.int64()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pi = np.asarray(pc.cast(pc.fill_null(pc.index_in(
+            b.column("l_partkey"), value_set=pkeys), -1), pa.int64()),
+            dtype=np.int64)
+        ok = pi >= 0
+        t = b.filter(pa.array(ok))
+        pi = pi[ok]
+        si = np.asarray(pc.cast(pc.index_in(
+            t.column("l_suppkey"), value_set=skeys), pa.int64()),
+            dtype=np.int64)
+        nk = snat[si]
+        yr = np.asarray(t.column("l_shipdate"),
+                        dtype="datetime64[us]").astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        p = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        d = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(t.column("l_discount"), pa.float64())),
+            pa.scalar(100.0)), ndigits=0), pa.int64()))
+        qty = np.asarray(t.column("l_quantity")).astype(np.int64)
+        amount = p * d - qty * pcents[pi] * 10
+        g = pa.table({"nk": pa.array(nk, pa.int64()),
+                      "o_year": pa.array(yr, pa.int64()),
+                      "a": pa.array(amount, pa.int64())}).group_by(
+            ["nk", "o_year"]).aggregate([("a", "sum")])
+        return g.rename_columns(["nk", "o_year", "a"])
+
+    g = _to_table(li.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["nk", "o_year"]).sum("a"))
+    nn = pa.array([nmap[int(k)] for k in
+                   np.asarray(g.column("nk"), dtype=np.int64)],
+                  pa.string())
+    return pa.table({
+        "nation": nn,
+        "o_year": pc.cast(g.column("o_year"), pa.int64()),
+        "sum_profit": pc.divide(
+            pc.cast(g.column("sum(a)"), pa.float64()),
+            pa.scalar(10000.0)),
+    }).sort_by([("nation", "ascending"), ("o_year", "descending")])
+
+
+def _q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important stock value, HAVING > fraction of
+    the global total). No partsupp ⇒ value per part is the exact
+    cents-int64 sum of l_extendedprice for one region's suppliers.
+    One narrow per-part groupby from block partials; the global total
+    is a Dataset.sum over the SAME materialized grouped result (no
+    second scan, no driver gather of the fact stream); the HAVING
+    filter and the final sort run on the O(parts) table."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    nat = _read_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_regionkey"])
+    nkeys = [r["n_nationkey"] for r in nat.to_pylist()
+             if r["n_regionkey"] == 2]
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp.column("s_nationkey"),
+                                value_set=pa.array(sorted(nkeys),
+                                                   pa.int64())))
+    skeys = pc.cast(supp.column("s_suppkey"), pa.int64()).combine_chunks()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(pc.index_in(b.column("l_suppkey"),
+                                             value_set=skeys)))
+        c = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), ndigits=0), pa.int64())
+        g = pa.table({"l_partkey": t.column("l_partkey"),
+                      "v": c}).group_by(["l_partkey"]).aggregate(
+            [("v", "sum")])
+        return g.rename_columns(["l_partkey", "v"])
+
+    vals = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_partkey").sum("v")).materialize()
+    total = int(vals.sum("sum(v)") or 0)
+    thr = total // 100  # val > total/100 exactly (int compare)
+    kept = vals.map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum(v)"),
+                                      pa.scalar(thr, pa.int64()))),
+        batch_format="pyarrow")
+    out = _to_table(kept)
+    return pa.table({
+        "p_partkey": pc.cast(out.column("l_partkey"), pa.int64()),
+        "value": pc.divide(pc.cast(out.column("sum(v)"), pa.float64()),
+                           pa.scalar(100.0)),
+    }).sort_by([("value", "descending"), ("p_partkey", "ascending")])
+
+
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier count per brand/type/size bucket with
+    NOT-IN supplier exclusion). The part/supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) projection of lineitem (no
+    partsupp in this corpus). Block-local pair dedupe → attach the
+    broadcast (brand, type, size) dims → ONE distributed distinct on
+    (brand, type, size, suppkey) → block-partial counts → O(buckets)
+    final groupby. The NOT-IN is a vectorized is_in on the broadcast
+    excluded-supplier set."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    part = _read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_brand", "p_type",
+                                "p_size"])
+    sizes = pa.array([1, 9, 14, 19, 23, 36, 45, 49], pa.int64())
+    part = part.filter(pc.and_(
+        pc.and_(pc.not_equal(part.column("p_brand"), "Brand#13"),
+                pc.not_equal(part.column("p_type"), "PROMO")),
+        pc.is_in(pc.cast(part.column("p_size"), pa.int64()),
+                 value_set=sizes)))
+    pkeys = pc.cast(part.column("p_partkey"), pa.int64()).combine_chunks()
+    pbrand = part.column("p_brand").combine_chunks()
+    ptype = part.column("p_type").combine_chunks()
+    psize = np.asarray(part.column("p_size"), dtype=np.int64)
+
+    supp = _read_table(sf_dir, "supplier", columns=["s_suppkey"])
+    sk = np.asarray(pc.cast(supp.column("s_suppkey"), pa.int64()))
+    bad = pa.array(sorted(sk[sk % 7 == 3].tolist()), pa.int64())
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(pc.index_in(b.column("l_partkey"),
+                                            value_set=pkeys)),
+                    pc.invert(pc.is_in(
+                        pc.cast(b.column("l_suppkey"), pa.int64()),
+                        value_set=bad)))
+        t = b.filter(m)
+        pi = pc.index_in(pc.cast(t.column("l_partkey"), pa.int64()),
+                         value_set=pkeys)
+        g = pa.table({
+            "p_brand": pbrand.take(pi),
+            "p_type": ptype.take(pi),
+            "p_size": pa.array(psize[np.asarray(pi, dtype=np.int64)],
+                               pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+        }).group_by(["p_brand", "p_type", "p_size",
+                     "l_suppkey"]).aggregate([])
+        return g
+
+    distinct = (li.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+                .count())
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["p_brand", "p_type", "p_size", "n"])
+
+    out = _to_table(distinct.map_batches(count_partial,
+                                         batch_format="pyarrow")
+                    .groupby(["p_brand", "p_type", "p_size"]).sum("n"))
+    return pa.table({
+        "p_brand": out.column("p_brand"),
+        "p_type": out.column("p_type"),
+        "p_size": pc.cast(out.column("p_size"), pa.int64()),
+        "supplier_cnt": pc.cast(out.column("sum(n)"), pa.int64()),
+    }).sort_by([("supplier_cnt", "descending"),
+                ("p_brand", "ascending"), ("p_type", "ascending"),
+                ("p_size", "ascending")])
+
+
+def _q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (suppliers with excess availability of a named
+    part family). Availability per (part, supplier) is the stand-in
+    all-time qty sum vs 2× the qty shipped in one year (no partsupp's
+    availqty here; same nested-aggregate semi-join chain). Name-
+    filtered part keys broadcast-prune the lineitem stream; per-pair
+    (total, in-window) sums come from block partials → one narrow
+    pair groupby; the qualifying supplier set is tiny and joins the
+    driver-side supplier/nation dims for the output."""
+    import pyarrow.compute as pc
+
+    from scrappy_ray.pipelines.analytics import _to_table
+
+    part = _read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    part = part.filter(pc.starts_with(part.column("p_name"), "small"))
+    pkeys = pc.cast(part.column("p_partkey"), pa.int64()).combine_chunks()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(pc.index_in(b.column("l_partkey"),
+                                             value_set=pkeys)))
+        qty = np.asarray(t.column("l_quantity")).astype(np.int64)
+        sd = t.column("l_shipdate")
+        inwin = np.asarray(pc.and_(pc.greater_equal(sd, lo),
+                                   pc.less(sd, hi)))
+        g = pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "tq": pa.array(qty, pa.int64()),
+            "yq": pa.array(np.where(inwin, qty, 0), pa.int64()),
+        }).group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("tq", "sum"), ("yq", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "tq", "yq"])
+
+    pairs = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_partkey", "l_suppkey"]).sum(["tq", "yq"]))
+    qual = pairs.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater(t.column("sum(yq)"), pa.scalar(0, pa.int64())),
+            pc.greater(t.column("sum(tq)"),
+                       pc.multiply(pa.scalar(2, pa.int64()),
+                                   t.column("sum(yq)"))))),
+        batch_format="pyarrow")
+    sset = _to_table(qual.select_columns(["l_suppkey"]))
+    skeys = set(np.asarray(pc.cast(sset.column("l_suppkey"), pa.int64()))
+                .tolist())
+
+    nat = _read_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_regionkey"])
+    nk = {r["n_nationkey"] for r in nat.to_pylist()
+          if r["n_regionkey"] in (1, 3)}
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_name", "s_acctbal",
+                                "s_nationkey"])
+    rows = [(r["s_name"], r["s_acctbal"]) for r in supp.to_pylist()
+            if r["s_suppkey"] in skeys and r["s_nationkey"] in nk]
+    rows.sort()
+    return pa.table({
+        "s_name": pa.array([r[0] for r in rows], pa.string()),
+        "s_acctbal": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -4328,6 +4702,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21": _q_tpch_q21,
         "churned_customers": _q_churned_customers,
         "ship_latency_p95": _q_ship_latency_p95,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
     }
 
 
@@ -6412,5 +6791,88 @@ def _oracle_sql_static() -> dict[str, str]:
                      AND 20 AND p.p_size BETWEEN 1 AND 10)
                OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20
                      AND 30 AND p.p_size BETWEEN 1 AND 15)
+        """,
+        "tpch_q2": """
+            WITH rs AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS c
+              FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_size >= 20)
+              GROUP BY 1, 2),
+            m AS (SELECT l_partkey, MIN(c) AS mc FROM cost GROUP BY 1)
+            SELECT s_acctbal, s_name, n_name, p.p_partkey, p.p_type,
+                   cost.c / 100.0 AS supplycost
+            FROM cost JOIN m ON cost.l_partkey = m.l_partkey
+                            AND cost.c = m.mc
+            JOIN rs ON cost.l_suppkey = rs.s_suppkey
+            JOIN part p ON cost.l_partkey = p.p_partkey
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(YEAR(l_shipdate) AS BIGINT) AS o_year,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                       - CAST(l_quantity AS BIGINT)
+                         * CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                         * 10) / 10000.0 AS sum_profit
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH v AS (
+              SELECT l_partkey,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS val
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_regionkey = 2
+              GROUP BY 1)
+            SELECT l_partkey AS p_partkey, val / 100.0 AS value
+            FROM v WHERE val > (SELECT SUM(val) // 100 FROM v)
+            ORDER BY value DESC, p_partkey
+        """,
+        "tpch_q16": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem)
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM ps JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_suppkey % 7 = 3)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20": """
+            WITH q AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+                     SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                               AND l_shipdate < TIMESTAMP '1998-01-01'
+                              THEN CAST(l_quantity AS BIGINT)
+                              ELSE 0 END) AS y_qty
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+              GROUP BY 1, 2)
+            SELECT DISTINCT s_name, s_acctbal
+            FROM q JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE q.y_qty > 0 AND q.total_qty > 2 * q.y_qty
+              AND n_regionkey IN (1, 3)
+            ORDER BY s_name
         """,
     }

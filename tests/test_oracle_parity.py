@@ -58,6 +58,7 @@ FAST_QUERIES = [
     "top_orders", "url_dedup", "revisit_stats_salted",
     "tpch_q13", "tpch_q22", "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q21",
     "churned_customers", "ship_latency_p95",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
 ]
 
 
