@@ -4336,7 +4336,11 @@ def _q_tpch_q11(sf_dir: str):
     vals = (li.map_batches(partial, batch_format="pyarrow")
             .groupby("l_partkey").sum("v")).materialize()
     total = int(vals.sum("sum(v)") or 0)
-    thr = total // 100  # val > total/100 exactly (int compare)
+    nparts = max(vals.count(), 1)
+    # scale-invariant HAVING: value > 2x the mean per-part value
+    # (exact int arithmetic on both sides; TPC-H's fixed fraction
+    # would select 0 rows once the part count grows with sf)
+    thr = total * 2 // nparts
     kept = vals.map_batches(
         lambda t: t.filter(pc.greater(t.column("sum(v)"),
                                       pa.scalar(thr, pa.int64()))),
@@ -6840,7 +6844,7 @@ def _oracle_sql_static() -> dict[str, str]:
               WHERE n_regionkey = 2
               GROUP BY 1)
             SELECT l_partkey AS p_partkey, val / 100.0 AS value
-            FROM v WHERE val > (SELECT SUM(val) // 100 FROM v)
+            FROM v WHERE val > (SELECT SUM(val) * 2 // COUNT(*) FROM v)
             ORDER BY value DESC, p_partkey
         """,
         "tpch_q16": """
