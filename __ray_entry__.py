@@ -1300,6 +1300,45 @@ def _q_mm_decode_png(sf_dir: str):
     return decode_images(ray.data.from_arrow(tbl), real=True).sort("id")
 
 
+def _q_mm_decode_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode, no third-party codec (functions/
+    jpeg.py via multimodal.StdlibJpegDecoder): deterministic fixtures
+    cycling grayscale / RGB 4:4:4 / RGB 4:2:0 / restart-marker
+    variants so every decoder path (single + multi component, chroma
+    sync, RSTn) runs — width/height/mean_px/phash per image.
+    Golden-backed oracle (not SQL-expressible)."""
+    import ray.data
+
+    from scrappy_ray.functions.jpeg import jpeg_encode
+    from scrappy_ray.functions.multimodal import StdlibJpegDecoder
+
+    ids = _read_table(sf_dir, "embeddings",
+                      columns=["vec_id"]).column("vec_id").to_pylist()[:64]
+
+    def fixture(i: int) -> bytes:
+        w, h = 16 + (i * 7) % 24, 12 + (i * 5) % 20
+        yy, xx = np.mgrid[0:h, 0:w]
+        if i % 4 == 0:  # grayscale
+            img = ((xx * (3 + i) + yy * (5 + i)) % 256).astype(np.uint8)
+            return jpeg_encode(img, quality=90)
+        img = np.stack([(xx * (3 + i)) % 256, (yy * (5 + i)) % 256,
+                        (xx + yy + i) % 256], axis=-1).astype(np.uint8)
+        if i % 4 == 1:
+            return jpeg_encode(img, quality=85, subsampling="444")
+        if i % 4 == 2:
+            return jpeg_encode(img, quality=75, subsampling="420")
+        return jpeg_encode(img, quality=85, subsampling="420",
+                           restart_interval=2)
+
+    tbl = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "payload": pa.array([fixture(i) for i in ids], pa.binary()),
+    })
+    return ray.data.from_arrow(tbl).map_batches(
+        StdlibJpegDecoder, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=16, concurrency=2).sort("id")
+
+
 def _q_mm_frames_apng(sf_dir: str):
     """REAL video-container frame sampling, no third-party codec
     (functions/multimodal.py::ApngFrameSampler): deterministic APNG
@@ -4601,6 +4640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "mm_decode": _q_mm_decode,
         "mm_decode_png": _q_mm_decode_png,
+        "mm_decode_jpeg": _q_mm_decode_jpeg,
         "mm_frames_apng": _q_mm_frames_apng,
         "audio_decode": _q_audio_decode,
         "extract_triples": _q_extract_triples,
@@ -4882,6 +4922,7 @@ _GOLDEN_ORACLES = {
     "ann_ivf": "ORDER BY query_id, rank",
     "mm_decode": "ORDER BY id",
     "mm_decode_png": "ORDER BY id",
+    "mm_decode_jpeg": "ORDER BY id",
     "mm_frames_apng": "ORDER BY id, frame_idx",
     "audio_decode": "ORDER BY id",
     "compression_ratio": "ORDER BY doc_id",

@@ -598,11 +598,26 @@ def decode_audio(ds, concurrency: int = 2, batch_size: int = 32):
     )
 
 
+class StdlibJpegDecoder(_ImageDecoderBase):
+    """REAL baseline-JPEG decode with no third-party codec: the full
+    T.81 baseline pipeline (marker parse, Huffman entropy decode,
+    dequant, batched einsum IDCT) implemented on stdlib + numpy in
+    ``functions/jpeg.py``. Luma-plane output feeds the same feature
+    kernel as every other decoder."""
+
+    def _decode(self, payload: bytes):
+        from .jpeg import jpeg_decode_luma
+
+        return jpeg_decode_luma(payload)
+
+
 class RealImageDecoder(_ImageDecoderBase):
     """The ``real=True`` decoder: Pillow when installed (any
-    PIL-readable format), otherwise the stdlib PNG decoder — a real
-    codec runs in EVERY environment; only the format coverage
-    narrows to PNG where Pillow is absent."""
+    PIL-readable format), otherwise the stdlib codecs — PNG (zlib +
+    un-filter) and baseline JPEG (``functions/jpeg.py``) sniffed by
+    magic bytes. A real interchange codec runs in EVERY environment;
+    only the long-tail format coverage (GIF/TIFF/WebP/...) needs
+    Pillow."""
 
     def __init__(self):
         try:
@@ -613,6 +628,10 @@ class RealImageDecoder(_ImageDecoderBase):
     def _decode(self, payload: bytes):
         if self._pil is not None:
             return self._pil._decode(payload)
+        if payload is not None and payload[:2] == b"\xff\xd8":
+            from .jpeg import jpeg_decode_luma
+
+            return jpeg_decode_luma(payload)
         return _png_to_gray(payload)
 
 

@@ -1,0 +1,135 @@
+"""Stdlib baseline-JPEG codec (functions/jpeg.py): round-trip
+accuracy across quality / subsampling / restart variants, exactness
+where the math demands it, and the Ray actor-stage integration."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from scrappy_ray.functions.jpeg import (
+    _rgb_to_ycbcr,
+    jpeg_decode_luma,
+    jpeg_encode,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((np.sin(xx / 9.0) + np.cos(yy / 7.0) + 2) / 4 * 255).astype(
+        np.uint8)
+
+
+def test_uniform_midgray_roundtrips_exactly():
+    # 128 level-shifts to 0 -> every DCT coefficient 0 -> exact at any Q
+    img = np.full((24, 40), 128, np.uint8)
+    w, h, px = jpeg_decode_luma(jpeg_encode(img, 90))
+    assert (w, h) == (40, 24)
+    assert (px == 128).all()
+
+
+def test_quality_100_near_lossless():
+    img = _gradient(37, 53)  # non-multiple-of-8 dims exercise the crop
+    w, h, px = jpeg_decode_luma(jpeg_encode(img, 100))
+    assert (w, h) == (53, 37)
+    mae = np.abs(px.reshape(h, w).astype(float) - img.astype(float)).mean()
+    assert mae < 0.2
+
+
+def test_quality_curve_monotone_and_tight():
+    img = _gradient(37, 53)
+    maes = []
+    for q in (95, 75, 50):
+        w, h, px = jpeg_decode_luma(jpeg_encode(img, q))
+        maes.append(np.abs(px.reshape(h, w).astype(float)
+                           - img.astype(float)).mean())
+    assert maes[0] < 0.6 and maes[-1] < 2.0
+    assert maes == sorted(maes)  # lower quality -> no better
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_color_jpeg_luma_matches_ycbcr_y(sub):
+    yy, xx = np.mgrid[0:37, 0:53]
+    rgb = np.stack([(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256],
+                   axis=-1).astype(np.uint8)
+    w, h, px = jpeg_decode_luma(jpeg_encode(rgb, 90, subsampling=sub))
+    assert (w, h) == (53, 37)
+    ytrue = _rgb_to_ycbcr(rgb)[..., 0]
+    mae = np.abs(px.reshape(h, w).astype(float) - ytrue).mean()
+    # luma error independent of chroma subsampling (chroma only has to
+    # keep the entropy stream in sync)
+    assert mae < 0.8
+
+
+def test_restart_markers_roundtrip():
+    img = _gradient(37, 53)
+    data = jpeg_encode(img, 75, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    w, h, px = jpeg_decode_luma(data)
+    mae = np.abs(px.reshape(h, w).astype(float) - img.astype(float)).mean()
+    assert mae < 2.0
+    # same image without restarts decodes to identical pixels: RSTn
+    # placement must not change the reconstruction
+    w2, h2, px2 = jpeg_decode_luma(jpeg_encode(img, 75))
+    assert (px == px2).all()
+
+
+def test_decoder_rejects_garbage_not_crashes():
+    assert jpeg_decode_luma(None) is None
+    assert jpeg_decode_luma(b"") is None
+    assert jpeg_decode_luma(b"\x89PNG\r\n\x1a\n") is None
+    good = jpeg_encode(np.full((8, 8), 77, np.uint8), 90)
+    assert jpeg_decode_luma(good[:20]) is None  # truncated
+    assert jpeg_decode_luma(good) is not None
+
+
+def test_decoder_skips_appn_and_com_segments():
+    good = jpeg_encode(np.full((8, 8), 200, np.uint8), 90)
+    # splice a COM segment right after SOI
+    com = b"\xff\xfe" + (11).to_bytes(2, "big") + b"comment!\x00"
+    spliced = good[:2] + com + good[2:]
+    w, h, px = jpeg_decode_luma(spliced)
+    assert (w, h) == (8, 8)
+    assert np.abs(px.astype(int) - 200).max() <= 1
+
+
+def test_jpeg_actor_stage_in_ray(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import StdlibJpegDecoder
+
+    imgs = [_gradient(16, 24), _gradient(8, 8)]
+    tbl = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array(
+            [jpeg_encode(imgs[0], 90), jpeg_encode(imgs[1], 75),
+             b"not a jpeg"], pa.binary()),
+    })
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(StdlibJpegDecoder, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=4, concurrency=1)
+           .sort("id").to_pandas())
+    assert list(out["ok"]) == [True, True, False]
+    assert list(out["width"].dropna().astype(int)) == [24, 8]
+    exp0 = float(imgs[0].mean())
+    assert abs(out["mean_px"][0] - exp0) < 2.0
+
+
+def test_real_image_decoder_sniffs_jpeg_and_png(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import decode_images
+    from scrappy_ray.functions.multimodal import png_encode_filtered
+
+    g = _gradient(12, 16)
+    rgb = np.stack([g, g, g], axis=-1)
+    tbl = pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array(
+            [jpeg_encode(g, 90), png_encode_filtered(rgb)], pa.binary()),
+    })
+    out = decode_images(ray.data.from_arrow(tbl), real=True,
+                        concurrency=1).sort("id").to_pandas()
+    assert list(out["ok"]) == [True, True]
+    assert list(out["width"].astype(int)) == [16, 16]
+    # both are (nearly) the same grayscale content
+    assert abs(out["mean_px"][0] - out["mean_px"][1]) < 2.0
