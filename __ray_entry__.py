@@ -1339,6 +1339,42 @@ def _q_mm_decode_jpeg(sf_dir: str):
         batch_size=16, concurrency=2).sort("id")
 
 
+def _q_img_dedup(sf_dir: str):
+    """Image near-duplicate pairs (functions/multimodal.py::
+    image_near_dup_pairs): 20 distinct base images each published 3×
+    (PNG lossless + JPEG Q95 + JPEG Q85 — the re-encoded-mirror
+    pattern of real crawls) → real stdlib decode → 64-bit dHash →
+    banded Hamming buckets → verified pairs. Every within-group pair
+    and no cross-group pair survives. Golden-backed oracle (not
+    SQL-expressible)."""
+    import ray.data
+
+    from scrappy_ray.functions.jpeg import jpeg_encode
+    from scrappy_ray.functions.multimodal import (image_near_dup_pairs,
+                                                  png_encode_filtered)
+
+    ids = []
+    payloads = []
+    for g in range(20):
+        # coarse per-group random blocks (8x8 cells upsampled 5x7):
+        # structurally distinct dHashes across groups, and blocky
+        # content that survives JPEG re-encode within a few bits
+        rng = np.random.RandomState(1000 + g)
+        base = np.kron(rng.randint(0, 256, (8, 8), dtype=np.int64),
+                       np.ones((5, 7), np.int64)).astype(np.uint8)
+        rgb = np.stack([base, base, base], axis=-1)
+        variants = [png_encode_filtered(rgb),
+                    jpeg_encode(base, quality=95),
+                    jpeg_encode(base, quality=85)]
+        for v, payload in enumerate(variants):
+            ids.append(g * 10 + v)
+            payloads.append(payload)
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    return image_near_dup_pairs(
+        ray.data.from_arrow(tbl)).sort(["id_a", "id_b"])
+
+
 def _q_mm_frames_apng(sf_dir: str):
     """REAL video-container frame sampling, no third-party codec
     (functions/multimodal.py::ApngFrameSampler): deterministic APNG
@@ -4641,6 +4677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode": _q_mm_decode,
         "mm_decode_png": _q_mm_decode_png,
         "mm_decode_jpeg": _q_mm_decode_jpeg,
+        "img_dedup": _q_img_dedup,
         "mm_frames_apng": _q_mm_frames_apng,
         "audio_decode": _q_audio_decode,
         "extract_triples": _q_extract_triples,
@@ -4923,6 +4960,7 @@ _GOLDEN_ORACLES = {
     "mm_decode": "ORDER BY id",
     "mm_decode_png": "ORDER BY id",
     "mm_decode_jpeg": "ORDER BY id",
+    "img_dedup": "ORDER BY id_a, id_b",
     "mm_frames_apng": "ORDER BY id, frame_idx",
     "audio_decode": "ORDER BY id",
     "compression_ratio": "ORDER BY doc_id",

@@ -568,6 +568,63 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, max_bucke
     return _distinct(cand, ["id_a", "id_b"])
 
 
+def hash64_band_pairs(ds, hash_col="h64", id_col="id", bands=4,
+                      max_hamming=3, max_bucket=200):
+    """Near-dup pairs over ANY precomputed 64-bit locality hash column
+    (dHash for images, simhash for text, a rolling fingerprint...):
+    the 64 bits split into ``bands`` equal chunks — by pigeonhole any
+    pair within hamming ≤ bands-1 shares at least one chunk — each
+    chunk a (band, bhash) bucket groupby, exact hamming verify inside
+    the bucket, hot buckets truncated with a counter (same scale
+    story as simhash_pairs, which this generalizes)."""
+    assert 64 % bands == 0 and max_hamming < bands
+    bits = 64 // bands
+    mask = np.uint64((1 << bits) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = np.asarray(batch.column(hash_col), dtype=np.int64).view(np.uint64)
+        n = len(h)
+        rep = pa.array(np.repeat(np.arange(n), bands), pa.int64())
+        band = np.tile(np.arange(bands, dtype=np.int64), n)
+        bhash = (np.repeat(h, bands)
+                 >> (np.uint64(bits) * band.astype(np.uint64))) & mask
+        return pa.table({
+            "band": pa.array(band.astype(np.int32), pa.int32()),
+            "bhash": pa.array(bhash.view(np.int64), pa.int64()),
+            id_col: ids.take(rep),
+            "h64": pa.array(np.repeat(h, bands).view(np.int64), pa.int64()),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group.column(id_col)), kind="stable")
+        if len(order) > max_bucket:
+            from .counters import incr
+
+            incr("hash64_buckets_truncated", 1)
+            incr("hash64_ids_truncated", len(order) - max_bucket)
+            order = order[:max_bucket]
+        ids = group.column(id_col).take(pa.array(order, pa.int64()))
+        ids_np = np.asarray(ids)
+        hs = np.asarray(group.column("h64"))[order].view(np.uint64)
+        m = len(hs)
+        ii, jj = np.triu_indices(m, k=1)
+        ham = _popcount64(hs[ii] ^ hs[jj])
+        keep = (ham <= max_hamming) & (ids_np[ii] != ids_np[jj])
+        t = group.schema.field(id_col).type
+        return pa.table({
+            "id_a": ids.take(pa.array(ii[keep], pa.int64())),
+            "id_b": ids.take(pa.array(jj[keep], pa.int64())),
+        }).cast(pa.schema([("id_a", t), ("id_b", t)]))
+
+    cand = (ds.map_batches(band_rows, batch_format="pyarrow")
+            .groupby(["band", "bhash"])
+            .map_groups(pairs, batch_format="pyarrow"))
+    return _distinct(cand, ["id_a", "id_b"])
+
+
 # -- embedding cosine ---------------------------------------------------
 
 

@@ -635,6 +635,92 @@ class RealImageDecoder(_ImageDecoderBase):
         return _png_to_gray(payload)
 
 
+def _mean_resize(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-mean resample (h, w) -> (out_h, out_w) float64 by integer
+    binning — the downsample step of dHash; upsamples by repetition
+    first when the source is smaller than the target grid."""
+    h, w = plane.shape
+    if h < out_h:
+        plane = np.repeat(plane, -(-out_h // h), axis=0)
+        h = plane.shape[0]
+    if w < out_w:
+        plane = np.repeat(plane, -(-out_w // w), axis=1)
+        w = plane.shape[1]
+    row_idx = np.arange(h, dtype=np.int64) * out_h // h
+    col_idx = np.arange(w, dtype=np.int64) * out_w // w
+    flat = (row_idx[:, None] * out_w + col_idx[None, :]).ravel()
+    sums = np.bincount(flat, weights=plane.ravel().astype(np.float64),
+                       minlength=out_h * out_w)
+    counts = np.bincount(flat, minlength=out_h * out_w)
+    return (sums / counts).reshape(out_h, out_w)
+
+
+def dhash64(px: np.ndarray, w: int, h: int) -> int:
+    """64-bit difference hash (dHash): area-mean resize of the gray
+    plane to 8×9, adjacent-column gradient signs packed row-major —
+    a LOCALITY-PRESERVING fingerprint (re-encodes / small edits flip
+    few bits), unlike the cryptographic ``phash`` column which only
+    supports exact matching."""
+    g = _mean_resize(np.asarray(px, np.uint8).reshape(h, w), 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageDHasher:
+    """Actor stage: payload -> (id, dhash) rows for near-dup banding.
+
+    Decodes with the same magic-sniffing real-codec path as
+    ``RealImageDecoder`` (Pillow where installed, stdlib PNG/JPEG
+    here); undecodable payloads are dropped (near-dup of garbage is
+    meaningless). Decoder built once per actor."""
+
+    def __init__(self):
+        self._decoder = RealImageDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = []
+        hashes = []
+        id_np = batch.column("id").to_pylist()
+        for i, payload in enumerate(batch.column("payload").to_pylist()):
+            d = self._decoder._decode(payload)
+            if d is None:
+                continue
+            w, h, px = d
+            ids.append(id_np[i])
+            hashes.append(np.int64(np.uint64(dhash64(px, w, h))))
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "dhash": pa.array(np.array(hashes, np.int64), pa.int64()),
+        })
+
+
+def image_dhash(ds, concurrency: int = 2, batch_size: int = 32):
+    """(id, payload) -> (id, dhash): the signature half of image
+    near-dup. Small batches — payloads are large binaries."""
+    return ds.map_batches(
+        ImageDHasher,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def image_near_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200,
+                         concurrency: int = 2, batch_size: int = 32):
+    """Image near-duplicate pairs: real decode → dHash → banded
+    Hamming buckets (functions/dedup.py::hash64_band_pairs). The
+    multimodal member of the dedup family — same pigeonhole banding,
+    hot-bucket truncation counters and pair-distinct as the text
+    path; feed the pairs to ``dedup_by_components`` for clusters."""
+    from .dedup import hash64_band_pairs
+
+    sigs = image_dhash(ds, concurrency=concurrency, batch_size=batch_size)
+    return hash64_band_pairs(sigs, hash_col="dhash", id_col="id",
+                             max_hamming=max_hamming,
+                             max_bucket=max_bucket)
+
+
 def decode_images(ds, concurrency: int = 2, batch_size: int = 32, real: bool = False):
     """The image pipeline stage: small batches (large binaries), actor
     pool (decoder state loaded once per actor). ``real=True`` selects

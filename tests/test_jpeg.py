@@ -133,3 +133,73 @@ def test_real_image_decoder_sniffs_jpeg_and_png(ray_session):
     assert list(out["width"].astype(int)) == [16, 16]
     # both are (nearly) the same grayscale content
     assert abs(out["mean_px"][0] - out["mean_px"][1]) < 2.0
+
+
+# ---------------------------------------------------------------- dHash
+
+
+def test_dhash_stable_under_reencode_distinct_across_images():
+    from scrappy_ray.functions.multimodal import dhash64
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = ((np.sin(xx / 11.0) * np.cos(yy / 13.0) + 1) * 127).astype(
+        np.uint8)
+    ref = dhash64(img.reshape(-1), 64, 48)
+    for q in (95, 85):
+        w, h, px = jpeg_decode_luma(jpeg_encode(img, q))
+        assert bin(ref ^ dhash64(px, w, h)).count("1") <= 3
+    other = ((np.cos(xx / 5.0) * np.sin(yy / 7.0) + 1) * 127).astype(
+        np.uint8)
+    assert bin(ref ^ dhash64(other.reshape(-1), 64, 48)).count("1") > 10
+
+
+def test_dhash_tiny_image_upsample_path():
+    from scrappy_ray.functions.multimodal import dhash64
+
+    small = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert isinstance(dhash64(small.reshape(-1), 4, 3), int)
+
+
+def test_hash64_band_pairs_pigeonhole(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.dedup import hash64_band_pairs
+
+    # ids 0,1 differ in 3 bits (found); 0,2 differ in ~32 (not found)
+    h0 = 0x0123456789ABCDEF
+    h1 = h0 ^ 0b111  # hamming 3, same top 3 bands
+    h2 = h0 ^ 0x5555555500000000 ^ 0x33333333  # spread over all bands
+    tbl = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "h64": pa.array(np.array([h0, h1, h2], np.uint64).view(np.int64),
+                        pa.int64()),
+    })
+    df = (hash64_band_pairs(ray.data.from_arrow(tbl))
+          .sort(["id_a", "id_b"]).to_pandas())
+    assert list(zip(df.id_a, df.id_b)) == [(0, 1)]
+
+
+def test_image_near_dup_pairs_end_to_end(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import (image_near_dup_pairs,
+                                                  png_encode_filtered)
+
+    rng = np.random.RandomState(7)
+    base_a = np.kron(rng.randint(0, 256, (8, 8), dtype=np.int64),
+                     np.ones((5, 7), np.int64)).astype(np.uint8)
+    base_b = np.kron(rng.randint(0, 256, (8, 8), dtype=np.int64),
+                     np.ones((5, 7), np.int64)).astype(np.uint8)
+    tbl = pa.table({
+        "id": pa.array([0, 1, 10, 11, 99], pa.int64()),
+        "payload": pa.array([
+            jpeg_encode(base_a, 95),
+            png_encode_filtered(np.stack([base_a] * 3, axis=-1)),
+            jpeg_encode(base_b, 95),
+            jpeg_encode(base_b, 85),
+            b"undecodable junk",
+        ], pa.binary()),
+    })
+    df = (image_near_dup_pairs(ray.data.from_arrow(tbl), concurrency=1)
+          .sort(["id_a", "id_b"]).to_pandas())
+    assert list(zip(df.id_a, df.id_b)) == [(0, 1), (10, 11)]
