@@ -1375,6 +1375,109 @@ def _q_img_dedup(sf_dir: str):
         ray.data.from_arrow(tbl)).sort(["id_a", "id_b"])
 
 
+def _q_img_resize(sf_dir: str):
+    """Image resize/thumbnail stage (functions/multimodal.py::
+    resize_images): mixed PNG + JPEG fixtures (and one garbage
+    payload) → real decode → area-mean resample to 16×12 → REAL PNG
+    re-encode. Deterministic output bytes. Golden-backed oracle."""
+    import ray.data
+
+    from scrappy_ray.functions.jpeg import jpeg_encode
+    from scrappy_ray.functions.multimodal import (png_encode_filtered,
+                                                  resize_images)
+
+    ids = []
+    payloads = []
+    for i in range(30):
+        rng = np.random.RandomState(3000 + i)
+        base = np.kron(rng.randint(0, 256, (6, 8), dtype=np.int64),
+                       np.ones((7, 6), np.int64)).astype(np.uint8)
+        if i % 3 == 0:
+            payloads.append(png_encode_filtered(
+                np.stack([base] * 3, axis=-1)))
+        elif i % 3 == 1:
+            payloads.append(jpeg_encode(base, quality=92))
+        else:
+            payloads.append(jpeg_encode(base, quality=80,
+                                        subsampling="444"))
+        ids.append(i)
+    ids.append(99)
+    payloads.append(b"not an image")
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    out = resize_images(ray.data.from_arrow(tbl), out_w=16, out_h=12)
+
+    def digest(t: pa.Table) -> pa.Table:
+        # driver-comparable projection: the raw PNG bytes hashed to a
+        # hex digest (binary columns don't survive the hash compare)
+        import hashlib
+
+        shas = [None if p is None
+                else hashlib.blake2b(p, digest_size=12).hexdigest()
+                for p in t.column("payload").to_pylist()]
+        nb = [None if p is None else len(p)
+              for p in t.column("payload").to_pylist()]
+        return pa.table({
+            "id": t.column("id"),
+            "payload_sha": pa.array(shas, pa.string()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "width": t.column("width"),
+            "height": t.column("height"),
+            "ok": t.column("ok"),
+        })
+
+    return out.map_batches(digest, batch_format="pyarrow").sort("id")
+
+
+def _q_audio_dedup(sf_dir: str):
+    """Audio near-duplicate pairs (functions/multimodal.py::
+    audio_near_dup_pairs): 12 distinct 8-segment melodies, each
+    published 3× (full gain, 0.4× gain, 30-frame trim — the
+    re-encoded-mirror pattern for audio) → real WAV decode →
+    energy-delta fingerprint → banded Hamming pairs. Every
+    within-group pair, no cross-group pair. Golden-backed oracle."""
+    import io
+    import wave
+
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import audio_near_dup_pairs
+
+    def melody_pcm(seed: int) -> np.ndarray:
+        rng = np.random.RandomState(seed)
+        segs = []
+        sr = 8000
+        for s in range(8):
+            f = float(rng.choice([220, 294, 330, 392, 440, 523]))
+            amp = float(rng.uniform(0.2, 0.9))
+            t = np.arange(500, dtype=np.float64) / sr
+            segs.append(np.sin(2 * np.pi * f * t) * amp)
+        return np.concatenate(segs)
+
+    def to_wav(x: np.ndarray, gain: float = 1.0) -> bytes:
+        pcm = np.round(np.clip(x * gain, -1, 1) * 32767.0).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    ids = []
+    payloads = []
+    for g in range(12):
+        x = melody_pcm(4000 + g)
+        for v, payload in enumerate([to_wav(x), to_wav(x, gain=0.4),
+                                     to_wav(x[:-30])]):
+            ids.append(g * 10 + v)
+            payloads.append(payload)
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    return audio_near_dup_pairs(
+        ray.data.from_arrow(tbl)).sort(["id_a", "id_b"])
+
+
 def _q_mm_frames_apng(sf_dir: str):
     """REAL video-container frame sampling, no third-party codec
     (functions/multimodal.py::ApngFrameSampler): deterministic APNG
@@ -4678,6 +4781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode_png": _q_mm_decode_png,
         "mm_decode_jpeg": _q_mm_decode_jpeg,
         "img_dedup": _q_img_dedup,
+        "img_resize": _q_img_resize,
+        "audio_dedup": _q_audio_dedup,
         "mm_frames_apng": _q_mm_frames_apng,
         "audio_decode": _q_audio_decode,
         "extract_triples": _q_extract_triples,
@@ -4961,6 +5066,8 @@ _GOLDEN_ORACLES = {
     "mm_decode_png": "ORDER BY id",
     "mm_decode_jpeg": "ORDER BY id",
     "img_dedup": "ORDER BY id_a, id_b",
+    "img_resize": "ORDER BY id",
+    "audio_dedup": "ORDER BY id_a, id_b",
     "mm_frames_apng": "ORDER BY id, frame_idx",
     "audio_decode": "ORDER BY id",
     "compression_ratio": "ORDER BY doc_id",

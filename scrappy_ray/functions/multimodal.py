@@ -721,6 +721,135 @@ def image_near_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200,
                              max_bucket=max_bucket)
 
 
+class ImageResizer:
+    """Actor stage: real decode (magic-sniffed PNG/JPEG, Pillow where
+    installed) → area-mean resample to a fixed (out_h, out_w) grid →
+    REAL PNG re-encode — the thumbnail/normalize step of an image
+    training pipeline, codec-real on both sides with no third-party
+    lib. Undecodable payloads come back ok=False with a null payload
+    (never silently dropped)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self._decoder = RealImageDecoder()
+        self.out_w, self.out_h = int(out_w), int(out_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        payloads = []
+        oks = []
+        for payload in batch.column("payload").to_pylist():
+            d = self._decoder._decode(payload)
+            if d is None:
+                payloads.append(None)
+                oks.append(False)
+                continue
+            w, h, px = d
+            g = np.clip(np.round(_mean_resize(
+                np.asarray(px, np.uint8).reshape(h, w),
+                self.out_h, self.out_w)), 0, 255).astype(np.uint8)
+            payloads.append(png_encode_filtered(
+                np.stack([g, g, g], axis=-1), filters=(0,)))
+            oks.append(True)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([self.out_w if ok else None for ok in oks],
+                              pa.int32()),
+            "height": pa.array([self.out_h if ok else None for ok in oks],
+                               pa.int32()),
+            "ok": pa.array(oks, pa.bool_()),
+        })
+
+
+def resize_images(ds, out_w: int = 32, out_h: int = 32,
+                  concurrency: int = 2, batch_size: int = 32):
+    """The image-resize pipeline stage (decode → resample → re-encode
+    PNG): actor pool, small batches — payloads are large binaries and
+    the output is a binary column too."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_fingerprint64(xn: np.ndarray) -> int:
+    """64-bit audio fingerprint: the signal split into 65 equal
+    windows, per-window energy, adjacent-window energy-delta signs
+    packed to bits — gain-invariant (signs survive any positive
+    scaling) and locality-preserving under trims/re-encodes, the
+    audio analogue of the image dHash."""
+    x = np.asarray(xn, np.float64)
+    if x.size < 65:
+        x = np.pad(x, (0, 65 - x.size))
+    n = x.size - x.size % 65
+    e = (x[:n].reshape(65, -1) ** 2).sum(axis=1)
+    bits = e[1:] > e[:-1]
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AudioFingerprinter:
+    """Actor stage: WAV payload -> (id, afp) rows (mono-folded PCM →
+    ``audio_fingerprint64``); undecodable payloads dropped."""
+
+    def __init__(self):
+        self._decoder = WavAudioDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        ids = []
+        fps = []
+        id_np = batch.column("id").to_pylist()
+        for i, payload in enumerate(batch.column("payload").to_pylist()):
+            if payload is None:
+                continue
+            try:
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    sw = w.getsampwidth()
+                    if sw not in WavAudioDecoder._DTYPE:
+                        continue
+                    nch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+            except Exception:
+                continue
+            x = np.frombuffer(raw, WavAudioDecoder._DTYPE[sw]).astype(
+                np.float64)
+            off, scale = WavAudioDecoder._OFFSET_SCALE[sw]
+            xn = (x - off) / scale
+            if nch > 1:
+                xn = xn.reshape(-1, nch).mean(axis=1)
+            ids.append(id_np[i])
+            fps.append(np.int64(np.uint64(audio_fingerprint64(xn))))
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "afp": pa.array(np.array(fps, np.int64), pa.int64()),
+        })
+
+
+def audio_near_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200,
+                         concurrency: int = 2, batch_size: int = 32):
+    """Audio near-duplicate pairs: real WAV decode → energy-delta
+    fingerprint → the same banded Hamming machinery as text simhash
+    and image dHash (functions/dedup.py::hash64_band_pairs)."""
+    from .dedup import hash64_band_pairs
+
+    sigs = ds.map_batches(
+        AudioFingerprinter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return hash64_band_pairs(sigs, hash_col="afp", id_col="id",
+                             max_hamming=max_hamming,
+                             max_bucket=max_bucket)
+
+
 def decode_images(ds, concurrency: int = 2, batch_size: int = 32, real: bool = False):
     """The image pipeline stage: small batches (large binaries), actor
     pool (decoder state loaded once per actor). ``real=True`` selects

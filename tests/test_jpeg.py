@@ -203,3 +203,42 @@ def test_image_near_dup_pairs_end_to_end(ray_session):
     df = (image_near_dup_pairs(ray.data.from_arrow(tbl), concurrency=1)
           .sort(["id_a", "id_b"]).to_pandas())
     assert list(zip(df.id_a, df.id_b)) == [(0, 1), (10, 11)]
+
+
+def test_resize_images_roundtrips_through_real_codecs(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import (_png_to_gray,
+                                                  resize_images)
+
+    g = _gradient(40, 56)
+    tbl = pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([jpeg_encode(g, 92), b"junk"], pa.binary()),
+    })
+    out = (resize_images(ray.data.from_arrow(tbl), out_w=16, out_h=12,
+                         concurrency=1).sort("id").to_pandas())
+    assert list(out["ok"]) == [True, False]
+    w, h, px = _png_to_gray(out["payload"][0])
+    assert (w, h) == (16, 12)
+    # resized content tracks the source's mean brightness
+    assert abs(px.astype(float).mean() - g.astype(float).mean()) < 3.0
+    assert out["payload"][1] is None
+
+
+def test_audio_fingerprint_gain_invariant_tone_sensitive():
+    from scrappy_ray.functions.multimodal import (audio_fingerprint64,
+                                                  make_fake_wav)
+    import io
+    import wave
+
+    def xn(b):
+        with wave.open(io.BytesIO(b), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        return np.frombuffer(raw, np.int16).astype(np.float64) / 32767.0
+
+    a = audio_fingerprint64(xn(make_fake_wav(440, 2000)))
+    b = audio_fingerprint64(xn(make_fake_wav(440, 2000, amplitude=0.25)))
+    c = audio_fingerprint64(xn(make_fake_wav(523, 2000)))
+    assert bin(a ^ b).count("1") == 0   # pure gain change
+    assert bin(a ^ c).count("1") > 10   # different tone
