@@ -1478,6 +1478,119 @@ def _q_audio_dedup(sf_dir: str):
         ray.data.from_arrow(tbl)).sort(["id_a", "id_b"])
 
 
+def _q_mm_dedup_clusters(sf_dir: str):
+    """Cross-modal dedup composition: the same corpus row carries
+    text, an image payload, and an audio payload; near-dup pairs are
+    hunted independently per modality (simhash text / dHash image /
+    energy-fingerprint audio — all through the shared banding) and
+    the UNION of the three pair sets feeds dedup_by_components, so a
+    mirror is caught if ANY modality survives re-encoding. 12 groups
+    of 3 mirrors (each group linked by a different modality mix) + 6
+    singletons → keep-set of component-min ids. Golden-backed."""
+    import ray.data
+
+    from scrappy_ray.functions.dedup import (dedup_by_components,
+                                             simhash_pairs)
+    from scrappy_ray.functions.jpeg import jpeg_encode
+    from scrappy_ray.functions.multimodal import (audio_near_dup_pairs,
+                                                  image_near_dup_pairs,
+                                                  png_encode_filtered)
+
+    import io
+    import wave
+
+    def wav(seed: int, gain: float = 1.0, trim: int = 0) -> bytes:
+        rng = np.random.RandomState(seed)
+        segs = []
+        for _ in range(8):
+            f = float(rng.choice([220, 294, 330, 392, 440, 523]))
+            amp = float(rng.uniform(0.2, 0.9))
+            t = np.arange(500, dtype=np.float64) / 8000
+            segs.append(np.sin(2 * np.pi * f * t) * amp)
+        x = np.concatenate(segs)
+        if trim:
+            x = x[:-trim]
+        pcm = np.round(np.clip(x * gain, -1, 1) * 32767.0).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def image(seed: int, quality: int | None) -> bytes:
+        rng = np.random.RandomState(seed)
+        base = np.kron(rng.randint(0, 256, (8, 8), dtype=np.int64),
+                       np.ones((5, 7), np.int64)).astype(np.uint8)
+        if quality is None:
+            return png_encode_filtered(np.stack([base] * 3, axis=-1))
+        return jpeg_encode(base, quality=quality)
+
+    # wide vocab so "distinct" random texts are simhash-distant (a
+    # 10-word vocab makes every bag-of-words look alike)
+    words = np.array([f"w{n:04d}" for n in range(4000)])
+    rows = {"doc_id": [], "text": [], "image": [], "audio": []}
+    for g in range(12):
+        rng = np.random.RandomState(7000 + g)
+        base_text = " ".join(rng.choice(words, 120))
+        for v in range(3):
+            rows["doc_id"].append(g * 10 + v)
+            link = g % 3  # which modality ties this group together
+            # the linking modality stays a near-dup; the others are
+            # made DISTINCT per variant (unique seeds) to prove the
+            # union is what catches the mirror
+            if link == 0:  # text link: same words, tiny edit
+                rows["text"].append(base_text + " extra" * min(v, 1)
+                                    + " more" * (v == 2))
+                rows["image"].append(image(9000 + g * 10 + v, 95))
+                rows["audio"].append(wav(9500 + g * 10 + v))
+            elif link == 1:  # image link: re-encoded same image
+                rng2 = np.random.RandomState(7100 + g * 10 + v)
+                rows["text"].append(" ".join(rng2.choice(words, 120)))
+                rows["image"].append(image(8000 + g,
+                                           [None, 95, 85][v]))
+                rows["audio"].append(wav(9600 + g * 10 + v))
+            else:  # audio link: gain/trim variants of one melody
+                rng2 = np.random.RandomState(7200 + g * 10 + v)
+                rows["text"].append(" ".join(rng2.choice(words, 120)))
+                rows["image"].append(image(9100 + g * 10 + v, 95))
+                rows["audio"].append(wav(8100 + g,
+                                         gain=[1.0, 0.4, 1.0][v],
+                                         trim=[0, 0, 30][v]))
+    for s in range(6):
+        rng2 = np.random.RandomState(7300 + s)
+        rows["doc_id"].append(500 + s)
+        rows["text"].append(" ".join(rng2.choice(words, 120)))
+        rows["image"].append(image(9800 + s, 95))
+        rows["audio"].append(wav(9900 + s))
+
+    tbl = pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "text": pa.array(rows["text"], pa.string()),
+        "image": pa.array(rows["image"], pa.binary()),
+        "audio": pa.array(rows["audio"], pa.binary()),
+    })
+    ds = ray.data.from_arrow(tbl)
+
+    def proj(col: str):
+        return ds.map_batches(
+            lambda t, c=col: pa.table({"id": t.column("doc_id"),
+                                       "payload": t.column(c)}),
+            batch_format="pyarrow")
+
+    tp = simhash_pairs(ds, text_col="text", id_col="doc_id")
+    ip = image_near_dup_pairs(proj("image")).map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b"]),
+        batch_format="pyarrow")
+    ap = audio_near_dup_pairs(proj("audio")).map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b"]),
+        batch_format="pyarrow")
+    pairs = tp.union(ip).union(ap).materialize()
+    return (dedup_by_components(ds, pairs, id_col="doc_id")
+            .select_columns(["doc_id"]).sort("doc_id"))
+
+
 def _q_mm_frames_apng(sf_dir: str):
     """REAL video-container frame sampling, no third-party codec
     (functions/multimodal.py::ApngFrameSampler): deterministic APNG
@@ -4783,6 +4896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_dedup": _q_img_dedup,
         "img_resize": _q_img_resize,
         "audio_dedup": _q_audio_dedup,
+        "mm_dedup_clusters": _q_mm_dedup_clusters,
         "mm_frames_apng": _q_mm_frames_apng,
         "audio_decode": _q_audio_decode,
         "extract_triples": _q_extract_triples,
@@ -5068,6 +5182,7 @@ _GOLDEN_ORACLES = {
     "img_dedup": "ORDER BY id_a, id_b",
     "img_resize": "ORDER BY id",
     "audio_dedup": "ORDER BY id_a, id_b",
+    "mm_dedup_clusters": "ORDER BY doc_id",
     "mm_frames_apng": "ORDER BY id, frame_idx",
     "audio_decode": "ORDER BY id",
     "compression_ratio": "ORDER BY doc_id",

@@ -262,7 +262,9 @@ def main():
                  "graph_triangles", "bloom_semi_join", "char_entropy",
                  "group_corr", "mad_outliers",
                  "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q13", "tpch_q22",
-                 "revisit_stats_salted", "mm_decode_png", "mm_frames_apng"):
+                 "revisit_stats_salted", "mm_decode_png", "mm_frames_apng",
+                 "tpch_q2", "tpch_q9", "tpch_q16",
+                 "mm_decode_jpeg", "img_dedup", "audio_dedup"):
         t = time.perf_counter()
         _consume(E.queries()[name](SF_DIR))
         queries[name] = round(time.perf_counter() - t, 3)

@@ -242,3 +242,25 @@ def test_audio_fingerprint_gain_invariant_tone_sensitive():
     c = audio_fingerprint64(xn(make_fake_wav(523, 2000)))
     assert bin(a ^ b).count("1") == 0   # pure gain change
     assert bin(a ^ c).count("1") > 10   # different tone
+
+
+def test_mm_dedup_clusters_matches_frozen_golden(ray_session):
+    """Cross-modal dedup composition (text simhash ∪ image dHash ∪
+    audio fingerprint → connected components): the kept set equals
+    the committed golden — one root per 3-mirror group (the linking
+    modality rotates per group) plus every singleton."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as E
+
+    got = E.queries()["mm_dedup_clusters"](
+        "/root/testdata/sf0.001").to_pandas()
+    gold = pq.read_table(os.path.join(
+        os.path.dirname(__file__), "golden", "oracle",
+        "mm_dedup_clusters.parquet")).to_pandas()
+    assert list(got.doc_id) == list(gold.doc_id)
