@@ -305,3 +305,65 @@ def test_apng_sampler_stride_semantics(n, stride, seed):
     assert out.column("frame_idx").to_pylist() == list(range(0, n, stride))
     assert set(out.column("width").to_pylist()) <= {5}
     assert set(out.column("height").to_pylist()) <= {3}
+
+
+# ---------------------------------------------------------------- JPEG codec
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 100),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_gray_roundtrip_any_shape_any_quality(h, w, q, seed):
+    """Any (h, w) grayscale image at any quality round-trips to the
+    exact source dimensions with bounded error (quantization noise is
+    bounded by the quant table; 128-mean images keep DC error small)."""
+    import numpy as np
+
+    from scrappy_ray.functions.jpeg import jpeg_decode_luma, jpeg_encode
+
+    rng = np.random.RandomState(seed)
+    # smooth-ish content: coarse noise upsampled (worst-case white
+    # noise has unbounded per-pixel quantization error at low Q)
+    coarse = rng.randint(0, 256, (max(1, h // 8 + 1), max(1, w // 8 + 1)))
+    img = np.kron(coarse, np.ones((8, 8)))[:h, :w].astype(np.uint8)
+    out = jpeg_decode_luma(jpeg_encode(img, quality=q))
+    assert out is not None
+    ow, oh, px = out
+    assert (ow, oh) == (w, h)
+    assert px.shape == (w * h,)
+    if q >= 85:
+        mae = np.abs(px.reshape(h, w).astype(float)
+                     - img.astype(float)).mean()
+        assert mae < 16.0
+
+
+@given(st.integers(8, 32), st.integers(8, 32), st.integers(0, 2**32 - 1),
+       st.sampled_from(["444", "420"]), st.integers(0, 4))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_color_roundtrip_and_restarts(h, w, seed, sub, rst):
+    """Color encodes at any sampling with any restart interval decode
+    to the right dims; RSTn placement never changes the pixels."""
+    import numpy as np
+
+    from scrappy_ray.functions.jpeg import jpeg_decode_luma, jpeg_encode
+
+    rng = np.random.RandomState(seed)
+    coarse = rng.randint(0, 256, (h // 8 + 1, w // 8 + 1, 3))
+    img = np.kron(coarse, np.ones((8, 8, 1)))[:h, :w, :].astype(np.uint8)
+    a = jpeg_decode_luma(jpeg_encode(img, 90, subsampling=sub))
+    b = jpeg_decode_luma(jpeg_encode(img, 90, subsampling=sub,
+                                     restart_interval=rst))
+    assert a is not None and b is not None
+    assert (a[0], a[1]) == (w, h)
+    assert (a[2] == b[2]).all()
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_decoder_never_crashes_on_fuzz(data):
+    """Arbitrary bytes (including ones starting with the SOI marker)
+    either decode or return None — never raise."""
+    from scrappy_ray.functions.jpeg import jpeg_decode_luma
+
+    jpeg_decode_luma(data)
+    jpeg_decode_luma(b"\xff\xd8" + data)
