@@ -4495,7 +4495,11 @@ def _q_tpch_q2(sf_dir: str):
             pa.int64()), dtype=np.int64)
         pi = pc.index_in(pc.cast(t.column("l_partkey"), pa.int64()),
                          value_set=pkeys)
-        nn = pa.array([nname[int(k)] for k in snat[si]], pa.string())
+        # vectorized nationkey -> name (no per-row Python)
+        nlut = np.empty(max(nname) + 1, dtype=object)
+        for k, v in nname.items():
+            nlut[k] = v
+        nn = pa.array(nlut[snat[si]], pa.string())
         return pa.table({
             "s_acctbal": pa.array(sbal[si], pa.float64()),
             "s_name": sname.take(pa.array(si, pa.int64())),
