@@ -1304,8 +1304,10 @@ def _q_mm_decode_jpeg(sf_dir: str):
     """REAL baseline-JPEG decode, no third-party codec (functions/
     jpeg.py via multimodal.StdlibJpegDecoder): deterministic fixtures
     cycling grayscale / RGB 4:4:4 / RGB 4:2:0 / restart-marker
-    variants so every decoder path (single + multi component, chroma
-    sync, RSTn) runs — width/height/mean_px/phash per image.
+    variants plus PROGRESSIVE (SOF2) encodes, so every decoder path
+    (single + multi component, chroma sync, RSTn, all four
+    progressive scan types) runs — width/height/mean_px/phash per
+    image.
     Golden-backed oracle (not SQL-expressible)."""
     import ray.data
 
@@ -1318,17 +1320,22 @@ def _q_mm_decode_jpeg(sf_dir: str):
     def fixture(i: int) -> bytes:
         w, h = 16 + (i * 7) % 24, 12 + (i * 5) % 20
         yy, xx = np.mgrid[0:h, 0:w]
-        if i % 4 == 0:  # grayscale
+        if i % 5 == 0:  # grayscale
             img = ((xx * (3 + i) + yy * (5 + i)) % 256).astype(np.uint8)
             return jpeg_encode(img, quality=90)
         img = np.stack([(xx * (3 + i)) % 256, (yy * (5 + i)) % 256,
                         (xx + yy + i) % 256], axis=-1).astype(np.uint8)
-        if i % 4 == 1:
+        if i % 5 == 1:
             return jpeg_encode(img, quality=85, subsampling="444")
-        if i % 4 == 2:
+        if i % 5 == 2:
             return jpeg_encode(img, quality=75, subsampling="420")
-        return jpeg_encode(img, quality=85, subsampling="420",
-                           restart_interval=2)
+        if i % 5 == 3:
+            return jpeg_encode(img, quality=85, subsampling="420",
+                               restart_interval=2)
+        from scrappy_ray.functions.jpeg import jpeg_encode_progressive
+
+        return jpeg_encode_progressive(img, quality=80,
+                                       subsampling="420")
 
     tbl = pa.table({
         "id": pa.array(ids, pa.int64()),

@@ -8,12 +8,19 @@ training-data-pipeline extension surface, SURVEY.md §2 "beyond").
 ``jpeg_encode`` is the deterministic fixture generator: baseline
 sequential DCT, 8-bit, grayscale or YCbCr (4:4:4 or 4:2:0), Annex K
 quantization + Huffman tables, optional restart markers.
-``jpeg_decode_luma`` parses any baseline JPEG (SOF0/SOF1, multiple
-DQT/DHT segments, DRI/RSTn, APPn/COM skip) and reconstructs the LUMA
-plane — chroma blocks are entropy-decoded to keep the bitstream in
-sync but never dequantized/IDCTed, because the downstream feature
-kernel (``_image_features``) is grayscale-only. That keeps the hot
-path one batched einsum IDCT over the Y blocks.
+``jpeg_decode_luma`` parses baseline (SOF0/SOF1) AND progressive
+(SOF2) JPEGs — multiple DQT/DHT segments, DRI/RSTn, APPn/COM skip,
+and for progressive the full four scan types (interleaved DC
+first/refinement, non-interleaved AC first/refinement with EOB runs
+and correction bits, T.81 G.2) — and reconstructs the LUMA plane.
+Chroma is entropy-decoded for sync (baseline) or kept as coefficient
+history (progressive refinement needs it) but never IDCTed, because
+the downstream feature kernel (``_image_features``) is
+grayscale-only. ``jpeg_encode_progressive`` emits a 2-level
+successive-approximation scan script over the SAME quantized
+coefficients as the baseline encoder, so progressive and baseline
+encodes of one image decode to bit-identical pixels — the codec's
+internal cross-check.
 
 Scale note: this runs inside the ``decode_images`` actor-pool stage
 (one process-wide table build, per-batch decode); payload size × batch
@@ -362,6 +369,241 @@ def jpeg_encode(img: np.ndarray, quality: int = 85,
     return b"".join(out)
 
 
+def _component_setup(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: (comps, planes, mcus_x, mcus_y) and
+    the per-component quantized zigzag coefficient grids."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qt_l = quant_table(QBASE_LUM, quality).astype(np.float64)
+    qt_c = quant_table(QBASE_CHR, quality).astype(np.float64)
+    if gray:
+        comps = [(1, 1, 1, 0)]
+    elif subsampling == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    if gray:
+        planes = [_pad_edge(img.astype(np.float64), 8 * maxh)]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        y = _pad_edge(ycc[..., 0], 8 * maxh)
+        cb = _pad_edge(ycc[..., 1], 8 * maxh)
+        cr = _pad_edge(ycc[..., 2], 8 * maxh)
+        if subsampling == "420":
+            cb = (cb[0::2, 0::2] + cb[0::2, 1::2]
+                  + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
+            cr = (cr[0::2, 0::2] + cr[0::2, 1::2]
+                  + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
+        planes = [y, cb, cr]
+    mcus_x = planes[0].shape[1] // (8 * maxh)
+    mcus_y = planes[0].shape[0] // (8 * maxv)
+    coeffs = []  # per comp: (bh, bw, 64) zigzag int32
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        qt = qt_l if tq == 0 else qt_c
+        bw_c, bh_c = mcus_x * hs, mcus_y * vs
+        plane = planes[ci]
+        if plane.shape != (bh_c * 8, bw_c * 8):
+            plane = _pad_edge(plane, 8)[:bh_c * 8, :bw_c * 8]
+        grid = np.zeros((bh_c, bw_c, 64), np.int32)
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                grid[by, bx] = _encode_block_coeffs(blk, qt)
+        coeffs.append(grid)
+    return comps, coeffs, mcus_x, mcus_y, h, w, gray
+
+
+def _pt_dc(v: int, al: int) -> int:
+    return v >> al  # arithmetic shift (T.81 DC point transform)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    return -((-v) >> al) if v < 0 else v >> al  # magnitude shift
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 85,
+                            subsampling: str = "444") -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2) with a 2-level successive-
+    approximation scan script exercising all four scan types the
+    decoder implements: interleaved DC first (Al=1) + DC refinement,
+    then per-component AC first (Ss=1..63, Al=1) + AC refinement
+    (correction bits, EOB-run semantics). The coefficients are the
+    SAME quantized values the baseline encoder produces, so
+    progressive and baseline encodes of one image must decode to
+    bit-identical pixels — that identity is the codec's cross-check
+    (tests/test_jpeg.py)."""
+    img = np.asarray(img, np.uint8)
+    comps, coeffs, mcus_x, mcus_y, h, w, gray = _component_setup(
+        img, quality, subsampling)
+    dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_c = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tq = next(c[3] for c in comps if c[0] == cid)
+            body += bytes([cid, 0x00 if tq == 0 else 0x11])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = [b"\xff\xd8",
+           seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+    qts = [(0, quant_table(QBASE_LUM, quality))]
+    if not gray:
+        qts.append((1, quant_table(QBASE_CHR, quality)))
+    for tq, qt in qts:
+        out.append(seg(0xDB, bytes([tq]) + bytes(qt[ZIGZAG].tolist())))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out.append(seg(0xC2, sof))  # SOF2: progressive
+    hts = [(0x00, DC_LUM_BITS, DC_LUM_VALS),
+           (0x10, AC_LUM_BITS, AC_LUM_VALS)]
+    if not gray:
+        hts += [(0x01, DC_CHR_BITS, DC_CHR_VALS),
+                (0x11, AC_CHR_BITS, AC_CHR_VALS)]
+    for tc_th, bits, vals in hts:
+        out.append(seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+
+    # --- scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_cid, hs, vs, tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = _pt_dc(int(coeffs[ci][my * vs + by,
+                                                  mx * hs + bx, 0]), 1)
+                        size, amp = _magnitude(v - preds[ci])
+                        code, ln = (dc_l if tq == 0 else dc_c)[size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(amp, size)
+                        preds[ci] = v
+    bw.flush()
+    out.append(sos_header([c[0] for c in comps], 0, 0, 0, 1))
+    out.append(bytes(bw.buf))
+
+    # --- scan 2: DC refinement, interleaved, Ah=1 -> Al=0 (raw bits)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        bw.write(int(coeffs[ci][my * vs + by,
+                                                mx * hs + bx, 0]) & 1, 1)
+    bw.flush()
+    out.append(sos_header([c[0] for c in comps], 0, 0, 1, 0))
+    out.append(bytes(bw.buf))
+
+    # --- per component: AC first (Al=1) then AC refinement (Al=0),
+    # over the component's own (non-interleaved) block dims — MCU
+    # padding blocks carry DC only (T.81 A.1.1)
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        ac = ac_l if tq == 0 else ac_c
+        cw = -(-(w * hs) // maxh)   # ceil: component sample width
+        ch = -(-(h * vs) // maxv)
+        bw_n = -(-cw // 8)
+        bh_n = -(-ch // 8)
+        grid = coeffs[ci][:bh_n, :bw_n].reshape(-1, 64)
+
+        bw = _BitWriter()
+        for blk in grid:
+            k = 1
+            run = 0
+            last = 0
+            va = [_pt_ac(int(blk[i]), 1) for i in range(64)]
+            for i in range(63, 0, -1):
+                if va[i]:
+                    last = i
+                    break
+            while k <= last:
+                if va[k] == 0:
+                    run += 1
+                    k += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                size, amp = _magnitude(va[k])
+                code, ln = ac[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(amp, size)
+                run = 0
+                k += 1
+            if last < 63:
+                code, ln = ac[0x00]  # EOB (run length 1)
+                bw.write(code, ln)
+        bw.flush()
+        out.append(sos_header([cid], 1, 63, 0, 1))
+        out.append(bytes(bw.buf))
+
+        # refinement: Ah=1 -> Al=0 (G.7.2.3 mirror of the decoder)
+        bw = _BitWriter()
+        for blk in grid:
+            hist = [_pt_ac(int(blk[i]), 1) for i in range(64)]
+            newly = [i for i in range(1, 64)
+                     if hist[i] == 0 and blk[i] != 0]
+            k = 1
+            for j in newly:
+                # count zero-history positions in k..j-1, collecting
+                # correction bits of the nonzero-history ones passed;
+                # a ZRL span ends AT its 16th zero (decoder mirror) —
+                # nonzero-history coeffs after it belong to the next
+                # code's correction bits
+                while True:
+                    run = 0
+                    corr = []
+                    i = k
+                    while i < j and run < 16:
+                        if hist[i] == 0:
+                            run += 1
+                        else:
+                            corr.append(int(blk[i]) & 1)
+                        i += 1
+                    if run == 16:  # need a ZRL first
+                        code, ln = ac[0xF0]
+                        bw.write(code, ln)
+                        for b in corr:
+                            bw.write(b, 1)
+                        k = i
+                        continue
+                    code, ln = ac[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if blk[j] > 0 else 0, 1)
+                    for b in corr:
+                        bw.write(b, 1)
+                    k = j + 1
+                    break
+            # trailing correction bits (if any nonzero-history coeffs
+            # remain) ride on an EOB
+            tail = [int(blk[i]) & 1 for i in range(k, 64)
+                    if hist[i] != 0]
+            if k <= 63:
+                code, ln = ac[0x00]
+                bw.write(code, ln)
+                for b in tail:
+                    bw.write(b, 1)
+        bw.flush()
+        out.append(sos_header([cid], 1, 63, 1, 0))
+        out.append(bytes(bw.buf))
+
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------- decoder
 
 
@@ -437,10 +679,12 @@ def _extend(amp: int, size: int) -> int:
 
 
 def jpeg_decode_luma(data: bytes):
-    """Baseline JPEG -> (w, h, flat luma uint8) or None if not a
-    decodable baseline JPEG. Chroma components are entropy-decoded
-    (bitstream sync) but not reconstructed; the batched IDCT over the
-    collected Y coefficient blocks is one einsum."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (w, h, flat
+    luma uint8), or None if not decodable. Baseline chroma is
+    entropy-decoded for bitstream sync but not reconstructed;
+    progressive scans accumulate full per-component coefficient
+    state (refinement needs chroma history too). The batched IDCT
+    over the final Y coefficient blocks is one einsum."""
     if (data is None or len(data) < 4
             or data[0] != 0xFF or data[1] != 0xD8):
         return None
@@ -457,6 +701,8 @@ def _decode_inner(data: bytes):
     comps = []
     w = h = 0
     restart = 0
+    progressive = False
+    state = None  # per-comp zigzag coefficient grids (progressive)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -478,15 +724,14 @@ def _decode_inner(data: bytes):
                 t = np.frombuffer(body[i + 1:i + 65], np.uint8)
                 qtabs[pq_tq & 0xF] = t.astype(np.int32)[UNZIGZAG]
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0xF,
                               "tq": tq})
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -499,15 +744,189 @@ def _decode_inner(data: bytes):
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan = {}
-            for si in range(ns):
-                cs, td_ta = body[1 + 2 * si:3 + 2 * si]
-                scan[cs] = (td_ta >> 4, td_ta & 0xF)
-            return _decode_scan(data, seg_end, comps, scan, qtabs,
-                                htabs, w, h, restart)
+            if not progressive:
+                ns = body[0]
+                scan = {}
+                for si in range(ns):
+                    cs, td_ta = body[1 + 2 * si:3 + 2 * si]
+                    scan[cs] = (td_ta >> 4, td_ta & 0xF)
+                return _decode_scan(data, seg_end, comps, scan, qtabs,
+                                    htabs, w, h, restart)
+            if not comps or w == 0 or h == 0:
+                raise ValueError("missing SOF")
+            if state is None:
+                maxh = max(c["hs"] for c in comps)
+                maxv = max(c["vs"] for c in comps)
+                mcus_x = -(-w // (8 * maxh))
+                mcus_y = -(-h // (8 * maxv))
+                state = [np.zeros((mcus_y * c["vs"], mcus_x * c["hs"],
+                                   64), np.int32) for c in comps]
+            pos = _decode_progressive_scan(
+                data, seg_end, body, comps, state, htabs, restart,
+                w, h)
+            continue
         pos = seg_end
+    if progressive and state is not None:
+        return _reconstruct_luma(state[0].reshape(-1, 64), comps[0],
+                                 qtabs, state[0].shape[1], w, h)
     raise ValueError("no SOS segment")
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("unterminated scan")
+
+
+def _decode_progressive_scan(data, pos, body, comps, state, htabs,
+                             restart, w, h):
+    """One progressive SOS: DC first / DC refine (interleaved) or AC
+    first / AC refine (single component, T.81 G.2 semantics incl. EOB
+    runs and correction bits). Returns the offset of the next marker."""
+    ns = body[0]
+    scan_comps = []
+    for si in range(ns):
+        cs, td_ta = body[1 + 2 * si:3 + 2 * si]
+        ci = next(i for i, c in enumerate(comps) if c["id"] == cs)
+        scan_comps.append((ci, td_ta >> 4, td_ta & 0xF))
+    ss, se, ah_al = body[1 + 2 * ns:4 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 0xF
+    br = _BitReader(data, pos)
+    maxh = max(c["hs"] for c in comps)
+    maxv = max(c["vs"] for c in comps)
+    mcus_x = -(-w // (8 * maxh))
+    mcus_y = -(-h // (8 * maxv))
+
+    def expect_rst(n):
+        m = br.align_to_marker()
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError("expected RST marker")
+
+    if ss == 0:  # DC scan (interleaved over all scan components)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = {ci: 0 for ci, _td, _ta in scan_comps}
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and unit and unit % restart == 0:
+                    expect_rst(unit)
+                    for k in preds:
+                        preds[k] = 0
+                for ci, td, _ta in scan_comps:
+                    c = comps[ci]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            row, col = my * c["vs"] + by, mx * c["hs"] + bx
+                            if ah == 0:  # first pass
+                                size = _huff_decode(br, htabs[(0, td)])
+                                diff = _extend(br.bits(size), size) \
+                                    if size else 0
+                                preds[ci] += diff
+                                state[ci][row, col, 0] = preds[ci] << al
+                            else:  # refinement: one raw bit
+                                if br.bit():
+                                    state[ci][row, col, 0] += 1 << al
+                unit += 1
+        return _next_marker(data, br.pos)
+
+    # AC scan: single component, non-interleaved block order
+    if ns != 1:
+        raise ValueError("interleaved AC scan in progressive")
+    ci, _td, ta = scan_comps[0]
+    c = comps[ci]
+    ac_t = htabs[(1, ta)]
+    # the component's OWN sample dims -> block dims (T.81 A.1.1: AC
+    # progressive scans are non-interleaved and exclude MCU padding)
+    cw = -(-(w * c["hs"]) // maxh)
+    ch = -(-(h * c["vs"]) // maxv)
+    bw_n = -(-cw // 8)
+    bh_n = -(-ch // 8)
+    grid = state[ci]
+    eobrun = 0
+    unit = 0
+    for by in range(bh_n):
+        for bx in range(bw_n):
+            if restart and unit and unit % restart == 0:
+                expect_rst(unit)
+                eobrun = 0
+            unit += 1
+            blk = grid[by, bx]
+            if ah == 0:  # ---- AC first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, ac_t)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        blk[k] = _extend(br.bits(s), s) << al
+                        k += 1
+            else:  # ---- AC refinement pass (G.7.2)
+                p1, m1 = 1 << al, -1 << al
+
+                def corr(idx):
+                    if br.bit():
+                        blk[idx] += p1 if blk[idx] >= 0 else m1
+
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(br, ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError("bad refine size")
+                            newval = p1 if br.bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        while k <= se:
+                            if blk[k] != 0:
+                                corr(k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            corr(k)
+                        k += 1
+                    eobrun -= 1
+    return _next_marker(data, br.pos)
+
+
+def _reconstruct_luma(y_coeffs, luma, qtabs, lw_blocks, w, h):
+    qt = qtabs[luma["tq"]].astype(np.float64)  # natural order
+    deq = (y_coeffs[:, UNZIGZAG].astype(np.float64) * qt).reshape(-1, 8, 8)
+    px = np.einsum("ki,nkl,lj->nij", _C, deq, _C) + 128.0
+    px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+    lh_blocks = len(y_coeffs) // lw_blocks
+    plane = (px.reshape(lh_blocks, lw_blocks, 8, 8)
+             .transpose(0, 2, 1, 3)
+             .reshape(lh_blocks * 8, lw_blocks * 8))
+    return w, h, plane[:h, :w].reshape(-1)
 
 
 def _decode_scan(data, pos, comps, scan, qtabs, htabs, w, h, restart):

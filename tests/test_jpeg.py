@@ -264,3 +264,56 @@ def test_mm_dedup_clusters_matches_frozen_golden(ray_session):
         os.path.dirname(__file__), "golden", "oracle",
         "mm_dedup_clusters.parquet")).to_pandas()
     assert list(got.doc_id) == list(gold.doc_id)
+
+
+# ---------------------------------------------------------- progressive
+
+
+def test_progressive_decodes_pixel_identical_to_baseline():
+    """Progressive (SOF2) and baseline encodes carry the SAME
+    quantized coefficients, so decoding both must give bit-identical
+    pixels — validating all four progressive scan types against the
+    already-validated baseline path."""
+    from scrappy_ray.functions.jpeg import jpeg_encode_progressive
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    rgb = np.stack([(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256],
+                   axis=-1).astype(np.uint8)
+    gray = _gradient(37, 53)
+    for img, sub in [(gray, "444"), (rgb, "444"), (rgb, "420")]:
+        for q in (90, 50):
+            db = jpeg_decode_luma(jpeg_encode(img, q, subsampling=sub))
+            dp = jpeg_decode_luma(
+                jpeg_encode_progressive(img, q, subsampling=sub))
+            assert dp is not None
+            assert db[:2] == dp[:2]
+            assert (db[2] == dp[2]).all()
+
+
+def test_progressive_noise_battery_zrl_and_eob_paths():
+    """Random noise at low quality maximizes ZRL-in-refinement and
+    EOB-run traffic; padded 4:2:0 grids exercise the non-interleaved
+    AC dims diverging from the interleaved DC grid."""
+    from scrappy_ray.functions.jpeg import jpeg_encode_progressive
+
+    for seed, (h, w) in enumerate([(9, 33), (40, 25), (24, 24)]):
+        rng = np.random.RandomState(100 + seed)
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for q in (75, 20):
+            for sub in ("444", "420"):
+                db = jpeg_decode_luma(jpeg_encode(img, q, subsampling=sub))
+                dp = jpeg_decode_luma(jpeg_encode_progressive(
+                    img, q, subsampling=sub))
+                assert dp is not None, (h, w, q, sub)
+                assert (db[2] == dp[2]).all(), (h, w, q, sub)
+
+
+def test_progressive_fuzz_never_crashes():
+    from scrappy_ray.functions.jpeg import (jpeg_decode_luma,
+                                            jpeg_encode_progressive)
+
+    good = jpeg_encode_progressive(np.full((8, 8), 77, np.uint8), 90)
+    assert jpeg_decode_luma(good) is not None
+    for cut in (10, 50, len(good) - 3):
+        jpeg_decode_luma(good[:cut])  # truncated: None or decode, no raise
+    jpeg_decode_luma(good[:2] + b"\xff\xc2\x00\x04\x08\x00" + good[2:])
