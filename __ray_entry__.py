@@ -1384,14 +1384,17 @@ def _q_img_dedup(sf_dir: str):
 
 def _q_img_resize(sf_dir: str):
     """Image resize/thumbnail stage (functions/multimodal.py::
-    resize_images): mixed PNG + JPEG fixtures (and one garbage
-    payload) → real decode → area-mean resample to 16×12 → REAL PNG
-    re-encode. Deterministic output bytes. Golden-backed oracle."""
+    resize_images): mixed PNG + JPEG + GIF fixtures (and one garbage
+    payload) → real magic-sniffed decode → area-mean resample to
+    16×12 → REAL PNG re-encode. Deterministic output bytes.
+    Golden-backed oracle."""
     import ray.data
 
     from scrappy_ray.functions.jpeg import jpeg_encode
     from scrappy_ray.functions.multimodal import (png_encode_filtered,
                                                   resize_images)
+
+    from scrappy_ray.functions.gif import gif_encode_gray
 
     ids = []
     payloads = []
@@ -1399,14 +1402,16 @@ def _q_img_resize(sf_dir: str):
         rng = np.random.RandomState(3000 + i)
         base = np.kron(rng.randint(0, 256, (6, 8), dtype=np.int64),
                        np.ones((7, 6), np.int64)).astype(np.uint8)
-        if i % 3 == 0:
+        if i % 4 == 0:
             payloads.append(png_encode_filtered(
                 np.stack([base] * 3, axis=-1)))
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             payloads.append(jpeg_encode(base, quality=92))
-        else:
+        elif i % 4 == 2:
             payloads.append(jpeg_encode(base, quality=80,
                                         subsampling="444"))
+        else:
+            payloads.append(gif_encode_gray(base, interlace=i % 8 == 3))
         ids.append(i)
     ids.append(99)
     payloads.append(b"not an image")

@@ -611,13 +611,24 @@ class StdlibJpegDecoder(_ImageDecoderBase):
         return jpeg_decode_luma(payload)
 
 
+class StdlibGifDecoder(_ImageDecoderBase):
+    """REAL GIF decode with no third-party codec (functions/gif.py:
+    LZW + interlace + extension skipping, first frame, palette→luma).
+    Same actor contract as the PNG/JPEG decoders."""
+
+    def _decode(self, payload: bytes):
+        from .gif import gif_decode_gray
+
+        return gif_decode_gray(payload)
+
+
 class RealImageDecoder(_ImageDecoderBase):
     """The ``real=True`` decoder: Pillow when installed (any
     PIL-readable format), otherwise the stdlib codecs — PNG (zlib +
-    un-filter) and baseline JPEG (``functions/jpeg.py``) sniffed by
-    magic bytes. A real interchange codec runs in EVERY environment;
-    only the long-tail format coverage (GIF/TIFF/WebP/...) needs
-    Pillow."""
+    un-filter), baseline + progressive JPEG (``functions/jpeg.py``)
+    and GIF (``functions/gif.py``) sniffed by magic bytes. A real
+    interchange codec runs in EVERY environment; only the long-tail
+    format coverage (TIFF/WebP/...) needs Pillow."""
 
     def __init__(self):
         try:
@@ -632,6 +643,10 @@ class RealImageDecoder(_ImageDecoderBase):
             from .jpeg import jpeg_decode_luma
 
             return jpeg_decode_luma(payload)
+        if payload is not None and payload[:4] == b"GIF8":
+            from .gif import gif_decode_gray
+
+            return gif_decode_gray(payload)
         return _png_to_gray(payload)
 
 

@@ -317,3 +317,70 @@ def test_progressive_fuzz_never_crashes():
     for cut in (10, 50, len(good) - 3):
         jpeg_decode_luma(good[:cut])  # truncated: None or decode, no raise
     jpeg_decode_luma(good[:2] + b"\xff\xc2\x00\x04\x08\x00" + good[2:])
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_bit_exact_all_variants():
+    """GIF over the identity gray palette is LOSSLESS: encode->decode
+    must be bit-exact for plain and interlaced, 87a and 89a (with a
+    GCE extension to skip), across content shapes."""
+    from scrappy_ray.functions.gif import gif_decode_gray, gif_encode_gray
+
+    rng = np.random.RandomState(5)
+    for (h, w) in [(1, 1), (7, 13), (33, 47)]:
+        for interlace in (False, True):
+            for ver in (b"GIF87a", b"GIF89a"):
+                img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+                r = gif_decode_gray(gif_encode_gray(
+                    img, interlace=interlace, version=ver))
+                assert r is not None
+                ww, hh, px = r
+                assert (ww, hh) == (w, h)
+                assert (px.reshape(h, w) == img).all()
+
+
+def test_gif_lzw_dict_growth_and_compression():
+    """Repetitive content must both compress (real dict growth, not
+    degenerate clear-per-symbol) and round-trip exactly — this drives
+    the decoder through code-width increases, table resets at 4096,
+    and the KwKwK special case."""
+    from scrappy_ray.functions.gif import gif_decode_gray, gif_encode_gray
+
+    img = np.tile(np.arange(16, dtype=np.uint8).repeat(8),
+                  600)[:256 * 256].reshape(256, 256)
+    data = gif_encode_gray(img)
+    assert len(data) < 256 * 256 // 5  # genuinely compressed
+    w, h, px = gif_decode_gray(data)
+    assert (px.reshape(256, 256) == img).all()
+
+
+def test_gif_decoder_rejects_garbage():
+    from scrappy_ray.functions.gif import gif_decode_gray, gif_encode_gray
+
+    assert gif_decode_gray(None) is None
+    assert gif_decode_gray(b"GIF8") is None
+    assert gif_decode_gray(b"not a gif at all") is None
+    good = gif_encode_gray(np.full((4, 4), 9, np.uint8))
+    assert gif_decode_gray(good[:15]) is None  # truncated
+    assert gif_decode_gray(good) is not None
+
+
+def test_real_image_decoder_sniffs_gif(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.gif import gif_encode_gray
+    from scrappy_ray.functions.multimodal import decode_images
+
+    g = _gradient(10, 14)
+    tbl = pa.table({
+        "id": pa.array([0], pa.int64()),
+        "payload": pa.array([gif_encode_gray(g)], pa.binary()),
+    })
+    out = decode_images(ray.data.from_arrow(tbl), real=True,
+                        concurrency=1).to_pandas()
+    assert bool(out["ok"][0])
+    assert int(out["width"][0]) == 14
+    # GIF is lossless: decoded mean is the source mean exactly
+    assert abs(out["mean_px"][0] - float(g.mean())) < 1e-9
