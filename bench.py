@@ -207,6 +207,44 @@ def extract_bench(sf_dir: str, concurrency: int) -> dict:
     return {"wall_s": wall, "pages": n, "pages_per_sec": n / wall if wall else None}
 
 
+def img_decode_bench(n_images: int = 4000, concurrency: int = 8) -> dict:
+    """Multimodal decode throughput: N deterministic JPEGs (the
+    stdlib codec both sides) pushed through the decode_images actor
+    pool — the images-per-second of the real image stage, measured
+    the way a crawl would run it (binary column in, feature rows
+    out). Fixture build is outside the timed region."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrappy_ray.functions.jpeg import jpeg_encode
+    from scrappy_ray.functions.multimodal import decode_images
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    # 32 distinct bases re-used across ids: content variety without
+    # paying 4000 encodes of build time
+    bases = []
+    for b in range(32):
+        img = ((xx * (3 + b) + yy * (5 + b)) % 256).astype(np.uint8)
+        bases.append(jpeg_encode(img, quality=85))
+    payloads = [bases[i % 32] for i in range(n_images)]
+    tbl = pa.table({
+        "id": pa.array(range(n_images), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    # from_arrow yields ONE block — an actor pool fed one block runs
+    # sequentially; split so every actor has work (a real crawl's
+    # image column arrives in many parquet blocks)
+    ds = ray.data.from_arrow(tbl).repartition(
+        concurrency * 8).materialize()  # fixture prep outside the clock
+    t0 = time.perf_counter()
+    n = decode_images(ds, real=True, concurrency=concurrency,
+                      batch_size=64).count()
+    wall = time.perf_counter() - t0
+    return {"wall_s": wall, "images": n,
+            "images_per_sec": n / wall if wall else None}
+
+
 def stats_main():
     """Print ds.stats() for the extraction stage — per-operator wall
     time / throughput evidence ("measure, don't guess")."""
@@ -252,6 +290,9 @@ def main():
     ext = extract_bench(SF_DIR, concurrency=conc)
     queries["extract_all"] = round(ext["wall_s"], 3)
 
+    imgd = img_decode_bench(concurrency=max(4, NUM_CPUS // 4))
+    queries["img_decode"] = round(imgd["wall_s"], 3)
+
     for name in ("tpch_q1", "revenue_by_priority", "dedup_exact", "dedup_minhash",
                  "dedup_simhash", "token_stats", "quality_scores", "sim_topk", "sessionize",
                  "corpus_clean", "heavy_hitters", "substr_dedup", "semantic_dedup",
@@ -289,6 +330,7 @@ def main():
                 "dist_crawl_urls_per_sec": round(dist["urls_per_sec"], 2),
                 "dist_crawl_urls": dist["urls"],
                 "extract_pages_per_sec": round(ext["pages_per_sec"], 2),
+                "img_decode_per_sec": round(imgd["images_per_sec"], 2),
             }
         )
     )

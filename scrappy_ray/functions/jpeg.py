@@ -147,17 +147,34 @@ def _canonical_codes(bits, vals):
     return codes
 
 
+_LUT_CACHE: dict = {}
+
+
 def _decode_table(bits, vals):
-    """(BITS, HUFFVAL) -> {(length, code): symbol} for the reader."""
-    out = {}
+    """(BITS, HUFFVAL) -> flat 16-bit lookup tables (sym, len): one
+    peek of the next 16 bits resolves any code in O(1) instead of a
+    bit-by-bit tree walk — the entropy decode's hot path. Tables are
+    cached process-wide by their (BITS, HUFFVAL) content (the Annex K
+    tables recur across every image a worker decodes)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut_sym = np.zeros(1 << 16, np.uint8)
+    lut_len = np.zeros(1 << 16, np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut_sym[base:base + span] = vals[k]
+            lut_len[base:base + span] = length
             code += 1
             k += 1
         code <<= 1
+    out = (lut_sym, lut_len)
+    _LUT_CACHE[key] = out
     return out
 
 
@@ -634,6 +651,10 @@ class _BitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
+    def _ensure(self, n: int):
+        while self.nbits < n:
+            self._fill()
+
     def bit(self) -> int:
         if not self.nbits:
             self._fill()
@@ -641,10 +662,12 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align_to_marker(self) -> int:
         """Skip pad bits to the next marker; return its second byte."""
@@ -661,13 +684,16 @@ class _BitReader:
 
 
 def _huff_decode(br: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad Huffman code")
+    """O(1) table-driven decode: peek 16 bits, look up (sym, len),
+    consume len. The fill at a trailing marker feeds 1-padding, so
+    peeking past the scan end is safe (pos never passes the marker)."""
+    br._ensure(16)
+    idx = (br.acc >> (br.nbits - 16)) & 0xFFFF
+    ln = table[1][idx]
+    if ln == 0:
+        raise ValueError("bad Huffman code")
+    br.nbits -= int(ln)
+    return int(table[0][idx])
 
 
 def _extend(amp: int, size: int) -> int:
