@@ -160,20 +160,18 @@ def _decode_table(bits, vals):
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
-    lut_sym = np.zeros(1 << 16, np.uint8)
-    lut_len = np.zeros(1 << 16, np.uint8)
+    lut = np.zeros(1 << 16, np.int32)  # (symbol << 8) | code length
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             base = code << (16 - length)
             span = 1 << (16 - length)
-            lut_sym[base:base + span] = vals[k]
-            lut_len[base:base + span] = length
+            lut[base:base + span] = (vals[k] << 8) | length
             code += 1
             k += 1
         code <<= 1
-    out = (lut_sym, lut_len)
+    out = lut.tolist()  # plain-list scalar indexing beats numpy here
     _LUT_CACHE[key] = out
     return out
 
@@ -688,12 +686,11 @@ def _huff_decode(br: _BitReader, table) -> int:
     consume len. The fill at a trailing marker feeds 1-padding, so
     peeking past the scan end is safe (pos never passes the marker)."""
     br._ensure(16)
-    idx = (br.acc >> (br.nbits - 16)) & 0xFFFF
-    ln = table[1][idx]
-    if ln == 0:
+    v = table[(br.acc >> (br.nbits - 16)) & 0xFFFF]
+    if v == 0:
         raise ValueError("bad Huffman code")
-    br.nbits -= int(ln)
-    return int(table[0][idx])
+    br.nbits -= v & 0xFF
+    return v >> 8
 
 
 def _extend(amp: int, size: int) -> int:
