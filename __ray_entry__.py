@@ -1490,6 +1490,50 @@ def _q_audio_dedup(sf_dir: str):
         ray.data.from_arrow(tbl)).sort(["id_a", "id_b"])
 
 
+def _q_audio_resample(sf_dir: str):
+    """Audio sample-rate normalization (functions/multimodal.py::
+    resample_audio): tones at mixed source rates (8/11.025/22.05 kHz,
+    mono + stereo, plus one garbage payload) → real WAV decode →
+    linear resample to 16 kHz mono → real WAV re-encode, projected
+    to payload digests for the driver compare. Golden-backed."""
+    import ray.data
+
+    from scrappy_ray.functions.multimodal import (make_fake_wav,
+                                                  resample_audio)
+
+    ids = []
+    payloads = []
+    rates = [8000, 11025, 22050]
+    for i in range(24):
+        ids.append(i)
+        payloads.append(make_fake_wav(
+            220 + 30 * (i % 7), n_frames=400 + 50 * (i % 5),
+            sample_rate=rates[i % 3], amplitude=0.3 + 0.05 * (i % 4),
+            n_channels=1 + i % 2))
+    ids.append(99)
+    payloads.append(b"not audio")
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    out = resample_audio(ray.data.from_arrow(tbl), target_rate=16000)
+
+    def digest(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        pl = t.column("payload").to_pylist()
+        return pa.table({
+            "id": t.column("id"),
+            "payload_sha": pa.array(
+                [None if p is None
+                 else hashlib.blake2b(p, digest_size=12).hexdigest()
+                 for p in pl], pa.string()),
+            "sample_rate": t.column("sample_rate"),
+            "n_frames": t.column("n_frames"),
+            "ok": t.column("ok"),
+        })
+
+    return out.map_batches(digest, batch_format="pyarrow").sort("id")
+
+
 def _q_mm_dedup_clusters(sf_dir: str):
     """Cross-modal dedup composition: the same corpus row carries
     text, an image payload, and an audio payload; near-dup pairs are
@@ -4913,6 +4957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_resize": _q_img_resize,
         "audio_dedup": _q_audio_dedup,
         "mm_dedup_clusters": _q_mm_dedup_clusters,
+        "audio_resample": _q_audio_resample,
         "mm_frames_apng": _q_mm_frames_apng,
         "audio_decode": _q_audio_decode,
         "extract_triples": _q_extract_triples,
@@ -5199,6 +5244,7 @@ _GOLDEN_ORACLES = {
     "img_resize": "ORDER BY id",
     "audio_dedup": "ORDER BY id_a, id_b",
     "mm_dedup_clusters": "ORDER BY doc_id",
+    "audio_resample": "ORDER BY id",
     "mm_frames_apng": "ORDER BY id, frame_idx",
     "audio_decode": "ORDER BY id",
     "compression_ratio": "ORDER BY doc_id",

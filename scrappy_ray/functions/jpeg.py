@@ -701,6 +701,90 @@ def _extend(amp: int, size: int) -> int:
     return amp
 
 
+def exif_orientation(data: bytes) -> int:
+    """EXIF orientation (1..8) from a JPEG's APP1 segment, or 1 if
+    absent/unparseable. Minimal TIFF walk: APP1 "Exif\\0\\0" header,
+    byte-order mark (II/MM), IFD0 entry scan for tag 0x0112. Phone
+    cameras store sensor-rotated pixels with this tag, so a pipeline
+    that ignores it fingerprints/resizes sideways images."""
+    if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return 1
+    try:
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return 1
+            marker = data[pos + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+            if marker == 0xDA:  # entropy data starts: no EXIF ahead
+                return 1
+            if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
+                t = data[pos + 10:pos + 2 + seg_len]  # TIFF stream
+                if t[:2] == b"II":
+                    u16 = "<H"
+                    u32 = "<I"
+                elif t[:2] == b"MM":
+                    u16 = ">H"
+                    u32 = ">I"
+                else:
+                    return 1
+                (ifd0,) = struct.unpack_from(u32, t, 4)
+                (n,) = struct.unpack_from(u16, t, ifd0)
+                for i in range(n):
+                    e = ifd0 + 2 + 12 * i
+                    (tag,) = struct.unpack_from(u16, t, e)
+                    if tag == 0x0112:
+                        (v,) = struct.unpack_from(u16, t, e + 8)
+                        return v if 1 <= v <= 8 else 1
+                return 1
+            pos += 2 + seg_len
+    except (struct.error, IndexError):
+        pass
+    return 1
+
+
+def exif_app1_segment(orientation: int, byte_order: str = "II") -> bytes:
+    """Build a minimal APP1/EXIF segment carrying one orientation tag
+    — the fixture generator for ``exif_orientation`` (our encoder
+    never writes EXIF; real-world files do)."""
+    bo = byte_order.encode()
+    u16 = "<H" if byte_order == "II" else ">H"
+    u32 = "<I" if byte_order == "II" else ">I"
+    tiff = (bo + struct.pack(u16, 42) + struct.pack(u32, 8)
+            + struct.pack(u16, 1)
+            + struct.pack(u16, 0x0112) + struct.pack(u16, 3)
+            + struct.pack(u32, 1) + struct.pack(u16, orientation)
+            + b"\x00\x00" + struct.pack(u32, 0))
+    payload = b"Exif\x00\x00" + tiff
+    return struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2) + payload
+
+
+def apply_orientation(px: np.ndarray, w: int, h: int,
+                      orientation: int):
+    """Apply an EXIF orientation (1..8) to a flat gray plane,
+    returning (w', h', flat) in display orientation."""
+    g = np.asarray(px, np.uint8).reshape(h, w)
+    if orientation == 2:
+        g = g[:, ::-1]
+    elif orientation == 3:
+        g = g[::-1, ::-1]
+    elif orientation == 4:
+        g = g[::-1, :]
+    elif orientation == 5:
+        g = g.T
+    elif orientation == 6:
+        g = g.T[:, ::-1]
+    elif orientation == 7:
+        g = g.T[::-1, ::-1]
+    elif orientation == 8:
+        g = g.T[::-1, :]
+    hh, ww = g.shape
+    return ww, hh, np.ascontiguousarray(g).reshape(-1)
+
+
 def jpeg_decode_luma(data: bytes):
     """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (w, h, flat
     luma uint8), or None if not decodable. Baseline chroma is

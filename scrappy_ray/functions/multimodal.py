@@ -744,9 +744,11 @@ class ImageResizer:
     lib. Undecodable payloads come back ok=False with a null payload
     (never silently dropped)."""
 
-    def __init__(self, out_w: int = 32, out_h: int = 32):
+    def __init__(self, out_w: int = 32, out_h: int = 32,
+                 apply_exif: bool = False):
         self._decoder = RealImageDecoder()
         self.out_w, self.out_h = int(out_w), int(out_h)
+        self.apply_exif = apply_exif
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_pylist()
@@ -759,6 +761,12 @@ class ImageResizer:
                 oks.append(False)
                 continue
             w, h, px = d
+            if (self.apply_exif and payload is not None
+                    and payload[:2] == b"\xff\xd8"):
+                from .jpeg import apply_orientation, exif_orientation
+
+                w, h, px = apply_orientation(
+                    px, w, h, exif_orientation(payload))
             g = np.clip(np.round(_mean_resize(
                 np.asarray(px, np.uint8).reshape(h, w),
                 self.out_h, self.out_w)), 0, 255).astype(np.uint8)
@@ -777,13 +785,16 @@ class ImageResizer:
 
 
 def resize_images(ds, out_w: int = 32, out_h: int = 32,
-                  concurrency: int = 2, batch_size: int = 32):
+                  concurrency: int = 2, batch_size: int = 32,
+                  apply_exif: bool = False):
     """The image-resize pipeline stage (decode → resample → re-encode
     PNG): actor pool, small batches — payloads are large binaries and
-    the output is a binary column too."""
+    the output is a binary column too. ``apply_exif=True`` rotates
+    JPEG pixels into display orientation (tag 0x0112) first."""
     return ds.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "apply_exif": apply_exif},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -844,6 +855,91 @@ class AudioFingerprinter:
             "id": pa.array(ids, pa.int64()),
             "afp": pa.array(np.array(fps, np.int64), pa.int64()),
         })
+
+
+class AudioResampler:
+    """Actor stage: WAV payload → mono 16-bit PCM WAV at a fixed
+    target rate (linear interpolation) — the sample-rate
+    normalization step an audio training pipeline runs before
+    featurization, real codec on both sides (stdlib ``wave``).
+    Undecodable payloads return ok=False with a null payload."""
+
+    def __init__(self, target_rate: int = 16000):
+        self.target_rate = int(target_rate)
+
+    def _resample(self, payload: bytes):
+        import io
+        import wave
+
+        if payload is None:
+            return None
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                sw = w.getsampwidth()
+                if sw not in WavAudioDecoder._DTYPE:
+                    return None
+                sr, nch = w.getframerate(), w.getnchannels()
+                raw = w.readframes(w.getnframes())
+        except Exception:
+            return None
+        x = np.frombuffer(raw, WavAudioDecoder._DTYPE[sw]).astype(
+            np.float64)
+        off, scale = WavAudioDecoder._OFFSET_SCALE[sw]
+        xn = (x - off) / scale
+        if nch > 1:
+            xn = xn.reshape(-1, nch).mean(axis=1)
+        if len(xn) == 0 or sr <= 0:
+            return None
+        n_out = max(1, int(round(len(xn) * self.target_rate / sr)))
+        t = np.linspace(0.0, len(xn) - 1.0, n_out)
+        y = np.interp(t, np.arange(len(xn), dtype=np.float64), xn)
+        pcm = np.round(np.clip(y, -1, 1) * 32767.0).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(self.target_rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue(), n_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        payloads = []
+        frames = []
+        oks = []
+        for payload in batch.column("payload").to_pylist():
+            r = self._resample(payload)
+            if r is None:
+                payloads.append(None)
+                frames.append(None)
+                oks.append(False)
+            else:
+                payloads.append(r[0])
+                frames.append(r[1])
+                oks.append(True)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(
+                [self.target_rate if ok else None for ok in oks],
+                pa.int32()),
+            "n_frames": pa.array(frames, pa.int64()),
+            "ok": pa.array(oks, pa.bool_()),
+        })
+
+
+def resample_audio(ds, target_rate: int = 16000, concurrency: int = 2,
+                   batch_size: int = 32):
+    """The audio-resample pipeline stage: actor pool, small batches
+    (binary in, binary out) — same contract as ``resize_images``."""
+    return ds.map_batches(
+        AudioResampler,
+        fn_constructor_kwargs={"target_rate": target_rate},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def audio_near_dup_pairs(ds, max_hamming: int = 3, max_bucket: int = 200,
