@@ -305,7 +305,8 @@ def main():
                  "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q13", "tpch_q22",
                  "revisit_stats_salted", "mm_decode_png", "mm_frames_apng",
                  "tpch_q2", "tpch_q9", "tpch_q16",
-                 "mm_decode_jpeg", "img_dedup", "audio_dedup"):
+                 "mm_decode_jpeg", "img_dedup", "audio_dedup",
+                 "img_resize", "audio_resample", "mm_dedup_clusters"):
         t = time.perf_counter()
         _consume(E.queries()[name](SF_DIR))
         queries[name] = round(time.perf_counter() - t, 3)
