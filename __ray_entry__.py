@@ -1384,8 +1384,8 @@ def _q_img_dedup(sf_dir: str):
 
 def _q_img_resize(sf_dir: str):
     """Image resize/thumbnail stage (functions/multimodal.py::
-    resize_images): mixed PNG + JPEG + GIF fixtures (and one garbage
-    payload) → real magic-sniffed decode → area-mean resample to
+    resize_images): mixed PNG + JPEG + GIF + BMP fixtures (and one
+    garbage payload) → real magic-sniffed decode → area-mean resample to
     16×12 → REAL PNG re-encode. Deterministic output bytes.
     Golden-backed oracle."""
     import ray.data
@@ -1394,7 +1394,7 @@ def _q_img_resize(sf_dir: str):
     from scrappy_ray.functions.multimodal import (png_encode_filtered,
                                                   resize_images)
 
-    from scrappy_ray.functions.gif import gif_encode_gray
+    from scrappy_ray.functions.gif import bmp_encode_gray, gif_encode_gray
 
     ids = []
     payloads = []
@@ -1402,16 +1402,19 @@ def _q_img_resize(sf_dir: str):
         rng = np.random.RandomState(3000 + i)
         base = np.kron(rng.randint(0, 256, (6, 8), dtype=np.int64),
                        np.ones((7, 6), np.int64)).astype(np.uint8)
-        if i % 4 == 0:
+        if i % 5 == 0:
             payloads.append(png_encode_filtered(
                 np.stack([base] * 3, axis=-1)))
-        elif i % 4 == 1:
+        elif i % 5 == 1:
             payloads.append(jpeg_encode(base, quality=92))
-        elif i % 4 == 2:
+        elif i % 5 == 2:
             payloads.append(jpeg_encode(base, quality=80,
                                         subsampling="444"))
+        elif i % 5 == 3:
+            payloads.append(gif_encode_gray(base, interlace=i % 10 == 3))
         else:
-            payloads.append(gif_encode_gray(base, interlace=i % 8 == 3))
+            payloads.append(bmp_encode_gray(base,
+                                            bottom_up=i % 10 == 4))
         ids.append(i)
     ids.append(99)
     payloads.append(b"not an image")

@@ -252,3 +252,71 @@ def _gif_inner(data: bytes):
             px = un
         return w, h, px.reshape(-1)
     raise ValueError("no image block")
+
+
+# ------------------------------------------------------------- BMP (bonus)
+
+
+def bmp_encode_gray(img: np.ndarray, bottom_up: bool = True) -> bytes:
+    """(h, w) uint8 grayscale as an 8-bit palettized BMP
+    (BITMAPINFOHEADER, 4-byte row padding, optional top-down rows via
+    negative height) — lossless, the fixture generator."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape
+    stride = (w + 3) & ~3
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes([i, i, i, 0])  # BGRA palette entries
+    rows = img[::-1] if bottom_up else img
+    px = np.zeros((h, stride), np.uint8)
+    px[:, :w] = rows
+    data = px.tobytes()
+    off = 14 + 40 + 1024
+    header = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w,
+                            h if bottom_up else -h,
+                            1, 8, 0, len(data), 2835, 2835, 256, 0))
+    return header + bytes(pal) + data
+
+
+def bmp_decode_gray(data: bytes):
+    """8/24-bit uncompressed BMP -> (w, h, flat gray uint8) or None.
+    Handles bottom-up and top-down rows, row padding, palettes
+    (folded to luma)."""
+    if data is None or len(data) < 54 or data[:2] != b"BM":
+        return None
+    try:
+        (off,) = struct.unpack_from("<I", data, 10)
+        hdr_size, w, h_raw = struct.unpack_from("<Iii", data, 14)
+        planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+        if hdr_size < 40 or planes != 1 or comp != 0 or w <= 0:
+            return None
+        if bpp not in (8, 24):
+            return None
+        bottom_up = h_raw > 0
+        h = abs(h_raw)
+        if h == 0:
+            return None
+        stride = ((w * bpp // 8) + 3) & ~3
+        raw = np.frombuffer(data, np.uint8, count=stride * h,
+                            offset=off).reshape(h, stride)
+        if bpp == 8:
+            n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+            pal = np.frombuffer(data, np.uint8, count=4 * n_colors,
+                                offset=14 + hdr_size).reshape(-1, 4)
+            luma = np.clip(np.round(
+                0.299 * pal[:, 2].astype(np.float64)
+                + 0.587 * pal[:, 1] + 0.114 * pal[:, 0]),
+                0, 255).astype(np.uint8)
+            px = luma[raw[:, :w]]
+        else:  # 24-bit BGR
+            row = raw[:, :w * 3].reshape(h, w, 3).astype(np.float64)
+            px = np.clip(np.round(0.299 * row[:, :, 2]
+                                  + 0.587 * row[:, :, 1]
+                                  + 0.114 * row[:, :, 0]),
+                         0, 255).astype(np.uint8)
+        if bottom_up:
+            px = px[::-1]
+        return w, h, np.ascontiguousarray(px).reshape(-1)
+    except (ValueError, struct.error):
+        return None

@@ -625,10 +625,10 @@ class StdlibGifDecoder(_ImageDecoderBase):
 class RealImageDecoder(_ImageDecoderBase):
     """The ``real=True`` decoder: Pillow when installed (any
     PIL-readable format), otherwise the stdlib codecs — PNG (zlib +
-    un-filter), baseline + progressive JPEG (``functions/jpeg.py``)
-    and GIF (``functions/gif.py``) sniffed by magic bytes. A real
-    interchange codec runs in EVERY environment; only the long-tail
-    format coverage (TIFF/WebP/...) needs Pillow."""
+    un-filter), baseline + progressive JPEG (``functions/jpeg.py``),
+    GIF and BMP (``functions/gif.py``) sniffed by magic bytes. A
+    real interchange codec runs in EVERY environment; only the
+    long-tail format coverage (TIFF/WebP/...) needs Pillow."""
 
     def __init__(self):
         try:
@@ -647,6 +647,10 @@ class RealImageDecoder(_ImageDecoderBase):
             from .gif import gif_decode_gray
 
             return gif_decode_gray(payload)
+        if payload is not None and payload[:2] == b"BM":
+            from .gif import bmp_decode_gray
+
+            return bmp_decode_gray(payload)
         return _png_to_gray(payload)
 
 

@@ -477,3 +477,34 @@ def test_audio_resample_stage(ray_session):
     # mono fold of an identical-channel stereo input gives the same
     # bytes as the mono input
     assert out["payload"][0] == out["payload"][1]
+
+
+def test_bmp_roundtrip_and_24bit():
+    from scrappy_ray.functions.gif import bmp_decode_gray, bmp_encode_gray
+
+    rng = np.random.RandomState(11)
+    for (h, w) in [(1, 1), (5, 7), (33, 47)]:
+        for bu in (True, False):
+            img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            r = bmp_decode_gray(bmp_encode_gray(img, bottom_up=bu))
+            assert r is not None and (r[0], r[1]) == (w, h)
+            assert (r[2].reshape(h, w) == img).all()
+    assert bmp_decode_gray(b"BMxx") is None
+    assert bmp_decode_gray(None) is None
+
+
+def test_real_image_decoder_sniffs_bmp(ray_session):
+    import ray.data
+
+    from scrappy_ray.functions.gif import bmp_encode_gray
+    from scrappy_ray.functions.multimodal import decode_images
+
+    g = _gradient(10, 14)
+    tbl = pa.table({
+        "id": pa.array([0], pa.int64()),
+        "payload": pa.array([bmp_encode_gray(g)], pa.binary()),
+    })
+    out = decode_images(ray.data.from_arrow(tbl), real=True,
+                        concurrency=1).to_pandas()
+    assert bool(out["ok"][0]) and int(out["width"][0]) == 14
+    assert abs(out["mean_px"][0] - float(g.mean())) < 1e-9  # lossless

@@ -367,3 +367,14 @@ def test_jpeg_decoder_never_crashes_on_fuzz(data):
 
     jpeg_decode_luma(data)
     jpeg_decode_luma(b"\xff\xd8" + data)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_gif_bmp_decoders_never_crash_on_fuzz(data):
+    from scrappy_ray.functions.gif import bmp_decode_gray, gif_decode_gray
+
+    gif_decode_gray(data)
+    gif_decode_gray(b"GIF89a" + data)
+    bmp_decode_gray(data)
+    bmp_decode_gray(b"BM" + data)
